@@ -1,0 +1,136 @@
+"""Homogeneous 4x4 transforms.
+
+Counterpart of include/mitsuba/core/transform.h. A Transform is stored as the
+pair (matrix, inverse-transpose) exactly like the reference so that normals
+transform correctly; constructors are host-side (numpy-friendly) but all
+application functions are jittable.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .math import normalize
+from .types import pytree_dataclass
+
+
+@pytree_dataclass
+class Transform:
+    m: jnp.ndarray        # (..., 4, 4)
+    inv_t: jnp.ndarray    # (..., 4, 4) inverse transpose
+
+    # -- constructors ---------------------------------------------------------
+    @staticmethod
+    def from_matrix(m):
+        m = jnp.asarray(m, dtype=jnp.float32)
+        inv = jnp.linalg.inv(m)
+        return Transform(m=m, inv_t=jnp.swapaxes(inv, -1, -2))
+
+    @staticmethod
+    def identity():
+        return Transform.from_matrix(np.eye(4, dtype=np.float32))
+
+    @staticmethod
+    def translate(v):
+        m = np.eye(4, dtype=np.float32)
+        m[:3, 3] = np.asarray(v, dtype=np.float32)
+        return Transform.from_matrix(m)
+
+    @staticmethod
+    def scale(v):
+        v = np.broadcast_to(np.asarray(v, dtype=np.float32), (3,))
+        m = np.diag(np.concatenate([v, [1.0]]).astype(np.float32))
+        return Transform.from_matrix(m)
+
+    @staticmethod
+    def rotate(axis, angle_deg):
+        """Rotation about an axis by an angle in degrees (reference convention)."""
+        a = np.asarray(axis, dtype=np.float64)
+        a = a / np.linalg.norm(a)
+        th = np.deg2rad(float(angle_deg))
+        c, s = np.cos(th), np.sin(th)
+        x, y, z = a
+        K = np.array([[0, -z, y], [z, 0, -x], [-y, x, 0]])
+        R = np.eye(3) + s * K + (1 - c) * (K @ K)
+        m = np.eye(4, dtype=np.float32)
+        m[:3, :3] = R.astype(np.float32)
+        return Transform.from_matrix(m)
+
+    @staticmethod
+    def look_at(origin, target, up):
+        """Camera-to-world: +z looks at target, +y is up, +x right
+        (reference: transform.h ``look_at``; left-handed like Mitsuba)."""
+        origin = np.asarray(origin, dtype=np.float64)
+        target = np.asarray(target, dtype=np.float64)
+        up = np.asarray(up, dtype=np.float64)
+        dir_ = target - origin
+        dir_ = dir_ / np.linalg.norm(dir_)
+        left = np.cross(up / np.linalg.norm(up), dir_)
+        left = left / np.linalg.norm(left)
+        new_up = np.cross(dir_, left)
+        m = np.eye(4, dtype=np.float32)
+        m[:3, 0] = left
+        m[:3, 1] = new_up
+        m[:3, 2] = dir_
+        m[:3, 3] = origin
+        return Transform.from_matrix(m)
+
+    @staticmethod
+    def perspective(fov_deg, near, far):
+        """Projective transform mapping the view frustum to [0,1]^2 in x,y
+        (reference: transform.h ``perspective``)."""
+        recip = 1.0 / (far - near)
+        cot = 1.0 / np.tan(np.deg2rad(float(fov_deg)) / 2.0)
+        m = np.array(
+            [
+                [cot, 0, 0, 0],
+                [0, cot, 0, 0],
+                [0, 0, far * recip, -near * far * recip],
+                [0, 0, 1, 0],
+            ],
+            dtype=np.float32,
+        )
+        return Transform.from_matrix(m)
+
+    # -- application ----------------------------------------------------------
+    def transform_point(self, p):
+        ph = self.m[..., :3, :3] @ p[..., None]
+        ph = ph[..., 0] + self.m[..., :3, 3]
+        w = jnp.sum(self.m[..., 3, :3] * p, axis=-1) + self.m[..., 3, 3]
+        return ph / w[..., None]
+
+    def transform_affine_point(self, p):
+        return (self.m[..., :3, :3] @ p[..., None])[..., 0] + self.m[..., :3, 3]
+
+    def transform_vector(self, v):
+        return (self.m[..., :3, :3] @ v[..., None])[..., 0]
+
+    def transform_normal(self, n):
+        return (self.inv_t[..., :3, :3] @ n[..., None])[..., 0]
+
+    def transform_unit_vector(self, v):
+        return normalize(self.transform_vector(v))
+
+    def transform_ray(self, o, d):
+        return self.transform_affine_point(o), self.transform_vector(d)
+
+    def inverse(self):
+        return Transform(m=jnp.swapaxes(self.inv_t, -1, -2),
+                         inv_t=jnp.swapaxes(self.m, -1, -2))
+
+    def __matmul__(self, other):
+        return Transform(m=self.m @ other.m, inv_t=self.inv_t @ other.inv_t)
+
+    @property
+    def translation(self):
+        return self.m[..., :3, 3]
+
+
+def as_transform(t) -> Transform:
+    """Accept Transform | 4x4 array-like | None (identity)."""
+    if t is None:
+        return Transform.identity()
+    if isinstance(t, Transform):
+        return t
+    return Transform.from_matrix(np.asarray(t, dtype=np.float32))

@@ -1,0 +1,445 @@
+"""Shape geometry pools and ray intersection.
+
+The reference dispatches `ray_intersect` to kd-tree/Embree/OptiX backends over
+polymorphic `Shape` objects (scene.cpp:94-134, shape.h:23-496). Here geometry
+is struct-of-arrays *pools per shape family* (triangle mesh, sphere, rectangle,
+disk, cylinder) — the wavefront intersects each present family in a batched,
+masked sweep and reduces to the closest hit. This is the two-phase hit:
+
+  1. ``ray_intersect_preliminary`` — detached, accelerator-style, returns a
+     PreliminaryIntersection (like optix_rt.cu's SoA out-buffers);
+  2. ``compute_surface_interaction`` — recomputes the hit differentiably from
+     primitive data (interaction.h:571-580) so gradients flow to vertices,
+     transforms, and ray origins/directions.
+
+The brute-force sweep here is the correctness oracle (`ray_intersect_naive`
+analog, scene.h:54); the Pallas tiled/BVH kernel in ops/ plugs in behind the
+same signature.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.frame import Frame
+from ..core.math import cross, dot, normalize, safe_sqrt, sqr
+from ..core.ray import Ray
+from ..core.transform import Transform
+from ..core.types import pytree_dataclass
+from .records import PreliminaryIntersection, SurfaceInteraction
+
+# family ids
+FAMILY_MESH = 0
+FAMILY_SPHERE = 1
+FAMILY_RECT = 2
+FAMILY_DISK = 3
+FAMILY_CYLINDER = 4
+
+
+@pytree_dataclass
+class Geometry:
+    """All scene geometry as per-family SoA pools. Any family may be empty
+    (leading dim 0) — presence is a trace-time static."""
+
+    # triangle meshes (concatenated)
+    vertices: jnp.ndarray     # (V, 3)
+    normals: jnp.ndarray      # (V, 3) zero rows -> face normal fallback
+    uvs: jnp.ndarray          # (V, 2)
+    faces: jnp.ndarray        # (F, 3) i32
+    face_shape: jnp.ndarray   # (F,) i32 global shape index
+
+    # spheres
+    sph_center: jnp.ndarray   # (S, 3)
+    sph_radius: jnp.ndarray   # (S,)
+    sph_shape: jnp.ndarray    # (S,) i32
+    sph_flip: jnp.ndarray     # (S,) bool flip normals
+
+    # rectangles: canonical [-1,1]^2 in the xy-plane
+    rect_to_world: Transform  # (R, 4, 4)
+    rect_shape: jnp.ndarray   # (R,) i32
+
+    # disks: canonical unit disk in the xy-plane
+    disk_to_world: Transform  # (D, 4, 4)
+    disk_shape: jnp.ndarray   # (D,) i32
+
+    # cylinders: canonical along +z, unit radius, z in [0, length] in local
+    cyl_to_world: Transform   # (C, 4, 4)
+    cyl_length: jnp.ndarray   # (C,)
+    cyl_radius: jnp.ndarray   # (C,)
+    cyl_shape: jnp.ndarray    # (C,) i32
+
+    # per-shape family table
+    shape_family: jnp.ndarray  # (n_shapes,) i32
+
+    @property
+    def n_shapes(self):
+        return self.shape_family.shape[0]
+
+
+def empty_geometry(n_shapes=0):
+    z = lambda *s: jnp.zeros(s, jnp.float32)
+    zi = lambda *s: jnp.zeros(s, jnp.int32)
+    ident = Transform(m=jnp.zeros((0, 4, 4)), inv_t=jnp.zeros((0, 4, 4)))
+    return Geometry(
+        vertices=z(0, 3), normals=z(0, 3), uvs=z(0, 2), faces=zi(0, 3),
+        face_shape=zi(0), sph_center=z(0, 3), sph_radius=z(0),
+        sph_shape=zi(0), sph_flip=jnp.zeros((0,), bool),
+        rect_to_world=ident, rect_shape=zi(0),
+        disk_to_world=ident, disk_shape=zi(0),
+        cyl_to_world=ident, cyl_length=z(0), cyl_radius=z(0), cyl_shape=zi(0),
+        shape_family=zi(n_shapes))
+
+
+# =============================================================================
+# Per-family intersection tests (batched over rays x prims)
+# =============================================================================
+
+def moller_trumbore(o, d, v0, v1, v2):
+    """Differentiable Möller–Trumbore (reference: mesh.h:180-226).
+
+    All inputs broadcastable to (..., 3). Returns (t, u, v, valid) where
+    (u, v) are barycentric coords of v1/v2 and valid excludes parallel rays
+    and out-of-triangle hits (t bounds NOT checked here).
+    """
+    e1 = v1 - v0
+    e2 = v2 - v0
+    pvec = cross(d, e2)
+    det = dot(e1, pvec)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    tvec = o - v0
+    u = dot(tvec, pvec) * inv_det
+    qvec = cross(tvec, e1)
+    v = dot(d, qvec) * inv_det
+    t = dot(e2, qvec) * inv_det
+    valid = (jnp.abs(det) >= 1e-12) & (u >= 0) & (v >= 0) & (u + v <= 1.0)
+    return t, u, v, valid
+
+
+def _intersect_meshes(geo: Geometry, ray: Ray):
+    """Brute-force all triangles: (N rays) x (F faces)."""
+    v = geo.vertices
+    f = geo.faces
+    v0 = v[f[:, 0]]  # (F, 3)
+    v1 = v[f[:, 1]]
+    v2 = v[f[:, 2]]
+    o = ray.o[..., None, :]  # (N, 1, 3)
+    d = ray.d[..., None, :]
+    t, u, vv, valid = moller_trumbore(o, d, v0, v1, v2)  # (N, F)
+    valid &= (t >= ray.mint[..., None]) & (t <= ray.maxt[..., None])
+    t = jnp.where(valid, t, jnp.inf)
+    best = jnp.argmin(t, axis=-1)
+    tb = jnp.take_along_axis(t, best[..., None], axis=-1)[..., 0]
+    ub = jnp.take_along_axis(u, best[..., None], axis=-1)[..., 0]
+    vb = jnp.take_along_axis(vv, best[..., None], axis=-1)[..., 0]
+    return tb, jnp.stack([ub, vb], -1), best.astype(jnp.int32), geo.face_shape[best]
+
+
+def _sphere_roots(center, radius, o, d):
+    """Stable quadratic for the sphere (reference: sphere.cpp:272-349)."""
+    L = o - center
+    a = dot(d, d)
+    b = 2.0 * dot(d, L)
+    c = dot(L, L) - sqr(radius)
+    disc = sqr(b) - 4.0 * a * c
+    valid = disc >= 0.0
+    sqrt_d = safe_sqrt(disc)
+    q = -0.5 * (b + jnp.where(b >= 0, sqrt_d, -sqrt_d))
+    t0 = q / a
+    t1 = c / jnp.where(jnp.abs(q) < 1e-20, 1e-20, q)
+    near = jnp.minimum(t0, t1)
+    far = jnp.maximum(t0, t1)
+    return valid, near, far
+
+
+def _intersect_spheres(geo: Geometry, ray: Ray):
+    o = ray.o[..., None, :]
+    d = ray.d[..., None, :]
+    valid, near, far = _sphere_roots(geo.sph_center, geo.sph_radius, o, d)  # (N, S)
+    mint = ray.mint[..., None]
+    maxt = ray.maxt[..., None]
+    t = jnp.where((near >= mint) & (near <= maxt), near,
+                  jnp.where((far >= mint) & (far <= maxt), far, jnp.inf))
+    t = jnp.where(valid, t, jnp.inf)
+    best = jnp.argmin(t, axis=-1)
+    tb = jnp.take_along_axis(t, best[..., None], -1)[..., 0]
+    return tb, jnp.zeros(tb.shape + (2,), tb.dtype), best.astype(jnp.int32), geo.sph_shape[best]
+
+
+def _plane_hit_local(to_world: Transform, ray: Ray):
+    """Transform rays into each prim's local frame, hit the z=0 plane.
+    Returns (t, p_local) with shapes (N, P) / (N, P, 3)."""
+    inv = to_world.inverse()
+    o = inv.transform_affine_point(ray.o[..., None, :])
+    d = inv.transform_vector(ray.d[..., None, :])
+    dz = jnp.where(jnp.abs(d[..., 2]) < 1e-12, 1e-12, d[..., 2])
+    t = -o[..., 2] / dz
+    p = o + d * t[..., None]
+    return t, p, jnp.abs(d[..., 2]) >= 1e-12
+
+
+def _intersect_rects(geo: Geometry, ray: Ray):
+    t, p, ok = _plane_hit_local(geo.rect_to_world, ray)  # (N, R)
+    inside = (jnp.abs(p[..., 0]) <= 1.0) & (jnp.abs(p[..., 1]) <= 1.0)
+    valid = ok & inside & (t >= ray.mint[..., None]) & (t <= ray.maxt[..., None])
+    t = jnp.where(valid, t, jnp.inf)
+    best = jnp.argmin(t, axis=-1)
+    tb = jnp.take_along_axis(t, best[..., None], -1)[..., 0]
+    pb = jnp.take_along_axis(p, best[..., None, None], -2)[..., 0, :]
+    uv = 0.5 * (pb[..., :2] + 1.0)
+    return tb, uv, best.astype(jnp.int32), geo.rect_shape[best]
+
+
+def _intersect_disks(geo: Geometry, ray: Ray):
+    t, p, ok = _plane_hit_local(geo.disk_to_world, ray)
+    r2 = sqr(p[..., 0]) + sqr(p[..., 1])
+    valid = ok & (r2 <= 1.0) & (t >= ray.mint[..., None]) & (t <= ray.maxt[..., None])
+    t = jnp.where(valid, t, jnp.inf)
+    best = jnp.argmin(t, axis=-1)
+    tb = jnp.take_along_axis(t, best[..., None], -1)[..., 0]
+    pb = jnp.take_along_axis(p, best[..., None, None], -2)[..., 0, :]
+    r = safe_sqrt(sqr(pb[..., 0]) + sqr(pb[..., 1]))
+    phi = jnp.arctan2(pb[..., 1], pb[..., 0])
+    phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+    uv = jnp.stack([r, phi / (2 * jnp.pi)], -1)
+    return tb, uv, best.astype(jnp.int32), geo.disk_shape[best]
+
+
+def _intersect_cylinders(geo: Geometry, ray: Ray):
+    inv = geo.cyl_to_world.inverse()
+    o = inv.transform_affine_point(ray.o[..., None, :])  # (N, C, 3)
+    d = inv.transform_vector(ray.d[..., None, :])
+    r = geo.cyl_radius
+    a = sqr(d[..., 0]) + sqr(d[..., 1])
+    b = 2.0 * (d[..., 0] * o[..., 0] + d[..., 1] * o[..., 1])
+    c = sqr(o[..., 0]) + sqr(o[..., 1]) - sqr(r)
+    disc = sqr(b) - 4 * a * c
+    ok = disc >= 0
+    sq = safe_sqrt(disc)
+    a_s = jnp.where(jnp.abs(a) < 1e-20, 1e-20, a)
+    q = -0.5 * (b + jnp.where(b >= 0, sq, -sq))
+    t0 = jnp.minimum(q / a_s, c / jnp.where(jnp.abs(q) < 1e-20, 1e-20, q))
+    t1 = jnp.maximum(q / a_s, c / jnp.where(jnp.abs(q) < 1e-20, 1e-20, q))
+    z0 = o[..., 2] + d[..., 2] * t0
+    z1 = o[..., 2] + d[..., 2] * t1
+    L = geo.cyl_length
+    mint = ray.mint[..., None]
+    maxt = ray.maxt[..., None]
+    v0 = ok & (t0 >= mint) & (t0 <= maxt) & (z0 >= 0) & (z0 <= L)
+    v1 = ok & (t1 >= mint) & (t1 <= maxt) & (z1 >= 0) & (z1 <= L)
+    t = jnp.where(v0, t0, jnp.where(v1, t1, jnp.inf))
+    best = jnp.argmin(t, axis=-1)
+    tb = jnp.take_along_axis(t, best[..., None], -1)[..., 0]
+    return tb, jnp.zeros(tb.shape + (2,), tb.dtype), best.astype(jnp.int32), geo.cyl_shape[best]
+
+
+# =============================================================================
+# Combined preliminary intersection (the accelerator oracle)
+# =============================================================================
+
+def ray_intersect_preliminary(geo: Geometry, ray: Ray) -> PreliminaryIntersection:
+    """Closest hit over all present families; detached (callers stop_gradient
+    it — the differentiable quantities come from compute_surface_interaction)."""
+    batch = ray.o.shape[:-1]
+    t = jnp.full(batch, jnp.inf)
+    uv = jnp.zeros(batch + (2,))
+    prim = jnp.zeros(batch, jnp.int32)
+    shape = jnp.full(batch, -1, jnp.int32)
+
+    def merge(res):
+        nonlocal t, uv, prim, shape
+        tf, uvf, primf, shapef = res
+        closer = tf < t
+        t = jnp.where(closer, tf, t)
+        uv = jnp.where(closer[..., None], uvf, uv)
+        prim = jnp.where(closer, primf, prim)
+        shape = jnp.where(closer, shapef, shape)
+
+    if geo.faces.shape[0] > 0:
+        merge(_intersect_meshes(geo, ray))
+    if geo.sph_center.shape[0] > 0:
+        merge(_intersect_spheres(geo, ray))
+    if geo.rect_shape.shape[0] > 0:
+        merge(_intersect_rects(geo, ray))
+    if geo.disk_shape.shape[0] > 0:
+        merge(_intersect_disks(geo, ray))
+    if geo.cyl_shape.shape[0] > 0:
+        merge(_intersect_cylinders(geo, ray))
+
+    shape = jnp.where(jnp.isfinite(t), shape, -1)
+    return PreliminaryIntersection(t=t, prim_uv=uv, prim_index=prim, shape_index=shape)
+
+
+def ray_test(geo: Geometry, ray: Ray):
+    """Occlusion query (scene.cpp ray_test): any hit within (mint, maxt)."""
+    pi = ray_intersect_preliminary(geo, ray)
+    return pi.is_valid
+
+
+# =============================================================================
+# Differentiable surface interaction (phase 2)
+# =============================================================================
+
+def compute_surface_interaction(geo: Geometry, ray: Ray,
+                                pi: PreliminaryIntersection) -> SurfaceInteraction:
+    """Recompute the hit differentiably, selecting per-family formulas by the
+    (detached) family of the hit shape. Matches the reference's per-shape
+    ``compute_surface_interaction`` (mesh.cpp, sphere.cpp, rectangle.cpp...)."""
+    batch = ray.o.shape[:-1]
+    valid = pi.is_valid
+    shape_idx = jnp.maximum(pi.shape_index, 0)
+    family = geo.shape_family[shape_idx]
+
+    t = jnp.where(valid, jax.lax.stop_gradient(pi.t), jnp.inf)
+    p = ray.at(jax.lax.stop_gradient(pi.t))
+    n = jnp.zeros(batch + (3,)).at[..., 2].set(1.0)
+    sh_n = n
+    uv = pi.prim_uv
+    dp_du = jnp.zeros(batch + (3,)).at[..., 0].set(1.0)
+    dp_dv = jnp.zeros(batch + (3,)).at[..., 1].set(1.0)
+
+    def sel(mask, new, old):
+        if new.ndim > mask.ndim:
+            mask = mask[..., None]
+        return jnp.where(mask, new, old)
+
+    if geo.faces.shape[0] > 0:
+        m = (family == FAMILY_MESH) & valid
+        f = geo.faces[pi.prim_index]                       # (..., 3)
+        v0 = geo.vertices[f[..., 0]]
+        v1 = geo.vertices[f[..., 1]]
+        v2 = geo.vertices[f[..., 2]]
+        # differentiable re-intersection
+        tm, u, v, _ok = moller_trumbore(ray.o, ray.d, v0, v1, v2)
+        w = 1.0 - u - v
+        pm = v0 * w[..., None] + v1 * u[..., None] + v2 * v[..., None]
+        ng = normalize(cross(v1 - v0, v2 - v0))
+        vn0 = geo.normals[f[..., 0]]
+        vn1 = geo.normals[f[..., 1]]
+        vn2 = geo.normals[f[..., 2]]
+        has_vn = (jnp.sum(sqr(vn0), -1) > 1e-12)
+        ns = normalize(vn0 * w[..., None] + vn1 * u[..., None] + vn2 * v[..., None])
+        ns = sel(has_vn, ns, ng)
+        uv0 = geo.uvs[f[..., 0]]
+        uv1 = geo.uvs[f[..., 1]]
+        uv2 = geo.uvs[f[..., 2]]
+        uvm = uv0 * w[..., None] + uv1 * u[..., None] + uv2 * v[..., None]
+        t = sel(m, tm, t)
+        p = sel(m, pm, p)
+        n = sel(m, ng, n)
+        sh_n = sel(m, ns, sh_n)
+        uv = sel(m, jnp.stack([u, v], -1) * 0 + uvm, uv)
+        dp_du = sel(m, v1 - v0, dp_du)
+        dp_dv = sel(m, v2 - v0, dp_dv)
+
+    if geo.sph_center.shape[0] > 0:
+        m = (family == FAMILY_SPHERE) & valid
+        c = geo.sph_center[pi.prim_index]
+        r = geo.sph_radius[pi.prim_index]
+        flip = geo.sph_flip[pi.prim_index]
+        _v, near, far = _sphere_roots(c, r, ray.o, ray.d)
+        use_far = jnp.abs(jax.lax.stop_gradient(pi.t) - far) < jnp.abs(
+            jax.lax.stop_gradient(pi.t) - near)
+        ts = jnp.where(jax.lax.stop_gradient(use_far), far, near)
+        ps_raw = ray.at(ts)
+        # re-project onto the sphere for numerical robustness (sphere.cpp)
+        ns_ = normalize(ps_raw - c)
+        ps = c + ns_ * r[..., None]
+        nss = jnp.where(flip[..., None], -ns_, ns_)
+        theta = jnp.arccos(jnp.clip(ns_[..., 2], -1, 1))
+        phi = jnp.arctan2(ns_[..., 1], ns_[..., 0])
+        phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+        uvs = jnp.stack([phi / (2 * jnp.pi), theta / jnp.pi], -1)
+        du = jnp.stack([-ns_[..., 1], ns_[..., 0], jnp.zeros_like(theta)], -1)
+        t = sel(m, ts, t)
+        p = sel(m, ps, p)
+        n = sel(m, nss, n)
+        sh_n = sel(m, nss, sh_n)
+        uv = sel(m, uvs, uv)
+        dp_du = sel(m, du, dp_du)
+        dp_dv = sel(m, cross(nss, du), dp_dv)
+
+    if geo.rect_shape.shape[0] > 0:
+        m = (family == FAMILY_RECT) & valid
+        tw = jax.tree_util.tree_map(lambda a: a[pi.prim_index], geo.rect_to_world)
+        inv = tw.inverse()
+        o_l = inv.transform_affine_point(ray.o)
+        d_l = inv.transform_vector(ray.d)
+        dz = jnp.where(jnp.abs(d_l[..., 2]) < 1e-12, 1e-12, d_l[..., 2])
+        tr = -o_l[..., 2] / dz
+        p_l = o_l + d_l * tr[..., None]
+        pr = tw.transform_affine_point(
+            jnp.concatenate([p_l[..., :2], jnp.zeros_like(p_l[..., :1])], -1))
+        nr = normalize(tw.transform_normal(jnp.zeros_like(p_l).at[..., 2].set(1.0)))
+        uvr = 0.5 * (p_l[..., :2] + 1.0)
+        du = tw.transform_vector(jnp.zeros_like(p_l).at[..., 0].set(2.0))
+        dv = tw.transform_vector(jnp.zeros_like(p_l).at[..., 1].set(2.0))
+        t = sel(m, tr, t)
+        p = sel(m, pr, p)
+        n = sel(m, nr, n)
+        sh_n = sel(m, nr, sh_n)
+        uv = sel(m, uvr, uv)
+        dp_du = sel(m, du, dp_du)
+        dp_dv = sel(m, dv, dp_dv)
+
+    if geo.disk_shape.shape[0] > 0:
+        m = (family == FAMILY_DISK) & valid
+        tw = jax.tree_util.tree_map(lambda a: a[pi.prim_index], geo.disk_to_world)
+        inv = tw.inverse()
+        o_l = inv.transform_affine_point(ray.o)
+        d_l = inv.transform_vector(ray.d)
+        dz = jnp.where(jnp.abs(d_l[..., 2]) < 1e-12, 1e-12, d_l[..., 2])
+        td = -o_l[..., 2] / dz
+        p_l = o_l + d_l * td[..., None]
+        pd = tw.transform_affine_point(
+            jnp.concatenate([p_l[..., :2], jnp.zeros_like(p_l[..., :1])], -1))
+        nd = normalize(tw.transform_normal(jnp.zeros_like(p_l).at[..., 2].set(1.0)))
+        du = tw.transform_vector(jnp.zeros_like(p_l).at[..., 0].set(1.0))
+        dv = tw.transform_vector(jnp.zeros_like(p_l).at[..., 1].set(1.0))
+        t = sel(m, td, t)
+        p = sel(m, pd, p)
+        n = sel(m, nd, n)
+        sh_n = sel(m, nd, sh_n)
+        uv = sel(m, pi.prim_uv, uv)
+        dp_du = sel(m, du, dp_du)
+        dp_dv = sel(m, dv, dp_dv)
+
+    if geo.cyl_shape.shape[0] > 0:
+        m = (family == FAMILY_CYLINDER) & valid
+        tw = jax.tree_util.tree_map(lambda a: a[pi.prim_index], geo.cyl_to_world)
+        inv = tw.inverse()
+        tc = jax.lax.stop_gradient(pi.t)
+        p_l = inv.transform_affine_point(ray.at(tc))
+        n_l = jnp.concatenate([p_l[..., :2], jnp.zeros_like(p_l[..., :1])], -1)
+        nc = normalize(tw.transform_normal(n_l))
+        phi = jnp.arctan2(p_l[..., 1], p_l[..., 0])
+        phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+        L = geo.cyl_length[pi.prim_index]
+        uvc = jnp.stack([phi / (2 * jnp.pi), p_l[..., 2] / jnp.maximum(L, 1e-9)], -1)
+        pc = ray.at(tc)
+        t = sel(m, tc, t)
+        p = sel(m, pc, p)
+        n = sel(m, nc, n)
+        sh_n = sel(m, nc, sh_n)
+        uv = sel(m, uvc, uv)
+        du = tw.transform_vector(jnp.stack([-jnp.sin(phi), jnp.cos(phi),
+                                            jnp.zeros_like(phi)], -1))
+        dp_du = sel(m, du, dp_du)
+        dp_dv = sel(m, cross(nc, du), dp_dv)
+
+    # orient the *geometric* normal to the hemisphere of -ray.d? No: the
+    # reference keeps geometric normals as authored; BSDF sidedness uses
+    # Frame(sh_n).  The shading frame:
+    sh_frame = Frame.from_normal(sh_n)
+    wi = sh_frame.to_local(-ray.d)
+    return SurfaceInteraction(
+        t=t, p=p, n=n, sh_frame=sh_frame, uv=uv, dp_du=dp_du, dp_dv=dp_dv,
+        wi=wi, wavelengths=ray.wavelengths, time=ray.time,
+        prim_index=pi.prim_index, shape_index=pi.shape_index)
+
+
+def ray_intersect(geo: Geometry, ray: Ray) -> SurfaceInteraction:
+    pi = ray_intersect_preliminary(geo, jax.lax.stop_gradient(ray))
+    pi = jax.lax.stop_gradient(pi)
+    return compute_surface_interaction(geo, ray, pi)

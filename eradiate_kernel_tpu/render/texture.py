@@ -1,0 +1,197 @@
+"""Spectra and textures: the value-providers for all scene parameters.
+
+Design: the reference's ``Texture`` plugin tree (texture.h:23-201, src/spectra,
+src/textures) becomes two flat SoA registries dispatched by masked sweeps over
+the (static) set of kinds present in the scene — the TPU analog of Enoki's
+vectorized vtables (SURVEY §5.9):
+
+  - the *spectrum registry* maps wavelengths -> scalar value per object. In
+    rgb/mono variants every spectrum is baked at scene-build time into a
+    'baked' kind holding (n, nc) constants (the reference likewise collapses
+    spectra to RGB in non-spectral variants via spectrum_to_rgb / srgb model).
+  - the *texture registry* maps a SurfaceInteraction -> (..., nc) value, and
+    bottoms out in spectrum lookups ('constant') or image data ('bitmap',
+    'checkerboard').
+
+Parameter refs inside other registries are plain int32 indices into these.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import spectrum as sp
+
+
+# =============================================================================
+# Spectrum registry
+# =============================================================================
+#
+# scene.spectra: dict kind -> dict of arrays. Global spectrum index i maps to
+# (spec_kind[i], spec_slot[i]). Kind parameter layouts:
+#   'baked':     value (n, nc)                              [rgb/mono variants]
+#   'uniform':   value (n,)                                 [uniform.cpp:35-48]
+#   'regular':   values (n, K) padded, lo (n,), hi (n,), count (n,)
+#                                                           [regular.cpp:21-51]
+#   'irregular': nodes (n, K), values (n, K), count (n,)    [irregular.cpp]
+#   'srgb':      rgb (n, 3) — smooth spectral upsampling    [srgb.cpp:14-37]
+#   'blackbody': temperature (n,), scale (n,)               [blackbody.cpp]
+#   'd65':       scale (n,)                                 [d65.cpp]
+
+
+def spectrum_eval(spectra: dict, spec_kind, spec_slot, kinds: tuple,
+                  wavelengths, n_channels: int):
+    """Evaluate spectrum objects for each lane.
+
+    spec_kind/spec_slot: (...,) i32 per lane; wavelengths: (..., nw) (ignored
+    for baked kinds). Returns (..., nc) with nc = n_channels (color modes) or
+    nw (spectral mode).
+    """
+    if "baked" in kinds and len(kinds) == 1:
+        vals = spectra["baked"]["value"]
+        return vals[spec_slot]
+
+    out_w = wavelengths.shape[-1]
+    out = jnp.zeros(spec_kind.shape + (out_w,))
+    for k, kind in enumerate(kinds):
+        m = (spec_kind == k)
+        p = spectra[kind]
+        if kind == "baked":
+            v = jnp.broadcast_to(p["value"][spec_slot], out.shape)
+        elif kind == "uniform":
+            v = jnp.broadcast_to(p["value"][spec_slot][..., None], out.shape)
+        elif kind == "regular":
+            lo = p["lo"][spec_slot][..., None]
+            hi = p["hi"][spec_slot][..., None]
+            vals = p["values"][spec_slot]  # (..., K)
+            K = vals.shape[-1]
+            cnt = p["count"][spec_slot][..., None]
+            t = (wavelengths - lo) / jnp.maximum(hi - lo, 1e-9) * (cnt - 1)
+            i0 = jnp.clip(t.astype(jnp.int32), 0, K - 2)
+            i0 = jnp.minimum(i0, jnp.maximum(cnt - 2, 0))
+            f = jnp.clip(t - i0, 0.0, 1.0)
+            v0 = jnp.take_along_axis(vals, i0, axis=-1)
+            v1 = jnp.take_along_axis(vals, jnp.minimum(i0 + 1, K - 1), axis=-1)
+            v = v0 * (1 - f) + v1 * f
+            inside = (wavelengths >= lo) & (wavelengths <= hi)
+            v = jnp.where(inside, v, 0.0)
+        elif kind == "irregular":
+            nodes = p["nodes"][spec_slot]   # (..., K)
+            vals = p["values"][spec_slot]
+            K = vals.shape[-1]
+            cnt = p["count"][spec_slot][..., None]
+            idx = jnp.clip(
+                jnp.sum((wavelengths[..., None, :] >= nodes[..., :, None]).astype(jnp.int32),
+                        axis=-2) - 1, 0, K - 2)
+            idx = jnp.minimum(idx, jnp.maximum(cnt - 2, 0))
+            x0 = jnp.take_along_axis(nodes, idx, -1)
+            x1 = jnp.take_along_axis(nodes, idx + 1, -1)
+            y0 = jnp.take_along_axis(vals, idx, -1)
+            y1 = jnp.take_along_axis(vals, idx + 1, -1)
+            f = jnp.clip((wavelengths - x0) / jnp.maximum(x1 - x0, 1e-9), 0, 1)
+            v = y0 * (1 - f) + y1 * f
+            last = jnp.take_along_axis(nodes, jnp.maximum(cnt - 1, 0), -1)
+            inside = (wavelengths >= nodes[..., :1]) & (wavelengths <= last)
+            v = jnp.where(inside, v, 0.0)
+        elif kind == "srgb":
+            coeff = p["coeff"][spec_slot]  # (..., 3) sigmoid-polynomial coeffs
+            v = srgb_model_eval(coeff, wavelengths)
+        elif kind == "blackbody":
+            T = p["temperature"][spec_slot][..., None]
+            s = p["scale"][spec_slot][..., None]
+            v = sp.blackbody_radiance(wavelengths, T) * s
+        elif kind == "d65":
+            s = p["scale"][spec_slot][..., None]
+            v = d65_approx(wavelengths) * s
+        else:
+            raise ValueError(f"unknown spectrum kind {kind}")
+        out = jnp.where(m[..., None], v, out)
+    return out
+
+
+def srgb_model_eval(coeff, wavelengths):
+    """Sigmoid-polynomial reflectance model (reference: srgb.h:9-21,
+    Jakob & Hanika 2019). coeff: (..., 3); wavelengths nm."""
+    x = coeff[..., 0:1] * wavelengths ** 2 + coeff[..., 1:2] * wavelengths + coeff[..., 2:3]
+    return 0.5 * x / jnp.sqrt(1.0 + x * x) + 0.5
+
+
+def d65_approx(wavelengths):
+    """CIE D65 daylight illuminant, normalized to ~1 luminance scale.
+
+    Analytic approximation: blackbody at 6504 K rescaled to unit mean over
+    the visible range (the real D65 table can be swapped in later; emitters
+    normalize against luminance so smooth errors are small)."""
+    bb = sp.blackbody_radiance(wavelengths, 6504.0)
+    bb_mean = sp.blackbody_radiance(jnp.asarray(560.0), 6504.0)
+    return bb / bb_mean
+
+
+# =============================================================================
+# Texture registry
+# =============================================================================
+#
+# scene.textures: dict kind -> params; tex_kind/tex_slot (n_textures,) tables.
+# Kind layouts:
+#   'constant':     spec (n,) i32 spectrum index
+#   'checkerboard': spec0 (n,) i32, spec1 (n,) i32, scale_u, scale_v (later)
+#   'bitmap':       data (n, H, W, C) padded, spec of nothing; raw rgb
+
+
+def texture_eval(scene, tex_index, si_uv, wavelengths, active=True):
+    """Evaluate texture objects per lane -> (..., nc)."""
+    cfg = scene.config
+    kinds = cfg.texture_kinds
+    tex_kind = scene.tex_kind[tex_index]
+    tex_slot = scene.tex_slot[tex_index]
+    nc = wavelengths.shape[-1] if cfg.variant.is_spectral else cfg.variant.n_channels
+    out = jnp.zeros(tex_kind.shape + (nc,))
+
+    def spec_eval(spec_idx):
+        return spectrum_eval(scene.spectra, scene.spec_kind[spec_idx],
+                             scene.spec_slot[spec_idx], cfg.spectrum_kinds,
+                             wavelengths, cfg.variant.n_channels)
+
+    for k, kind in enumerate(kinds):
+        m = (tex_kind == k)
+        p = scene.textures[kind]
+        if kind == "constant":
+            v = spec_eval(p["spec"][tex_slot])
+        elif kind == "checkerboard":
+            iu = jnp.floor(si_uv[..., 0] * 2.0).astype(jnp.int32)
+            iv = jnp.floor(si_uv[..., 1] * 2.0).astype(jnp.int32)
+            odd = ((iu + iv) & 1) == 1
+            v0 = spec_eval(p["spec0"][tex_slot])
+            v1 = spec_eval(p["spec1"][tex_slot])
+            v = jnp.where(odd[..., None], v1, v0)
+        elif kind == "bitmap":
+            data = scene.bitmap_data  # (n_bitmaps, H, W, 3)
+            img = p["image"][tex_slot]  # index into bitmap_data
+            H, W = data.shape[1], data.shape[2]
+            u = jnp.clip(si_uv[..., 0], 0.0, 1.0 - 1e-6) * (W - 1)
+            v_ = jnp.clip(si_uv[..., 1], 0.0, 1.0 - 1e-6) * (H - 1)
+            x0 = u.astype(jnp.int32)
+            y0 = v_.astype(jnp.int32)
+            fx = (u - x0)[..., None]
+            fy = (v_ - y0)[..., None]
+            x1 = jnp.minimum(x0 + 1, W - 1)
+            y1 = jnp.minimum(y0 + 1, H - 1)
+            c00 = data[img, y0, x0]
+            c01 = data[img, y0, x1]
+            c10 = data[img, y1, x0]
+            c11 = data[img, y1, x1]
+            rgb = (c00 * (1 - fx) * (1 - fy) + c01 * fx * (1 - fy)
+                   + c10 * (1 - fx) * fy + c11 * fx * fy)
+            if cfg.variant.is_spectral:
+                # cheap on-the-fly upsampling: treat rgb as smooth reflectance
+                # via per-lane sigmoid fit is future work; broadcast luminance
+                v = jnp.mean(rgb, axis=-1, keepdims=True) * jnp.ones((1,) * (rgb.ndim - 1) + (nc,))
+            elif cfg.variant.is_monochromatic:
+                v = jnp.mean(rgb, axis=-1, keepdims=True)
+            else:
+                v = rgb
+        else:
+            raise ValueError(f"unknown texture kind {kind}")
+        out = jnp.where(m[..., None], v, out)
+    return out
