@@ -18,6 +18,7 @@ All ops are uint32 adds/xors/rotates: fully vectorized VPU work.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from .types import pytree_dataclass
 
@@ -57,10 +58,13 @@ def uint32_to_uniform(bits):
     return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
 
 
-def hash_seed(seed: int):
-    """Mix a python int seed into a (k0, k1) pair of uint32."""
-    s = int(seed) & 0xFFFFFFFFFFFFFFFF
-    return jnp.uint32(s & 0xFFFFFFFF), jnp.uint32((s >> 32) & 0xFFFFFFFF)
+def hash_seed(seed):
+    """Mix a seed (python int or traced scalar) into a (k0, k1) uint32 pair."""
+    if isinstance(seed, (int, np.integer)):
+        s = int(seed) & 0xFFFFFFFFFFFFFFFF
+        return jnp.uint32(s & 0xFFFFFFFF), jnp.uint32((s >> 32) & 0xFFFFFFFF)
+    s = jnp.asarray(seed)
+    return s.astype(jnp.uint32), jnp.zeros((), jnp.uint32)
 
 
 @pytree_dataclass

@@ -1,0 +1,67 @@
+"""Film and image-block accumulation.
+
+Counterparts of include/mitsuba/render/{film,imageblock}.h and
+src/films/hdrfilm.cpp. The film is an (H, W, C) array with channels
+[X, Y, Z, A, W] (+ AOVs later); ``film_put`` splats sample values into the
+reconstruction-filter footprint with a deterministic scatter-add
+(imageblock.cpp:80-170 — the GPU path's scatter_add, :159), and ``develop``
+divides out the accumulated filter weight and converts XYZ to the output
+color space (hdrfilm.cpp:97-160).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..rfilters import eval_filter, filter_radius
+
+N_BASE_CHANNELS = 5  # X, Y, Z, A, W
+
+
+def film_put(image, pos, values, rfilter_kind: str, rfilter_params=None):
+    """Splat samples into the film.
+
+    image: (H, W, C); pos: (N, 2) continuous pixel coords (x, y) in
+    [0,W)x[0,H); values: (N, C). Returns updated image. The filter footprint
+    is static: ceil(2*radius) taps per axis (imageblock.cpp border logic).
+    """
+    H, W, C = image.shape
+    radius = filter_radius(rfilter_kind, rfilter_params)
+    if radius <= 0.5 + 1e-6:
+        # single-pixel fast path (imageblock.cpp <=0.5-radius special case)
+        px = jnp.clip(pos[:, 0].astype(jnp.int32), 0, W - 1)
+        py = jnp.clip(pos[:, 1].astype(jnp.int32), 0, H - 1)
+        return image.at[py, px].add(values)
+
+    n = int(2 * radius + 0.999) + 1
+    # lowest tap index: floor(pos - radius + 0.5) in pixel-index space
+    base_x = jnp.floor(pos[:, 0] - radius + 0.5).astype(jnp.int32)
+    base_y = jnp.floor(pos[:, 1] - radius + 0.5).astype(jnp.int32)
+    for dy in range(n):
+        tap_y = base_y + dy
+        wy = eval_filter(rfilter_kind, (tap_y.astype(jnp.float32) + 0.5) - pos[:, 1],
+                         rfilter_params)
+        iy = jnp.clip(tap_y, 0, H - 1)
+        ok_y = (tap_y >= 0) & (tap_y < H)
+        for dx in range(n):
+            tap_x = base_x + dx
+            wx = eval_filter(rfilter_kind,
+                             (tap_x.astype(jnp.float32) + 0.5) - pos[:, 0],
+                             rfilter_params)
+            ix = jnp.clip(tap_x, 0, W - 1)
+            ok = ok_y & (tap_x >= 0) & (tap_x < W)
+            w = jnp.where(ok, wx * wy, 0.0)
+            image = image.at[iy, ix].add(values * w[:, None])
+    return image
+
+
+def develop(image, mode: str = "rgb"):
+    """Weight-divide and convert (hdrfilm.cpp develop). Returns (H, W, 3)
+    linear sRGB for rgb/spectral modes or (H, W, 1) luminance for mono."""
+    from ..core.spectrum import xyz_to_srgb
+
+    w = jnp.maximum(image[..., 4:5], 1e-12)
+    xyz = image[..., 0:3] / w
+    if mode == "mono":
+        return xyz[..., 1:2]
+    return xyz_to_srgb(xyz)

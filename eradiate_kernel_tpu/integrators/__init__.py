@@ -1,0 +1,109 @@
+"""Integrator registry + the wavefront render driver.
+
+Counterpart of SamplingIntegrator::render (src/librender/integrator.cpp):
+the GPU wavefront branch (integrator.cpp:140-172) is the design template —
+idx -> pixel mapping over the whole film x spp wavefront, multi-pass
+accumulation via ``samples_per_pass``, XYZAW film accumulation
+(integrator.cpp:233-288).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import spectrum as sp
+from ..core.rng import Sampler
+from .. import sensors
+from ..films import N_BASE_CHANNELS, develop, film_put
+from . import depth, direct, path, volpath
+
+REGISTRY = {
+    "path": path,
+    "direct": direct,
+    "depth": depth,
+    "volpath": volpath,
+}
+
+
+def register_integrator(name, module):
+    """User-defined integrators: any module/namespace with
+    sample(scene, sampler, ray, active) -> (spec, valid, sampler) — the
+    analog of the reference's Python trampoline integrators
+    (integrator_v.cpp:24-122)."""
+    REGISTRY[name] = module
+
+
+def render_wavefront(scene, lane_offset, n_lanes, seed, spp):
+    """Render one pass of ``n_lanes`` samples starting at global sample index
+    ``lane_offset``; returns the partial film (H, W, C). Lanes beyond the
+    total wavefront (pad lanes under sharding) are masked out."""
+    cfg = scene.config
+    H, W = cfg.film_height, cfg.film_width
+    total = H * W * spp
+
+    lane = lane_offset + jnp.arange(n_lanes, dtype=jnp.uint32)
+    lane_ok = lane < total
+    lane = jnp.minimum(lane, total - 1)
+    pixel = (lane // spp).astype(jnp.uint32)
+    px = (pixel % W).astype(jnp.float32)
+    py = (pixel // W).astype(jnp.float32)
+
+    sampler = Sampler.seed(seed, lane)
+    sampler, jitter = sampler.next_2d()
+    pos = jnp.stack([px, py], -1) + jitter  # continuous pixel coords
+    pos_film = pos / jnp.asarray([W, H], jnp.float32)
+
+    sampler, s_wav = sampler.next_1d()
+    sampler, s_ap = sampler.next_2d()
+    time = jnp.zeros(n_lanes)
+    ray, ray_weight = sensors.sample_ray(scene, pos_film, s_ap, time, s_wav)
+
+    integrator = REGISTRY[cfg.integrator.kind]
+    spec, valid, sampler = integrator.sample(scene, sampler, ray)
+    spec = spec * ray_weight
+
+    if cfg.variant.is_spectral:
+        xyz = sp.spectrum_to_xyz(spec, ray.wavelengths)
+    elif cfg.variant.is_monochromatic:
+        xyz = jnp.repeat(spec, 3, axis=-1)
+    else:
+        xyz = sp.srgb_to_xyz(spec)
+
+    values = jnp.concatenate([
+        xyz,
+        jnp.where(valid, 1.0, 0.0)[..., None],
+        jnp.ones((n_lanes, 1)),
+    ], axis=-1)
+    values = jnp.where(lane_ok[..., None], values, 0.0)
+
+    image = jnp.zeros((H, W, N_BASE_CHANNELS))
+    rp = dict(cfg.rfilter_params)
+    image = film_put(image, pos, values, cfg.rfilter, rp)
+    return image
+
+
+def render(scene, seed=0, spp=None, samples_per_pass=None, develop_film=True):
+    """Full render: multi-pass wavefront accumulation (integrator.cpp:59-65).
+
+    Returns the developed image (H, W, 3|1) or the raw film if
+    ``develop_film=False``.
+    """
+    cfg = scene.config
+    spp = spp or cfg.spp
+    H, W = cfg.film_height, cfg.film_width
+    total = H * W * spp
+    if samples_per_pass is None:
+        samples_per_pass = min(total, 1 << 22)
+    n_passes = -(-total // samples_per_pass)
+
+    film = jnp.zeros((H, W, N_BASE_CHANNELS))
+    run = jax.jit(render_wavefront, static_argnames=("n_lanes", "spp"))
+    for p in range(n_passes):
+        off = p * samples_per_pass
+        n = min(samples_per_pass, total - off)
+        film = film + run(scene, jnp.uint32(off), n, seed, spp)
+    if develop_film:
+        mode = "mono" if cfg.variant.is_monochromatic else "rgb"
+        return develop(film, mode)
+    return film

@@ -1,0 +1,169 @@
+"""Participating media (counterparts of include/mitsuba/render/medium.h,
+src/media/{homogeneous,heterogeneous}.cpp).
+
+Medium registry kinds:
+  'homogeneous':   sigma_t (spec idx), albedo (spec idx), scale (f32)
+  'heterogeneous': sigma_t_vol (volume idx), albedo_vol (volume idx),
+                   scale (f32), majorant (f32 = scale * sigma_t_vol.max(),
+                   heterogeneous.cpp:29), w2l_m/w2l_it (4,4) local unit-cube
+                   bounds for intersect_aabb (medium.h:16-29)
+
+Free-flight sampling is the reference's single-majorant scheme
+(medium.cpp:36-77): t = mint - log(1-xi)/majorant[channel]; scattering
+coefficients are (sigma_s, sigma_n, sigma_t) with sigma_n = majorant - sigma_t
+(heterogeneous.cpp:41-49).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.bbox import ray_intersect_aabb
+from ..core.transform import Transform
+from ..core.types import pytree_dataclass
+from ..render.texture import spectrum_eval
+from ..textures.volumes import volume_eval
+
+
+@pytree_dataclass
+class MediumInteraction:
+    """interaction.h:368-401 MediumInteraction3f (SoA)."""
+
+    t: jnp.ndarray        # (...,) inf if no medium interaction
+    p: jnp.ndarray        # (..., 3)
+    mint: jnp.ndarray     # (...,)
+    sigma_s: jnp.ndarray  # (..., nc)
+    sigma_n: jnp.ndarray  # (..., nc)
+    sigma_t: jnp.ndarray  # (..., nc)
+    combined_extinction: jnp.ndarray  # (..., nc)
+
+    @property
+    def is_valid(self):
+        return jnp.isfinite(self.t)
+
+
+def _spec(scene, spec_idx, wavelengths):
+    return spectrum_eval(scene.spectra, scene.spec_kind[spec_idx],
+                         scene.spec_slot[spec_idx],
+                         scene.config.spectrum_kinds, wavelengths,
+                         scene.config.variant.n_channels)
+
+
+def medium_intersect_bounds(scene, medium_idx, ray, active):
+    """(seg_valid, mint, maxt) clipped to the ray bounds (medium.cpp:48-55)."""
+    cfg = scene.config
+    kind = scene.medium_kind[medium_idx]
+    slot = scene.medium_slot[medium_idx]
+    mint = jnp.broadcast_to(ray.mint, ray.mint.shape)
+    maxt = jnp.broadcast_to(ray.maxt, ray.maxt.shape)
+    ok = jnp.ones(ray.mint.shape, bool)
+    for k, kname in enumerate(cfg.medium_kinds):
+        m = kind == k
+        if kname == "homogeneous":
+            continue  # infinite extent: keep ray bounds
+        if kname == "heterogeneous":
+            p = scene.media["heterogeneous"]
+            w2l = Transform(m=p["w2l_m"][slot], inv_t=p["w2l_it"][slot])
+            o_l = w2l.transform_affine_point(ray.o)
+            d_l = w2l.transform_vector(ray.d)
+            d_rcp = 1.0 / jnp.where(jnp.abs(d_l) < 1e-12,
+                                    jnp.where(d_l < 0, -1e-12, 1e-12), d_l)
+            hit, near, far = ray_intersect_aabb(
+                jnp.zeros(3), jnp.ones(3), o_l, d_rcp, ray.mint, ray.maxt)
+            mint = jnp.where(m, jnp.maximum(ray.mint, near), mint)
+            maxt = jnp.where(m, jnp.minimum(ray.maxt, far), maxt)
+            ok = jnp.where(m, hit, ok)
+    return ok & active, mint, maxt
+
+
+def medium_combined_extinction(scene, medium_idx, p, wavelengths):
+    """Majorant (per channel) at/for the medium (get_combined_extinction)."""
+    cfg = scene.config
+    kind = scene.medium_kind[medium_idx]
+    slot = scene.medium_slot[medium_idx]
+    nc = wavelengths.shape[-1] if cfg.variant.is_spectral else cfg.variant.n_channels
+    out = jnp.ones(medium_idx.shape + (nc,))
+    for k, kname in enumerate(cfg.medium_kinds):
+        m = kind == k
+        params = scene.media[kname]
+        if kname == "homogeneous":
+            v = _spec(scene, params["sigma_t"][slot], wavelengths) \
+                * params["scale"][slot][..., None]
+        elif kname == "heterogeneous":
+            v = jnp.broadcast_to(params["majorant"][slot][..., None],
+                                 medium_idx.shape + (nc,))
+        else:
+            raise ValueError(kname)
+        out = jnp.where(m[..., None], v, out)
+    return jnp.maximum(out, 1e-8)
+
+
+def medium_scattering_coefficients(scene, medium_idx, p, wavelengths):
+    """(sigma_s, sigma_n, sigma_t) at world point p."""
+    cfg = scene.config
+    kind = scene.medium_kind[medium_idx]
+    slot = scene.medium_slot[medium_idx]
+    nc = wavelengths.shape[-1] if cfg.variant.is_spectral else cfg.variant.n_channels
+    sigma_s = jnp.zeros(medium_idx.shape + (nc,))
+    sigma_t = jnp.zeros(medium_idx.shape + (nc,))
+    majorant = medium_combined_extinction(scene, medium_idx, p, wavelengths)
+    for k, kname in enumerate(cfg.medium_kinds):
+        m = kind == k
+        params = scene.media[kname]
+        if kname == "homogeneous":
+            st = _spec(scene, params["sigma_t"][slot], wavelengths) \
+                * params["scale"][slot][..., None]
+            al = _spec(scene, params["albedo"][slot], wavelengths)
+        elif kname == "heterogeneous":
+            st = volume_eval(scene, params["sigma_t_vol"][slot], p, wavelengths) \
+                * params["scale"][slot][..., None]
+            al = volume_eval(scene, params["albedo_vol"][slot], p, wavelengths)
+        else:
+            raise ValueError(kname)
+        sigma_t = jnp.where(m[..., None], st, sigma_t)
+        sigma_s = jnp.where(m[..., None], st * al, sigma_s)
+    sigma_n = jnp.maximum(majorant - sigma_t, 0.0)
+    return sigma_s, sigma_n, sigma_t
+
+
+def medium_is_homogeneous(scene, medium_idx):
+    cfg = scene.config
+    kind = scene.medium_kind[medium_idx]
+    out = jnp.zeros(medium_idx.shape, bool)
+    for k, kname in enumerate(cfg.medium_kinds):
+        if kname == "homogeneous":
+            out = out | (kind == k)
+    return out
+
+
+def sample_interaction(scene, medium_idx, ray, sample, channel, active):
+    """Medium::sample_interaction (medium.cpp:36-77). medium_idx: (...,) i32
+    (clamped >= 0 by caller; ``active`` must exclude vacuum lanes)."""
+    seg_ok, mint, maxt = medium_intersect_bounds(scene, medium_idx, ray, active)
+    mint = jnp.where(seg_ok, jnp.maximum(mint, 0.0), 0.0)
+    maxt = jnp.where(seg_ok, maxt, jnp.inf)
+
+    combined = medium_combined_extinction(scene, medium_idx, ray.o, ray.wavelengths)
+    nc = combined.shape[-1]
+    ch = jnp.clip(channel, 0, nc - 1)
+    m = jnp.take_along_axis(combined, ch[..., None], -1)[..., 0]
+
+    sampled_t = mint - jnp.log1p(-sample) / m
+    valid_mi = seg_ok & (sampled_t <= maxt)
+    t = jnp.where(valid_mi, sampled_t, jnp.inf)
+    p = ray.at(sampled_t)
+    sigma_s, sigma_n, sigma_t = medium_scattering_coefficients(
+        scene, medium_idx, p, ray.wavelengths)
+    return MediumInteraction(
+        t=t, p=p, mint=mint, sigma_s=sigma_s, sigma_n=sigma_n,
+        sigma_t=sigma_t, combined_extinction=combined)
+
+
+def eval_tr_and_pdf(mi: MediumInteraction, si_t):
+    """Medium::eval_tr_and_pdf (medium.cpp:80-91)."""
+    t = jnp.minimum(mi.t, si_t) - mi.mint
+    tr = jnp.exp(-t[..., None] * mi.combined_extinction)
+    pdf = jnp.where((si_t < mi.t)[..., None], tr,
+                    tr * mi.combined_extinction)
+    return tr, pdf

@@ -1,0 +1,141 @@
+"""Phase functions (counterparts of src/phase/*.cpp).
+
+Conventions follow the reference exactly (hg.cpp:52-80): directions are
+sampled in a frame whose +z is the propagation direction ``ray.d``; ``eval``
+takes (wi, wo) with wi = -ray.d and returns the pdf (= the phase value; all
+phase functions here are normalized pdfs over the sphere).
+
+Registry kinds:
+  'isotropic': {}                            (isotropic.cpp)
+  'hg':        g (n,)                        (hg.cpp:43-66)
+  'rayleigh':  {}                            (rayleigh.cpp:42-67, exact cubic)
+  'tabphase':  nodes (n, K), values (n, K), cdf (n, K-1), integral (n,),
+               count (n,) — tabulated in cos_theta (tabphase.cpp:17-46)
+  'blendphase': weight (n,), phase_a (n,), phase_b (n,) nested indices
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.frame import Frame
+from ..core.math import dot, safe_sqrt
+
+INV_FOUR_PI = 1.0 / (4.0 * jnp.pi)
+
+
+def _hg(cos_theta, g):
+    temp = 1.0 + g * g + 2.0 * g * cos_theta
+    return INV_FOUR_PI * (1.0 - g * g) / jnp.maximum(temp * safe_sqrt(temp), 1e-12)
+
+
+def _rayleigh(cos_theta):
+    return (3.0 / 16.0) / jnp.pi * (1.0 + cos_theta * cos_theta)
+
+
+def _tab_eval(params, slot, cos_theta):
+    """Linear interp of the tabulated phase over cos_theta, normalized so the
+    sphere integral is 1: value = f(cos)/ (2*pi*integral)."""
+    nodes = params["nodes"][slot]   # (..., K)
+    vals = params["values"][slot]
+    K = vals.shape[-1]
+    cnt = params["count"][slot]
+    x = cos_theta[..., None]
+    idx = jnp.clip(jnp.sum((x >= nodes).astype(jnp.int32), -1) - 1, 0, K - 2)
+    idx = jnp.minimum(idx, jnp.maximum(cnt - 2, 0))
+    x0 = jnp.take_along_axis(nodes, idx[..., None], -1)[..., 0]
+    x1 = jnp.take_along_axis(nodes, (idx + 1)[..., None], -1)[..., 0]
+    y0 = jnp.take_along_axis(vals, idx[..., None], -1)[..., 0]
+    y1 = jnp.take_along_axis(vals, (idx + 1)[..., None], -1)[..., 0]
+    f = jnp.clip((cos_theta - x0) / jnp.maximum(x1 - x0, 1e-9), 0.0, 1.0)
+    v = y0 * (1 - f) + y1 * f
+    return v / jnp.maximum(2.0 * jnp.pi * params["integral"][slot], 1e-12)
+
+
+def _sample_cos_theta(kind, params, slot, s1):
+    """Inverse-CDF sample of cos(theta) between wo and +z(=ray.d) per kind."""
+    if kind == "isotropic":
+        return 1.0 - 2.0 * s1
+    if kind == "hg":
+        g = params["g"][slot]
+        safe_g = jnp.where(jnp.abs(g) < 1e-4, 1e-4, g)
+        sqr_term = (1.0 - g * g) / (1.0 - g + 2.0 * g * s1)
+        ct = (1.0 + g * g - sqr_term * sqr_term) / (2.0 * safe_g)
+        return jnp.where(jnp.abs(g) < 1e-4, 1.0 - 2.0 * s1, ct)
+    if kind == "rayleigh":
+        z = 2.0 * (2.0 * s1 - 1.0)
+        tmp = jnp.sqrt(z * z + 1.0)
+        A = jnp.cbrt(z + tmp)
+        B = jnp.cbrt(z - tmp)
+        return jnp.clip(A + B, -1.0, 1.0)
+    if kind == "tabphase":
+        # inverse CDF over the tabulated pdf in cos_theta
+        cdf = params["cdf"][slot]       # (..., K-1) cumulative, unnormalized
+        nodes = params["nodes"][slot]
+        vals = params["values"][slot]
+        K = nodes.shape[-1]
+        total = params["integral"][slot]
+        u = s1 * total
+        seg = jnp.clip(jnp.sum((u[..., None] >= cdf).astype(jnp.int32), -1),
+                       0, K - 2)
+        cdf_lo = jnp.where(seg > 0,
+                           jnp.take_along_axis(cdf, jnp.maximum(seg - 1, 0)[..., None], -1)[..., 0],
+                           0.0)
+        u_loc = u - cdf_lo
+        x0 = jnp.take_along_axis(nodes, seg[..., None], -1)[..., 0]
+        x1 = jnp.take_along_axis(nodes, (seg + 1)[..., None], -1)[..., 0]
+        y0 = jnp.take_along_axis(vals, seg[..., None], -1)[..., 0]
+        y1 = jnp.take_along_axis(vals, (seg + 1)[..., None], -1)[..., 0]
+        dx = jnp.maximum(x1 - x0, 1e-9)
+        slope = (y1 - y0) / dx
+        disc = jnp.maximum(y0 * y0 + 2.0 * slope * u_loc, 0.0)
+        tq = 2.0 * u_loc / jnp.maximum(y0 + jnp.sqrt(disc), 1e-12)
+        t_lin = u_loc / jnp.maximum(y0, 1e-12)
+        t = jnp.where(jnp.abs(slope) * dx < 1e-9 * jnp.maximum(y0, 1e-9),
+                      t_lin, tq)
+        return jnp.clip(x0 + jnp.clip(t, 0.0, dx), -1.0, 1.0)
+    raise ValueError(kind)
+
+
+def phase_eval(scene, phase_idx, wi, wo, active=True):
+    """Phase value (= pdf) for (wi, wo) world directions; wi = -ray.d."""
+    cfg = scene.config
+    kind = scene.phase_kind[phase_idx]
+    slot = scene.phase_slot[phase_idx]
+    ct = dot(wi, wo)  # eval_hg(dot(wi, wo)) convention (hg.cpp:80-86)
+    out = jnp.zeros(ct.shape)
+    for k, kname in enumerate(cfg.phase_kinds):
+        m = kind == k
+        params = scene.phases[kname]
+        if kname == "isotropic":
+            v = jnp.full(ct.shape, INV_FOUR_PI)
+        elif kname == "hg":
+            v = _hg(ct, params["g"][slot])
+        elif kname == "rayleigh":
+            v = _rayleigh(ct)
+        elif kname == "tabphase":
+            # tabulated over the scattering angle: cos = dot(ray.d, wo) = -ct
+            v = _tab_eval(params, slot, -ct)
+        else:
+            raise ValueError(kname)
+        out = jnp.where(m, v, out)
+    return jnp.where(active, out, 0.0)
+
+
+def phase_sample(scene, phase_idx, ray_d, s1, s2, active=True):
+    """Sample wo (world); returns (wo, pdf). Frame +z = ray.d (hg.cpp:57-76)."""
+    cfg = scene.config
+    kind = scene.phase_kind[phase_idx]
+    slot = scene.phase_slot[phase_idx]
+    ct = jnp.zeros(s1.shape)
+    for k, kname in enumerate(cfg.phase_kinds):
+        m = kind == k
+        params = scene.phases[kname]
+        ct = jnp.where(m, _sample_cos_theta(kname, params, slot, s1), ct)
+    st = safe_sqrt(1.0 - ct * ct)
+    phi = 2.0 * jnp.pi * s2[..., 1]
+    wo_local = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], -1)
+    frame = Frame.from_normal(ray_d)
+    wo = frame.to_world(wo_local)
+    pdf = phase_eval(scene, phase_idx, -ray_d, wo, active)
+    return wo, pdf

@@ -1,0 +1,740 @@
+"""Dict-based scene construction — the ``load_dict`` analog.
+
+Mirrors the semantics of the reference's Python dict loader
+(src/libcore/python/xml_v.cpp:100-226): a nested dict of plugin descriptions
+keyed by ``type`` strings (Appendix registry in SURVEY.md), with named
+references ``{'type': 'ref', 'id': ...}``. Construction is host-side numpy;
+the result is a frozen Scene pytree of device arrays + static config.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import spectrum as sp
+from ..core.transform import Transform, as_transform
+from ..core.types import Variant
+from ..render.geometry import (FAMILY_CYLINDER, FAMILY_DISK, FAMILY_MESH,
+                               FAMILY_RECT, FAMILY_SPHERE, Geometry)
+from .scene import IntegratorConfig, Scene, SceneConfig
+
+_SHAPE_TYPES = ("rectangle", "disk", "sphere", "cylinder", "cube", "mesh",
+                "obj", "ply")
+_EMITTER_SCENE_TYPES = ("constant", "point", "directional")
+_SENSOR_TYPES = ("perspective", "thinlens", "radiancemeter")
+
+
+def _cie_rgb_of_spectrum(eval_fn, emitter: bool) -> np.ndarray:
+    """Bake a spectrum (callable wavelength->value) to linear sRGB by CIE
+    integration — what the reference does for spectra in rgb variants
+    (spectrum.cpp spectrum_to_rgb). Reflectance spectra are weighted by the
+    D65 illuminant (bounded=True path)."""
+    lam = np.linspace(sp.CIE_MIN, sp.CIE_MAX, 471)
+    vals = np.asarray(eval_fn(lam), np.float64)
+    cie = np.asarray(sp.cie1931_xyz(jnp.asarray(lam, jnp.float32)), np.float64)
+    if emitter:
+        xyz = np.trapezoid(vals[:, None] * cie, lam, axis=0)
+    else:
+        from ..render.texture import d65_approx
+        d65 = np.asarray(d65_approx(jnp.asarray(lam, jnp.float32)), np.float64)
+        denom = np.trapezoid(d65 * cie[:, 1], lam)
+        xyz = np.trapezoid(vals[:, None] * d65[:, None] * cie, lam, axis=0) / denom
+    rgb = np.asarray(sp.xyz_to_srgb(jnp.asarray(xyz[None], jnp.float32)))[0]
+    return np.maximum(rgb, 0.0)
+
+
+def _srgb_const_coeff(l):
+    """Sigmoid-polynomial coeffs (0, 0, c) giving a flat reflectance l."""
+    l = float(np.clip(l, 1e-4, 1.0 - 1e-4))
+    y = 2.0 * l - 1.0
+    return np.array([0.0, 0.0, y / np.sqrt(max(1.0 - y * y, 1e-9))], np.float32)
+
+
+class SceneBuilder:
+    def __init__(self, variant: Variant):
+        self.variant = variant
+        self.nc = variant.n_channels
+        self.spectra = {}   # kind -> list of row dicts
+        self.textures = {}
+        self.bsdf_rows = {}
+        self.emitter_rows = {}
+        self.media_rows = {}
+        self.phase_rows = {}
+        self.volume_rows = {}
+        self.volume_table = []
+        self.medium_phase_list = []
+        self.spec_table = []  # (kind, slot)
+        self.tex_table = []
+        self.bsdf_table = []
+        self.bsdf_flag_list = []
+        self.emitter_table = []
+        self.medium_table = []
+        self.phase_table = []
+        self.named = {}
+        self.bitmaps = []
+        # geometry
+        self.vertices = []
+        self.normals = []
+        self.uvs = []
+        self.faces = []
+        self.face_shape = []
+        self.spheres = []   # (center, radius, flip)
+        self.rects = []     # transforms
+        self.disks = []
+        self.cyls = []      # (transform, length, radius)
+        self.shape_rows = []  # dicts
+        self.env_emitter = -1
+
+    # --- registry helpers ----------------------------------------------------
+    def _add(self, rows_dict, table, kind, row):
+        rows = rows_dict.setdefault(kind, [])
+        slot = len(rows)
+        rows.append(row)
+        table.append((kind, slot))
+        return len(table) - 1
+
+    def add_spectrum_row(self, kind, row):
+        return self._add(self.spectra, self.spec_table, kind, row)
+
+    def add_texture_row(self, kind, row):
+        return self._add(self.textures, self.tex_table, kind, row)
+
+    def add_bsdf_row(self, kind, row, flags):
+        idx = self._add(self.bsdf_rows, self.bsdf_table, kind, row)
+        self.bsdf_flag_list.append(flags)
+        return idx
+
+    def add_emitter_row(self, kind, row):
+        return self._add(self.emitter_rows, self.emitter_table, kind, row)
+
+    def add_medium_row(self, kind, row, phase_idx):
+        self.medium_phase_list.append(phase_idx)
+        return self._add(self.media_rows, self.medium_table, kind, row)
+
+    def add_phase_row(self, kind, row):
+        return self._add(self.phase_rows, self.phase_table, kind, row)
+
+    def add_volume_row(self, kind, row):
+        return self._add(self.volume_rows, self.volume_table, kind, row)
+
+    # --- phase / volume / medium coercion ---------------------------------------
+    def phase(self, d):
+        if d is None:
+            d = {"type": "isotropic"}
+        t = d["type"]
+        if t == "isotropic":
+            return self.add_phase_row("isotropic", {"_pad": np.float32(0)})
+        if t == "hg":
+            return self.add_phase_row("hg", {"g": np.float32(d.get("g", 0.8))})
+        if t == "rayleigh":
+            return self.add_phase_row("rayleigh", {"_pad": np.float32(0)})
+        if t == "tabphase":
+            values = np.asarray(d["values"], np.float64)
+            nodes = np.asarray(d.get("nodes",
+                                     np.linspace(-1, 1, len(values))), np.float64)
+            seg = 0.5 * (values[1:] + values[:-1]) * np.diff(nodes)
+            cdf = np.cumsum(seg)
+            return self.add_phase_row("tabphase", {
+                "nodes": nodes.astype(np.float32),
+                "values": values.astype(np.float32),
+                "cdf": cdf.astype(np.float32),
+                "integral": np.float32(cdf[-1]),
+                "count": np.int32(len(values))})
+        raise ValueError(f"unknown phase type {t!r}")
+
+    def volume(self, v):
+        """Coerce number | dict to a volume index."""
+        if isinstance(v, (int, float)):
+            return self.add_volume_row("constvolume", {
+                "value": np.asarray([float(v)], np.float32)})
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return self.add_volume_row("constvolume", {
+                "value": np.asarray(v, np.float32)})
+        t = v["type"]
+        if t == "constvolume":
+            val = v.get("value", 1.0)
+            val = np.atleast_1d(np.asarray(val, np.float32))
+            return self.add_volume_row("constvolume", {"value": val})
+        if t == "gridvolume":
+            data = np.asarray(v["data"], np.float32)  # (D, H, W) or (D,H,W,C)
+            if data.ndim == 3:
+                data = data[..., None]
+            from ..core.transform import as_transform
+            tw = as_transform(v.get("to_world"))
+            w2l = tw.inverse()
+            return self.add_volume_row("gridvolume", {
+                "grid": data,
+                "w2l_m": np.asarray(w2l.m, np.float32),
+                "w2l_it": np.asarray(w2l.inv_t, np.float32),
+                "vmax": np.float32(data.max())})
+        raise ValueError(f"unknown volume type {t!r}")
+
+    def medium(self, d):
+        if d is None:
+            return -1
+        if d.get("type") == "ref":
+            kind, idx = self.named[d["id"]]
+            assert kind == "medium"
+            return idx
+        t = d["type"]
+        phase_idx = self.phase(d.get("phase"))
+        if t == "homogeneous":
+            row = {
+                "sigma_t": np.int32(self.spectrum(d.get("sigma_t", 1.0))),
+                "albedo": np.int32(self.spectrum(d.get("albedo", 0.75))),
+                "scale": np.float32(d.get("scale", 1.0)),
+            }
+            return self.add_medium_row("homogeneous", row, phase_idx)
+        if t == "heterogeneous":
+            st_vol = self.volume(d.get("sigma_t", 1.0))
+            al_vol = self.volume(d.get("albedo", 0.75))
+            scale = float(d.get("scale", 1.0))
+            # majorant = scale * max sigma_t (heterogeneous.cpp:29)
+            kind, slot = self.volume_table[st_vol]
+            rows = self.volume_rows[kind][slot]
+            vmax = float(rows["vmax"]) if kind == "gridvolume" \
+                else float(np.max(rows["value"]))
+            # medium bounds = the sigma_t grid's bbox; constvolume -> unit cube
+            # unless explicit to_world was provided on the grid
+            if kind == "gridvolume":
+                w2l_m, w2l_it = rows["w2l_m"], rows["w2l_it"]
+            else:
+                from ..core.transform import as_transform
+                w2l = as_transform(d.get("to_world")).inverse()
+                w2l_m = np.asarray(w2l.m, np.float32)
+                w2l_it = np.asarray(w2l.inv_t, np.float32)
+            row = {
+                "sigma_t_vol": np.int32(st_vol),
+                "albedo_vol": np.int32(al_vol),
+                "scale": np.float32(scale),
+                "majorant": np.float32(scale * vmax),
+                "w2l_m": w2l_m, "w2l_it": w2l_it,
+            }
+            return self.add_medium_row("heterogeneous", row, phase_idx)
+        raise ValueError(f"unknown medium type {t!r}")
+
+    # --- spectrum coercion -----------------------------------------------------
+    def spectrum(self, value, emitter=False):
+        """Coerce a python value / plugin dict to a spectrum index.
+
+        In rgb/mono variants, everything bakes to 'baked' (n, nc) constants;
+        in spectral mode the kind survives to be evaluated per wavelength.
+        """
+        v = self.variant
+        spectral = v.is_spectral
+
+        def baked(rgb):
+            rgb = np.asarray(rgb, np.float32)
+            if v.is_monochromatic:
+                val = np.asarray([float(sp.luminance(jnp.asarray(rgb)))], np.float32)
+            else:
+                val = rgb
+            return self.add_spectrum_row("baked", {"value": val})
+
+        if isinstance(value, (int, float)):
+            if spectral:
+                return self.add_spectrum_row("uniform", {"value": np.float32(value)})
+            return baked([value] * 3)
+
+        if isinstance(value, (list, tuple, np.ndarray)):
+            arr = np.asarray(value, np.float32)
+            if spectral:
+                # rgb triple in spectral mode: flat-luminance srgb placeholder
+                lum = float(sp.luminance(jnp.asarray(arr)))
+                if emitter:
+                    return self.add_spectrum_row("uniform", {"value": np.float32(lum)})
+                return self.add_spectrum_row("srgb", {"coeff": _srgb_const_coeff(lum)})
+            return baked(arr)
+
+        assert isinstance(value, dict), f"bad spectrum value {value!r}"
+        t = value["type"]
+        if t == "rgb":
+            return self.spectrum(value["value"], emitter)
+        if t == "uniform":
+            val = float(value.get("value", 1.0))
+            if spectral:
+                return self.add_spectrum_row("uniform", {"value": np.float32(val)})
+            return baked([val] * 3)
+        if t == "d65":
+            scale = float(value.get("scale", 1.0))
+            if spectral:
+                return self.add_spectrum_row("d65", {"scale": np.float32(scale)})
+            return baked(np.asarray(
+                _cie_rgb_of_spectrum(
+                    lambda lam: np.asarray(
+                        __import__("eradiate_kernel_tpu.render.texture",
+                                   fromlist=["d65_approx"]).d65_approx(
+                            jnp.asarray(lam, jnp.float32))), True)) * scale)
+        if t == "regular":
+            lo, hi = value["lambda_min"], value["lambda_max"]
+            vals = np.asarray(value["values"], np.float32)
+            if spectral:
+                return self.add_spectrum_row("regular", {
+                    "values": vals, "lo": np.float32(lo), "hi": np.float32(hi),
+                    "count": np.int32(len(vals))})
+            return baked(_cie_rgb_of_spectrum(
+                lambda lam: np.interp(lam, np.linspace(lo, hi, len(vals)), vals,
+                                      left=0, right=0), emitter))
+        if t == "irregular":
+            nodes = np.asarray(value["wavelengths"], np.float32)
+            vals = np.asarray(value["values"], np.float32)
+            if spectral:
+                return self.add_spectrum_row("irregular", {
+                    "nodes": nodes, "values": vals, "count": np.int32(len(vals))})
+            return baked(_cie_rgb_of_spectrum(
+                lambda lam: np.interp(lam, nodes, vals, left=0, right=0), emitter))
+        if t == "blackbody":
+            T = float(value["temperature"])
+            scale = float(value.get("scale", 1.0))
+            if spectral:
+                return self.add_spectrum_row("blackbody", {
+                    "temperature": np.float32(T), "scale": np.float32(scale)})
+            return baked(_cie_rgb_of_spectrum(
+                lambda lam: np.asarray(sp.blackbody_radiance(
+                    jnp.asarray(lam, jnp.float32), T)) * scale, True))
+        if t == "srgb":
+            arr = np.asarray(value["value"], np.float32)
+            return self.spectrum(arr, emitter)
+        raise ValueError(f"unknown spectrum type {t!r}")
+
+    # --- texture coercion ------------------------------------------------------
+    def texture(self, value, emitter=False):
+        if isinstance(value, dict) and value.get("type") == "checkerboard":
+            s0 = self.spectrum(value.get("color0", 0.4), emitter)
+            s1 = self.spectrum(value.get("color1", 0.2), emitter)
+            return self.add_texture_row("checkerboard",
+                                        {"spec0": np.int32(s0), "spec1": np.int32(s1)})
+        if isinstance(value, dict) and value.get("type") == "bitmap":
+            data = np.asarray(value["data"], np.float32)
+            if data.ndim == 2:
+                data = data[..., None].repeat(3, -1)
+            self.bitmaps.append(data)
+            return self.add_texture_row("bitmap",
+                                        {"image": np.int32(len(self.bitmaps) - 1)})
+        spec = self.spectrum(value, emitter)
+        return self.add_texture_row("constant", {"spec": np.int32(spec)})
+
+    def twosided_flag(self, props):
+        return np.bool_(props.get("_twosided", False))
+
+    # --- geometry ----------------------------------------------------------------
+    def _new_shape(self, family, prim_slot, area, face_offset=0, face_count=0):
+        self.shape_rows.append(dict(
+            family=family, prim_slot=prim_slot, bsdf=-1, emitter=-1,
+            interior=-1, exterior=-1, area=area,
+            face_offset=face_offset, face_count=face_count))
+        return len(self.shape_rows) - 1
+
+    def add_mesh(self, verts, faces, normals=None, uvs=None):
+        verts = np.asarray(verts, np.float32)
+        faces = np.asarray(faces, np.int32)
+        v_off = sum(len(v) for v in self.vertices)
+        f_off = sum(len(f) for f in self.faces)
+        self.vertices.append(verts)
+        self.normals.append(np.zeros_like(verts) if normals is None
+                            else np.asarray(normals, np.float32))
+        self.uvs.append(np.zeros((len(verts), 2), np.float32) if uvs is None
+                        else np.asarray(uvs, np.float32))
+        self.faces.append(faces + v_off)
+        e1 = verts[faces[:, 1]] - verts[faces[:, 0]]
+        e2 = verts[faces[:, 2]] - verts[faces[:, 0]]
+        areas = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+        shape_idx = self._new_shape(FAMILY_MESH, 0, float(areas.sum()),
+                                    f_off, len(faces))
+        self.face_shape.append(np.full(len(faces), shape_idx, np.int32))
+        self._face_areas = getattr(self, "_face_areas", [])
+        self._face_areas.append(areas.astype(np.float64))
+        return shape_idx
+
+    def add_sphere(self, center, radius, flip=False):
+        self.spheres.append((np.asarray(center, np.float32),
+                             np.float32(radius), bool(flip)))
+        return self._new_shape(FAMILY_SPHERE, len(self.spheres) - 1,
+                               float(4 * np.pi * radius ** 2))
+
+    def add_rectangle(self, to_world: Transform):
+        m = np.asarray(to_world.m)
+        area = 4.0 * float(np.linalg.norm(np.cross(m[:3, 0], m[:3, 1])))
+        self.rects.append(to_world)
+        return self._new_shape(FAMILY_RECT, len(self.rects) - 1, area)
+
+    def add_disk(self, to_world: Transform):
+        m = np.asarray(to_world.m)
+        area = float(np.pi * np.linalg.norm(np.cross(m[:3, 0], m[:3, 1])))
+        self.disks.append(to_world)
+        return self._new_shape(FAMILY_DISK, len(self.disks) - 1, area)
+
+    def add_cylinder(self, to_world: Transform, length, radius):
+        m = np.asarray(to_world.m)
+        scale = float(np.linalg.norm(m[:3, 0]))
+        area = float(2 * np.pi * radius * length) * scale
+        self.cyls.append((to_world, np.float32(length), np.float32(radius)))
+        return self._new_shape(FAMILY_CYLINDER, len(self.cyls) - 1, area)
+
+    # --- finalize -----------------------------------------------------------------
+    def finalize(self, sensor_kind, sensor_params, film_cfg, integrator_cfg,
+                 spp) -> Scene:
+        def stack_rows(rows_dict):
+            out = {}
+            for kind, rows in rows_dict.items():
+                keys = rows[0].keys()
+                params = {}
+                for key in keys:
+                    vals = [np.asarray(r[key]) for r in rows]
+                    # pad variable-length arrays (regular/irregular spectra)
+                    if vals[0].ndim >= 1 and len({v.shape for v in vals}) > 1:
+                        K = max(v.shape[0] for v in vals)
+                        vals = [np.pad(v, [(0, K - v.shape[0])] + [(0, 0)] * (v.ndim - 1))
+                                for v in vals]
+                    params[key] = jnp.asarray(np.stack(vals))
+                out[kind] = params
+            return out
+
+        def table_arrays(table, kinds):
+            kind_ids = np.asarray([kinds.index(k) for k, _ in table], np.int32) \
+                if table else np.zeros(0, np.int32)
+            slots = np.asarray([s for _, s in table], np.int32) \
+                if table else np.zeros(0, np.int32)
+            return jnp.asarray(kind_ids), jnp.asarray(slots)
+
+        spec_kinds = tuple(self.spectra.keys()) or ("baked",)
+        if "baked" not in self.spectra and not self.variant.is_spectral:
+            self.spectra["baked"] = [{"value": np.zeros(self.nc, np.float32)}]
+            spec_kinds = tuple(self.spectra.keys())
+        tex_kinds = tuple(self.textures.keys()) or ("constant",)
+        if "constant" not in self.textures:
+            self.textures["constant"] = [{"spec": np.int32(0)}]
+            tex_kinds = tuple(self.textures.keys())
+        bsdf_kinds = tuple(self.bsdf_rows.keys()) or ("diffuse",)
+        if not self.bsdf_rows:
+            self.bsdf_rows["diffuse"] = [{"reflectance": np.int32(0),
+                                          "twosided": np.bool_(False)}]
+            self.bsdf_table.append(("diffuse", 0))
+            self.bsdf_flag_list.append(0)
+        emitter_kinds = tuple(self.emitter_rows.keys())
+        medium_kinds = tuple(self.media_rows.keys())
+        phase_kinds = tuple(self.phase_rows.keys())
+        volume_kinds = tuple(self.volume_rows.keys())
+
+        # geometry pools
+        V = np.concatenate(self.vertices) if self.vertices else np.zeros((0, 3), np.float32)
+        N = np.concatenate(self.normals) if self.normals else np.zeros((0, 3), np.float32)
+        UV = np.concatenate(self.uvs) if self.uvs else np.zeros((0, 2), np.float32)
+        F = np.concatenate(self.faces) if self.faces else np.zeros((0, 3), np.int32)
+        FS = np.concatenate(self.face_shape) if self.face_shape else np.zeros(0, np.int32)
+        face_areas = (np.concatenate(self._face_areas)
+                      if getattr(self, "_face_areas", None) else np.zeros(0))
+        # strictly-increasing global cumsum for segmented face sampling
+        face_cumsum = np.cumsum(np.maximum(face_areas, 1e-12))
+
+        def tf_stack(transforms):
+            if not transforms:
+                return Transform(m=jnp.zeros((0, 4, 4)), inv_t=jnp.zeros((0, 4, 4)))
+            return Transform(m=jnp.stack([t.m for t in transforms]),
+                             inv_t=jnp.stack([t.inv_t for t in transforms]))
+
+        geo = Geometry(
+            vertices=jnp.asarray(V), normals=jnp.asarray(N), uvs=jnp.asarray(UV),
+            faces=jnp.asarray(F), face_shape=jnp.asarray(FS),
+            sph_center=jnp.asarray(np.stack([s[0] for s in self.spheres])
+                                   if self.spheres else np.zeros((0, 3), np.float32)),
+            sph_radius=jnp.asarray(np.asarray([s[1] for s in self.spheres], np.float32)),
+            sph_shape=jnp.asarray(np.asarray(
+                [i for i, r in enumerate(self.shape_rows)
+                 if r["family"] == FAMILY_SPHERE], np.int32)),
+            sph_flip=jnp.asarray(np.asarray([s[2] for s in self.spheres], bool)),
+            rect_to_world=tf_stack(self.rects),
+            rect_shape=jnp.asarray(np.asarray(
+                [i for i, r in enumerate(self.shape_rows)
+                 if r["family"] == FAMILY_RECT], np.int32)),
+            disk_to_world=tf_stack(self.disks),
+            disk_shape=jnp.asarray(np.asarray(
+                [i for i, r in enumerate(self.shape_rows)
+                 if r["family"] == FAMILY_DISK], np.int32)),
+            cyl_to_world=tf_stack([c[0] for c in self.cyls]),
+            cyl_length=jnp.asarray(np.asarray([c[1] for c in self.cyls], np.float32)),
+            cyl_radius=jnp.asarray(np.asarray([c[2] for c in self.cyls], np.float32)),
+            cyl_shape=jnp.asarray(np.asarray(
+                [i for i, r in enumerate(self.shape_rows)
+                 if r["family"] == FAMILY_CYLINDER], np.int32)),
+            shape_family=jnp.asarray(np.asarray(
+                [r["family"] for r in self.shape_rows], np.int32)))
+
+        # bounding sphere of the scene
+        pts = [V] if len(V) else []
+        for c, r, _ in self.spheres:
+            pts.append(c[None] + np.array([[r, r, r], [-r, -r, -r]], np.float32) * 1.0)
+        for t in self.rects + self.disks:
+            m = np.asarray(t.m)
+            corners = np.array([[x, y, 0, 1] for x in (-1, 1) for y in (-1, 1)],
+                               np.float32) @ m.T
+            pts.append(corners[:, :3])
+        if pts:
+            P = np.concatenate(pts)
+            center = 0.5 * (P.min(0) + P.max(0))
+            radius = float(np.linalg.norm(P - center, axis=-1).max())
+        else:
+            center, radius = np.zeros(3, np.float32), 1.0
+
+        row = lambda key, default=0: jnp.asarray(np.asarray(
+            [r[key] for r in self.shape_rows], np.int32)) \
+            if self.shape_rows else jnp.zeros(0, jnp.int32)
+
+        bsdf_kind_arr, bsdf_slot_arr = table_arrays(self.bsdf_table, list(bsdf_kinds))
+        emitter_kind_arr, emitter_slot_arr = table_arrays(
+            self.emitter_table, list(emitter_kinds))
+        tex_kind_arr, tex_slot_arr = table_arrays(self.tex_table, list(tex_kinds))
+        spec_kind_arr, spec_slot_arr = table_arrays(self.spec_table, list(spec_kinds))
+        medium_kind_arr, medium_slot_arr = table_arrays(
+            self.medium_table, list(medium_kinds))
+        phase_kind_arr, phase_slot_arr = table_arrays(self.phase_table, list(phase_kinds))
+        vol_kind_arr, vol_slot_arr = table_arrays(self.volume_table, list(volume_kinds))
+
+        cfg = SceneConfig(
+            variant=self.variant,
+            bsdf_kinds=bsdf_kinds, emitter_kinds=emitter_kinds,
+            texture_kinds=tex_kinds, spectrum_kinds=spec_kinds,
+            medium_kinds=medium_kinds, phase_kinds=phase_kinds,
+            volume_kinds=volume_kinds,
+            sensor_kind=sensor_kind,
+            sensor_medium=getattr(self, "sensor_medium", -1),
+            n_emitters=len(self.emitter_table),
+            env_emitter=self.env_emitter,
+            film_width=film_cfg["width"], film_height=film_cfg["height"],
+            rfilter=film_cfg.get("rfilter", "gaussian"),
+            rfilter_params=tuple(sorted(film_cfg.get("rfilter_params", {}).items())),
+            integrator=integrator_cfg, spp=spp)
+
+        bitmaps = (np.stack(self.bitmaps) if self.bitmaps
+                   else np.zeros((1, 1, 1, 3), np.float32))
+
+        return Scene(
+            geo=geo,
+            shape_bsdf=row("bsdf"), shape_emitter=row("emitter"),
+            shape_interior=row("interior"), shape_exterior=row("exterior"),
+            shape_prim_slot=row("prim_slot"),
+            shape_area=jnp.asarray(np.asarray(
+                [r["area"] for r in self.shape_rows], np.float32))
+            if self.shape_rows else jnp.zeros(0),
+            shape_face_offset=row("face_offset"),
+            shape_face_count=row("face_count"),
+            face_area_cumsum=jnp.asarray(face_cumsum.astype(np.float32)),
+            bsdfs=stack_rows(self.bsdf_rows),
+            bsdf_kind=bsdf_kind_arr, bsdf_slot=bsdf_slot_arr,
+            bsdf_flags=jnp.asarray(np.asarray(self.bsdf_flag_list, np.uint32))
+            if self.bsdf_flag_list else jnp.zeros(0, jnp.uint32),
+            emitters=stack_rows(self.emitter_rows),
+            emitter_kind=emitter_kind_arr, emitter_slot=emitter_slot_arr,
+            textures=stack_rows(self.textures),
+            tex_kind=tex_kind_arr, tex_slot=tex_slot_arr,
+            spectra=stack_rows(self.spectra),
+            spec_kind=spec_kind_arr, spec_slot=spec_slot_arr,
+            media=stack_rows(self.media_rows),
+            medium_kind=medium_kind_arr, medium_slot=medium_slot_arr,
+            medium_phase=jnp.asarray(np.asarray(self.medium_phase_list, np.int32))
+            if self.medium_phase_list else jnp.zeros(0, jnp.int32),
+            phases=stack_rows(self.phase_rows),
+            phase_kind=phase_kind_arr, phase_slot=phase_slot_arr,
+            volumes=stack_rows(self.volume_rows),
+            vol_kind=vol_kind_arr, vol_slot=vol_slot_arr,
+            bitmap_data=jnp.asarray(bitmaps),
+            sensor=sensor_params,
+            bsphere_center=jnp.asarray(center),
+            bsphere_radius=jnp.asarray(np.float32(max(radius, 1e-3))),
+            config=cfg)
+
+
+# =============================================================================
+# load_dict
+# =============================================================================
+
+def _build_bsdf(builder: SceneBuilder, d, twosided=False):
+    from .. import bsdfs as bsdf_pkg
+
+    t = d["type"]
+    if t == "ref":
+        kind, idx = builder.named[d["id"]]
+        assert kind == "bsdf"
+        return idx
+    if t == "twosided":
+        child = [v for k, v in d.items() if isinstance(v, dict) and "type" in v]
+        assert len(child) == 1, "twosided needs exactly one nested bsdf"
+        return _build_bsdf(builder, child[0], twosided=True)
+    mod = bsdf_pkg.REGISTRY[t]
+    props = dict(d)
+    props["_twosided"] = twosided
+    row = mod.build(props, builder)
+    return builder.add_bsdf_row(t, row, mod.FLAGS)
+
+
+def _build_emitter_for_shape(builder: SceneBuilder, d, shape_idx):
+    assert d["type"] == "area", f"shape emitter must be 'area', got {d['type']}"
+    row = {"radiance": np.int32(builder.texture(d.get("radiance", 1.0), emitter=True)),
+           "shape": np.int32(shape_idx)}
+    return builder.add_emitter_row("area", row)
+
+
+def _build_scene_emitter(builder: SceneBuilder, d):
+    t = d["type"]
+    if t == "constant":
+        idx = builder.add_emitter_row("constant", {
+            "radiance": np.int32(builder.texture(d.get("radiance", 1.0), emitter=True))})
+        builder.env_emitter = idx
+        return idx
+    if t == "point":
+        return builder.add_emitter_row("point", {
+            "position": np.asarray(d.get("position", [0, 0, 0]), np.float32),
+            "intensity": np.int32(builder.texture(d.get("intensity", 1.0), emitter=True))})
+    if t == "directional":
+        return builder.add_emitter_row("directional", {
+            "direction": np.asarray(d.get("direction", [0, 0, -1]), np.float32),
+            "irradiance": np.int32(builder.texture(d.get("irradiance", 1.0), emitter=True))})
+    raise ValueError(f"unknown emitter type {t!r}")
+
+
+_CUBE_V = np.array(
+    [[-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
+     [-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1]], np.float32)
+_CUBE_F = np.array(
+    [[0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7],   # -z, +z
+     [0, 1, 5], [0, 5, 4], [2, 3, 7], [2, 7, 6],   # -y, +y
+     [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7]], np.int32)  # +x, -x
+
+
+def _build_shape(builder: SceneBuilder, d):
+    t = d["type"]
+    tw = as_transform(d.get("to_world"))
+    if t == "rectangle":
+        idx = builder.add_rectangle(tw)
+    elif t == "disk":
+        idx = builder.add_disk(tw)
+    elif t == "sphere":
+        idx = builder.add_sphere(d.get("center", [0, 0, 0]),
+                                 d.get("radius", 1.0),
+                                 d.get("flip_normals", False))
+    elif t == "cylinder":
+        idx = builder.add_cylinder(tw, d.get("length", 1.0), d.get("radius", 1.0))
+    elif t == "cube":
+        m = np.asarray(tw.m)
+        verts = _CUBE_V @ m[:3, :3].T + m[:3, 3]
+        idx = builder.add_mesh(verts, _CUBE_F)
+    elif t == "mesh":
+        idx = builder.add_mesh(d["vertices"], d["faces"],
+                               d.get("normals"), d.get("uvs"))
+    elif t == "obj":
+        from ..utils.meshio import load_obj
+
+        verts, faces, normals, uvs = load_obj(d["filename"])
+        m = np.asarray(tw.m)
+        verts = verts @ m[:3, :3].T + m[:3, 3]
+        if normals is not None:
+            inv_t = np.linalg.inv(m[:3, :3]).T
+            normals = normals @ inv_t.T
+        idx = builder.add_mesh(verts, faces, normals, uvs)
+    elif t == "ply":
+        from ..utils.meshio import load_ply
+
+        verts, faces = load_ply(d["filename"])
+        m = np.asarray(tw.m)
+        verts = verts @ m[:3, :3].T + m[:3, 3]
+        idx = builder.add_mesh(verts, faces)
+    else:
+        raise ValueError(f"unknown shape type {t!r}")
+
+    row = builder.shape_rows[idx]
+    bsdf_d = d.get("bsdf")
+    if bsdf_d is None:
+        # shapes bounding a medium default to a null (passthrough) BSDF
+        bsdf_d = {"type": "null"} if ("interior" in d or "exterior" in d) \
+            else {"type": "diffuse"}
+    row["bsdf"] = _build_bsdf(builder, bsdf_d)
+    if "emitter" in d:
+        row["emitter"] = _build_emitter_for_shape(builder, d["emitter"], idx)
+    if "interior" in d:
+        row["interior"] = builder.medium(d["interior"])
+    if "exterior" in d:
+        row["exterior"] = builder.medium(d["exterior"])
+    return idx
+
+
+def load_dict(d: dict, variant: Variant | None = None) -> Scene:
+    """Build a Scene from a Mitsuba-style dict (xml_v.cpp:100-226 semantics)."""
+    from .. import bsdfs as bsdf_pkg
+
+    assert d.get("type") == "scene", "top-level dict must have type='scene'"
+    variant = variant or Variant("rgb")
+    b = SceneBuilder(variant)
+
+    integrator_cfg = IntegratorConfig()
+    sensor_kind = "perspective"
+    sensor_params = None
+    film_cfg = {"width": 64, "height": 64, "rfilter": "gaussian"}
+    spp = 16
+
+    # pass 1: named top-level bsdfs/textures (so refs resolve)
+    for key, val in d.items():
+        if key == "type" or not isinstance(val, dict):
+            continue
+        t = val.get("type")
+        if t in bsdf_pkg.REGISTRY or t == "twosided":
+            b.named[key] = ("bsdf", _build_bsdf(b, val))
+
+    for key, val in d.items():
+        if key == "type" or not isinstance(val, dict):
+            continue
+        t = val.get("type")
+        if t in _SHAPE_TYPES:
+            _build_shape(b, val)
+        elif t in _EMITTER_SCENE_TYPES:
+            _build_scene_emitter(b, val)
+        elif t in _SENSOR_TYPES:
+            sensor_kind = t
+            film = val.get("film", {})
+            film_cfg["width"] = int(film.get("width", 64))
+            film_cfg["height"] = int(film.get("height", 64))
+            rf = film.get("rfilter", {"type": "gaussian"})
+            if isinstance(rf, dict):
+                film_cfg["rfilter"] = rf.get("type", "gaussian")
+                film_cfg["rfilter_params"] = {k: v for k, v in rf.items()
+                                              if k != "type"}
+            sampler = val.get("sampler", {})
+            spp = int(sampler.get("sample_count", 16))
+            tw = as_transform(val.get("to_world"))
+            fov = float(val.get("fov", 34.0))
+            sensor_params = {
+                "to_world": tw,
+                "tan_half_fov": jnp.asarray(np.tan(np.deg2rad(fov) / 2),
+                                            jnp.float32),
+            }
+            if t == "thinlens":
+                sensor_params["aperture_radius"] = jnp.asarray(
+                    float(val.get("aperture_radius", 0.1)), jnp.float32)
+                sensor_params["focus_distance"] = jnp.asarray(
+                    float(val.get("focus_distance", 1.0)), jnp.float32)
+            if "medium" in val:
+                b.sensor_medium = b.medium(val["medium"])
+        elif t in ("path", "direct", "depth", "volpath", "aov", "moment"):
+            extra = tuple(sorted(
+                (k, v) for k, v in val.items()
+                if k in ("max_iterations", "nee_steps")))
+            integrator_cfg = IntegratorConfig(
+                kind=t,
+                max_depth=int(val.get("max_depth", 8)),
+                rr_depth=int(val.get("rr_depth", 5)),
+                hide_emitters=bool(val.get("hide_emitters", False)),
+                extra=extra)
+        elif t in ("homogeneous", "heterogeneous"):
+            b.named[key] = ("medium", b.medium(val))
+        elif t in bsdf_pkg.REGISTRY or t == "twosided":
+            pass  # handled in pass 1
+        else:
+            raise ValueError(f"unhandled scene entry {key!r} of type {t!r}")
+
+    if sensor_params is None:
+        sensor_params = {
+            "to_world": Transform.look_at([0, 0, -4], [0, 0, 0], [0, 1, 0]),
+            "tan_half_fov": jnp.asarray(np.tan(np.deg2rad(34.0) / 2), jnp.float32),
+        }
+
+    return b.finalize(sensor_kind, sensor_params, film_cfg, integrator_cfg, spp)

@@ -81,7 +81,7 @@ class SphericalDomain:
         return 2
 
     def aspect(self):
-        return 2.0 * np.pi / max(self.cos_bounds[1] - self.cos_bounds[0], 1e-9) / np.pi
+        return 2.0
 
     def map_forward(self, p):
         """(phi, cos_theta) -> direction"""
@@ -113,7 +113,9 @@ class ChiSquareTest:
         self.pdf_func = pdf_func
         self.sample_dim = sample_dim
         self.sample_count = int(sample_count)
-        if domain.aspect() is None:
+        if isinstance(res, (tuple, list)):
+            self.res = np.array([res[0], res[1]])
+        elif domain.aspect() is None:
             self.res = np.array([res, 1])
         else:
             self.res = np.array([res, max(1, int(res / domain.aspect()))])

@@ -1,0 +1,83 @@
+"""Canned test scenes (analog of src/python/python/test/scenes.py:9-261)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.transform import Transform
+
+
+def cornell_box(width=64, height=64, spp=16, max_depth=6, integrator="path"):
+    """The classic Cornell box built from rectangles (matches the geometry of
+    resources/data/scenes/cbox — re-derived, not copied)."""
+    T = Transform
+    box = {
+        "type": "scene",
+        "integrator": {"type": integrator, "max_depth": max_depth},
+        "sensor": {
+            "type": "perspective",
+            "fov": 39.3077,
+            "to_world": T.look_at([0, 0, -3.9], [0, 0, 0], [0, 1, 0]),
+            "film": {"type": "hdrfilm", "width": width, "height": height,
+                     "rfilter": {"type": "box"}},
+            "sampler": {"type": "independent", "sample_count": spp},
+        },
+        "white_bsdf": {"type": "diffuse",
+                       "reflectance": {"type": "rgb", "value": [0.885, 0.698, 0.666]}},
+        "red_bsdf": {"type": "diffuse",
+                     "reflectance": {"type": "rgb", "value": [0.57, 0.04, 0.04]}},
+        "green_bsdf": {"type": "diffuse",
+                       "reflectance": {"type": "rgb", "value": [0.105, 0.37, 0.067]}},
+        # floor y=-1
+        "floor": {"type": "rectangle",
+                  "to_world": (T.translate([0, -1, 0]) @ T.rotate([1, 0, 0], -90)).m,
+                  "bsdf": {"type": "ref", "id": "white_bsdf"}},
+        # ceiling y=+1
+        "ceiling": {"type": "rectangle",
+                    "to_world": (T.translate([0, 1, 0]) @ T.rotate([1, 0, 0], 90)).m,
+                    "bsdf": {"type": "ref", "id": "white_bsdf"}},
+        # back wall z=+1
+        "back": {"type": "rectangle",
+                 "to_world": (T.translate([0, 0, 1]) @ T.rotate([1, 0, 0], 180)).m,
+                 "bsdf": {"type": "ref", "id": "white_bsdf"}},
+        # left wall x=-1 (red), normal +x
+        "left": {"type": "rectangle",
+                 "to_world": (T.translate([-1, 0, 0]) @ T.rotate([0, 1, 0], 90)).m,
+                 "bsdf": {"type": "ref", "id": "red_bsdf"}},
+        # right wall x=+1 (green), normal -x
+        "right": {"type": "rectangle",
+                  "to_world": (T.translate([1, 0, 0]) @ T.rotate([0, 1, 0], -90)).m,
+                  "bsdf": {"type": "ref", "id": "green_bsdf"}},
+        # area light near the ceiling, facing down
+        "light": {"type": "rectangle",
+                  "to_world": (T.translate([0, 0.99, 0]) @ T.rotate([1, 0, 0], 90)
+                               @ T.scale([0.23, 0.19, 1.0])).m,
+                  "bsdf": {"type": "diffuse", "reflectance": 0.0},
+                  "emitter": {"type": "area",
+                              "radiance": {"type": "rgb",
+                                           "value": [18.387, 13.9873, 6.75357]}}},
+    }
+    return box
+
+
+def furnace(albedo=0.5, radiance=1.0, width=16, height=16, spp=64,
+            max_depth=32, integrator="path"):
+    """Furnace test: a diffuse sphere inside a constant environment. The
+    analytic answer for radiance seen at the sphere is
+    L = radiance * (1 - albedo^inf) ... = radiance (closed sphere) — for an
+    open view: L_sphere = radiance * sum_k albedo^k over bounces."""
+    return {
+        "type": "scene",
+        "integrator": {"type": integrator, "max_depth": max_depth},
+        "sensor": {
+            "type": "perspective",
+            "fov": 40.0,
+            "to_world": Transform.look_at([0, 0, -4], [0, 0, 0], [0, 1, 0]).m,
+            "film": {"type": "hdrfilm", "width": width, "height": height,
+                     "rfilter": {"type": "box"}},
+            "sampler": {"type": "independent", "sample_count": spp},
+        },
+        "sphere": {"type": "sphere", "radius": 1.0,
+                   "bsdf": {"type": "diffuse", "reflectance": albedo}},
+        "env": {"type": "constant", "radiance": radiance},
+    }

@@ -13,10 +13,10 @@ from eradiate_kernel_tpu.utils.chi2 import (
 N = 200_000
 
 
-def run_warp_chi2(domain, warp_fn, pdf_fn, **kw):
+def run_warp_chi2(domain, warp_fn, pdf_fn, res=31, **kw):
     sample_func, pdf_func = WarpAdapter(warp_fn, pdf_fn)
     test = ChiSquareTest(domain, sample_func, pdf_func, sample_count=N,
-                         res=31, ires=9, **kw)
+                         res=res, ires=9, **kw)
     ok = test.run(significance_level=0.01)
     assert ok, "\n".join(test.messages)
 
@@ -58,7 +58,8 @@ def test_uniform_cone(cutoff):
     # straddle the pdf discontinuity at cos_theta = cutoff
     run_warp_chi2(SphericalDomain(cos_bounds=(cutoff, 1.0)),
                   lambda s: warp.square_to_uniform_cone(s, cutoff),
-                  lambda d: warp.square_to_uniform_cone_pdf(d, cutoff))
+                  lambda d: warp.square_to_uniform_cone_pdf(d, cutoff),
+                  res=(16, 48))
 
 
 def test_tent():
@@ -76,7 +77,8 @@ def test_beckmann(alpha):
     lo = max(-1.0, np.cos(np.arctan(5.0 * alpha)) - 0.02)
     run_warp_chi2(SphericalDomain(cos_bounds=(lo, 1.0)),
                   lambda s: warp.square_to_beckmann(s, alpha),
-                  lambda d: warp.square_to_beckmann_pdf(d, alpha))
+                  lambda d: warp.square_to_beckmann_pdf(d, alpha),
+                  res=(16, 64))
 
 
 @pytest.mark.parametrize("kappa", [0.5, 10.0, 100.0])
@@ -84,7 +86,8 @@ def test_von_mises_fisher(kappa):
     lo = max(-1.0, 1.0 - 12.0 / kappa)
     run_warp_chi2(SphericalDomain(cos_bounds=(lo, 1.0)),
                   lambda s: warp.square_to_von_mises_fisher(s, kappa),
-                  lambda d: warp.square_to_von_mises_fisher_pdf(d, kappa))
+                  lambda d: warp.square_to_von_mises_fisher_pdf(d, kappa),
+                  res=(16, 64))
 
 
 def test_wavelength_sampling_chi2():
