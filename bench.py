@@ -42,10 +42,8 @@ def main():
         pos = jnp.stack([(pixel % W).astype(jnp.float32),
                          (pixel // W).astype(jnp.float32)], -1) + jitter
         pos_film = pos / jnp.asarray([W, H], jnp.float32)
-        sampler, s_wav = sampler.next_1d()
-        sampler, s_ap = sampler.next_2d()
-        ray, _w = sensors.sample_ray(scene, pos_film, s_ap,
-                                     jnp.zeros(n_lanes), s_wav)
+        ray, _w, sampler = sensors.sample_ray(scene, sampler, pos_film,
+                                              jnp.zeros(n_lanes))
         spec, valid, _s, n_rays = path_mod.sample_counted(scene, sampler, ray)
         return jnp.sum(spec), n_rays
 

@@ -12,12 +12,14 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from . import common, diffuse, null
+from . import bilambertian, common, diffuse, null, rpv
 from .common import BSDFSample, zero_bsdf_sample
 
 REGISTRY = {
     "diffuse": diffuse,
     "null": null,
+    "rpv": rpv,
+    "bilambertian": bilambertian,
 }
 
 

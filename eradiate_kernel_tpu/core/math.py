@@ -10,9 +10,17 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-RayEpsilon = 1e-3 * 8.0 / 32768.0  # matches reference math.h RayEpsilon = eps*1500 order
+# RayEpsilon = float32 machine epsilon * 1500 (reference: math.h) — the
+# self-intersection offset scale. Must survive f32 rounding when added to
+# coordinates of order 1.
+RayEpsilon = 1.1920929e-07 * 1500.0  # ~1.8e-4
 ShadowEpsilon = RayEpsilon * 10.0
 EPSILON = jnp.finfo(jnp.float32).eps / 2
+
+# Finite "no hit" sentinel. Using inf would poison reverse-mode AD: masked
+# lanes' inf intermediates turn 0-cotangents into NaN (0 * inf). Comparisons
+# (t < maxt etc.) behave identically; 1e18 squares without f32 overflow.
+INVALID_T = 1e18
 
 
 def safe_sqrt(x):

@@ -54,10 +54,8 @@ def render_wavefront(scene, lane_offset, n_lanes, seed, spp):
     pos = jnp.stack([px, py], -1) + jitter  # continuous pixel coords
     pos_film = pos / jnp.asarray([W, H], jnp.float32)
 
-    sampler, s_wav = sampler.next_1d()
-    sampler, s_ap = sampler.next_2d()
     time = jnp.zeros(n_lanes)
-    ray, ray_weight = sensors.sample_ray(scene, pos_film, s_ap, time, s_wav)
+    ray, ray_weight, sampler = sensors.sample_ray(scene, sampler, pos_film, time)
 
     integrator = REGISTRY[cfg.integrator.kind]
     spec, valid, sampler = integrator.sample(scene, sampler, ray)

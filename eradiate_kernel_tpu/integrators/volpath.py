@@ -27,6 +27,7 @@ from ..core.types import pytree_dataclass
 from ..render.geometry import ray_intersect
 from ..render.records import SurfaceInteraction
 from .common import mis_weight
+from ..core.math import INVALID_T
 
 
 def _nc(scene, ray):
@@ -122,7 +123,7 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
     sgn = jnp.where(jnp.sum(ref_n * ds.d, -1) >= 0, 1.0, -1.0)
     o = ref_p + eps_n * (RayEpsilon * scale * sgn)[..., None] * ref_n
     ray = Ray(o=o, d=ds.d, mint=jnp.zeros(batch),
-              maxt=jnp.full(batch, jnp.inf), time=time,
+              maxt=jnp.full(batch, INVALID_T), time=time,
               wavelengths=wavelengths)
 
     state = _WalkState(
@@ -151,7 +152,7 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
         si = _merge_si(ray_intersect(scene.geo, ray), s.si, intersect)
         needs_intersection = s.needs_intersection & ~active_medium
 
-        mi = mi.replace(t=jnp.where(active_medium & (si.t < mi.t), jnp.inf, mi.t))
+        mi = mi.replace(t=jnp.where(active_medium & (si.t < mi.t), INVALID_T, mi.t))
 
         # transmittance estimator (volpath.cpp:305-312)
         t_clip = jnp.minimum(remaining, jnp.minimum(mi.t, si.t)) - mi.mint
@@ -167,7 +168,7 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
         # medium event exceeded remaining distance -> done
         total_dist = jnp.where(active_medium & (mi.t > remaining) & mi.is_valid,
                                ds.dist, s.total_dist)
-        mi = mi.replace(t=jnp.where(active_medium & (mi.t > remaining), jnp.inf, mi.t))
+        mi = mi.replace(t=jnp.where(active_medium & (mi.t > remaining), INVALID_T, mi.t))
 
         escaped_medium = active_medium & ~mi.is_valid
         active_medium = active_medium & mi.is_valid
@@ -287,7 +288,7 @@ def _evaluate_direct_light(scene, ref_p, ray, si_ray, medium_idx, channel,
         intersect = s.needs_intersection & active_medium
         si = _merge_si(ray_intersect(scene.geo, ray), s.si, intersect)
 
-        mi = mi.replace(t=jnp.where(active_medium & (si.t < mi.t), jnp.inf, mi.t))
+        mi = mi.replace(t=jnp.where(active_medium & (si.t < mi.t), INVALID_T, mi.t))
         tr, ff_pdf = media.eval_tr_and_pdf(mi, si.t)
         tr_pdf = _index_ch(ff_pdf, channel)
         ratio = jnp.where(tr_pdf[..., None] > 0,
@@ -446,7 +447,7 @@ def sample(scene, sampler: Sampler, ray: Ray, active=None, medium_idx=None):
         intersect = s.needs_intersection & active_medium
         si = _merge_si(ray_intersect(scene.geo, ray), si, intersect)
         needs_intersection = s.needs_intersection & ~active_medium
-        mi = mi.replace(t=jnp.where(active_medium & (si.t < mi.t), jnp.inf, mi.t))
+        mi = mi.replace(t=jnp.where(active_medium & (si.t < mi.t), INVALID_T, mi.t))
 
         tr, ff_pdf = media.eval_tr_and_pdf(mi, si.t)
         tr_pdf = _index_ch(ff_pdf, s.channel)
@@ -514,7 +515,7 @@ def sample(scene, sampler: Sampler, ray: Ray, active=None, medium_idx=None):
             o=jnp.where(act_scatter[..., None], mi.p, ray.o),
             d=jnp.where(act_scatter[..., None], wo_m, ray.d),
             mint=jnp.where(act_scatter, 0.0, ray.mint),
-            maxt=jnp.where(act_scatter, jnp.inf, ray.maxt),
+            maxt=jnp.where(act_scatter, INVALID_T, ray.maxt),
             time=ray.time, wavelengths=ray.wavelengths)
         needs_intersection = needs_intersection | act_scatter
 
@@ -566,7 +567,7 @@ def sample(scene, sampler: Sampler, ray: Ray, active=None, medium_idx=None):
         ray = Ray(o=jnp.where(active_surface[..., None], new_ray.o, ray.o),
                   d=jnp.where(active_surface[..., None], new_ray.d, ray.d),
                   mint=jnp.where(active_surface, new_ray.mint, ray.mint),
-                  maxt=jnp.where(active_surface, jnp.inf, ray.maxt),
+                  maxt=jnp.where(active_surface, INVALID_T, ray.maxt),
                   time=ray.time, wavelengths=ray.wavelengths)
         needs_intersection = needs_intersection | active_surface
 

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.bbox import ray_intersect_aabb
+from ..core.math import INVALID_T
 from ..core.transform import Transform
 from ..core.types import pytree_dataclass
 from ..render.texture import spectrum_eval
@@ -40,7 +41,7 @@ class MediumInteraction:
 
     @property
     def is_valid(self):
-        return jnp.isfinite(self.t)
+        return self.t < 0.5 * INVALID_T
 
 
 def _spec(scene, spec_idx, wavelengths):
@@ -142,7 +143,7 @@ def sample_interaction(scene, medium_idx, ray, sample, channel, active):
     (clamped >= 0 by caller; ``active`` must exclude vacuum lanes)."""
     seg_ok, mint, maxt = medium_intersect_bounds(scene, medium_idx, ray, active)
     mint = jnp.where(seg_ok, jnp.maximum(mint, 0.0), 0.0)
-    maxt = jnp.where(seg_ok, maxt, jnp.inf)
+    maxt = jnp.where(seg_ok, jnp.minimum(maxt, INVALID_T), INVALID_T)
 
     combined = medium_combined_extinction(scene, medium_idx, ray.o, ray.wavelengths)
     nc = combined.shape[-1]
@@ -151,8 +152,8 @@ def sample_interaction(scene, medium_idx, ray, sample, channel, active):
 
     sampled_t = mint - jnp.log1p(-sample) / m
     valid_mi = seg_ok & (sampled_t <= maxt)
-    t = jnp.where(valid_mi, sampled_t, jnp.inf)
-    p = ray.at(sampled_t)
+    t = jnp.where(valid_mi, sampled_t, INVALID_T)
+    p = ray.at(jnp.where(valid_mi, sampled_t, 0.0))
     sigma_s, sigma_n, sigma_t = medium_scattering_coefficients(
         scene, medium_idx, p, ray.wavelengths)
     return MediumInteraction(
@@ -162,7 +163,7 @@ def sample_interaction(scene, medium_idx, ray, sample, channel, active):
 
 def eval_tr_and_pdf(mi: MediumInteraction, si_t):
     """Medium::eval_tr_and_pdf (medium.cpp:80-91)."""
-    t = jnp.minimum(mi.t, si_t) - mi.mint
+    t = jnp.clip(jnp.minimum(mi.t, si_t) - mi.mint, 0.0, INVALID_T)
     tr = jnp.exp(-t[..., None] * mi.combined_extinction)
     pdf = jnp.where((si_t < mi.t)[..., None], tr,
                     tr * mi.combined_extinction)

@@ -43,10 +43,15 @@ def sharded_film(scene, mesh: Mesh, seed, spp):
         film = render_wavefront(scene_, offset[0], per_dev, seed_s[0], spp)
         return jax.lax.psum(film, axis)
 
+    # check_vma=False: path state mixes replicated scene constants with
+    # per-device wavefront arrays inside scan carries; classic shard_map
+    # semantics (everything device-varying) sidestep the vma init/body
+    # mismatch without inserting pcasts throughout the integrators.
     return jax.shard_map(
         shard_body, mesh=mesh,
         in_specs=(P(), P(axis), P(axis)),
         out_specs=P(),
+        check_vma=False,
     )(scene, offsets, seeds)
 
 
@@ -79,6 +84,7 @@ def render_sharded(scene, mesh: Mesh, seed=0, spp=None, develop_film=True,
             shard_body, mesh=mesh,
             in_specs=(P(), P(axis), P()),
             out_specs=P(),
+            check_vma=False,
         )(scene, offsets, seed_arr)
 
     fn = jax.jit(pass_fn)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.frame import Frame
-from ..core.math import cross, dot, normalize, safe_sqrt, sqr
+from ..core.math import INVALID_T, cross, dot, normalize, safe_sqrt, sqr
 from ..core.ray import Ray
 from ..core.transform import Transform
 from ..core.types import pytree_dataclass
@@ -291,8 +291,11 @@ def compute_surface_interaction(geo: Geometry, ray: Ray,
     shape_idx = jnp.maximum(pi.shape_index, 0)
     family = geo.shape_family[shape_idx]
 
-    t = jnp.where(valid, jax.lax.stop_gradient(pi.t), jnp.inf)
-    p = ray.at(jax.lax.stop_gradient(pi.t))
+    # clamp the detached hit distance before ANY differentiable use: inf on
+    # missed lanes would make 0-cotangent chains NaN in reverse mode
+    pit = jnp.where(valid, jnp.minimum(jax.lax.stop_gradient(pi.t), INVALID_T), 0.0)
+    t = jnp.where(valid, pit, INVALID_T)
+    p = ray.at(pit)
     n = jnp.zeros(batch + (3,)).at[..., 2].set(1.0)
     sh_n = n
     uv = pi.prim_uv
@@ -339,8 +342,7 @@ def compute_surface_interaction(geo: Geometry, ray: Ray,
         r = geo.sph_radius[pi.prim_index]
         flip = geo.sph_flip[pi.prim_index]
         _v, near, far = _sphere_roots(c, r, ray.o, ray.d)
-        use_far = jnp.abs(jax.lax.stop_gradient(pi.t) - far) < jnp.abs(
-            jax.lax.stop_gradient(pi.t) - near)
+        use_far = jnp.abs(pit - far) < jnp.abs(pit - near)
         ts = jnp.where(jax.lax.stop_gradient(use_far), far, near)
         ps_raw = ray.at(ts)
         # re-project onto the sphere for numerical robustness (sphere.cpp)
@@ -409,7 +411,7 @@ def compute_surface_interaction(geo: Geometry, ray: Ray,
         m = (family == FAMILY_CYLINDER) & valid
         tw = jax.tree_util.tree_map(lambda a: a[pi.prim_index], geo.cyl_to_world)
         inv = tw.inverse()
-        tc = jax.lax.stop_gradient(pi.t)
+        tc = pit
         p_l = inv.transform_affine_point(ray.at(tc))
         n_l = jnp.concatenate([p_l[..., :2], jnp.zeros_like(p_l[..., :1])], -1)
         nc = normalize(tw.transform_normal(n_l))

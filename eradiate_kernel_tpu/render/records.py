@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..core.frame import Frame
-from ..core.math import RayEpsilon, dot, normalize
+from ..core.math import INVALID_T, RayEpsilon, dot, normalize
 from ..core.ray import Ray
 from ..core.types import pytree_dataclass
 
@@ -50,7 +50,7 @@ class SurfaceInteraction:
 
     @property
     def is_valid(self):
-        return jnp.isfinite(self.t) & (self.shape_index >= 0)
+        return self.shape_index >= 0
 
     def to_world(self, v):
         return self.sh_frame.to_world(v)
@@ -65,26 +65,30 @@ class SurfaceInteraction:
         sgn = jnp.where(dot(self.n, d) >= 0.0, 1.0, -1.0)
         o = self.p + (eps * sgn)[..., None] * self.n
         if maxt is None:
-            maxt = jnp.full(self.t.shape, jnp.inf, self.t.dtype)
+            maxt = jnp.full(self.t.shape, INVALID_T, self.t.dtype)
         return Ray(o=o, d=d, mint=jnp.zeros_like(self.t), maxt=maxt,
                    time=self.time, wavelengths=self.wavelengths)
 
     def spawn_ray_to(self, target):
         """Shadow ray toward ``target`` with an epsilon gap at both ends
-        (interaction.h spawn_ray_to)."""
+        (interaction.h spawn_ray_to). The distance/maxt are recomputed from
+        the *offset* origin so the endpoint gap is independent of the
+        self-intersection offset."""
         scale = 1.0 + jnp.max(jnp.abs(self.p), axis=-1)
         eps = RayEpsilon * scale
-        delta = target - self.p
+        delta0 = target - self.p
+        d0 = normalize(delta0)
+        sgn = jnp.where(dot(self.n, d0) >= 0.0, 1.0, -1.0)
+        o = self.p + (eps * sgn)[..., None] * self.n
+        delta = target - o
         dist = jnp.sqrt(jnp.maximum(jnp.sum(delta * delta, axis=-1), 1e-30))
         d = delta / dist[..., None]
-        sgn = jnp.where(dot(self.n, d) >= 0.0, 1.0, -1.0)
-        o = self.p + (eps * sgn)[..., None] * self.n
         maxt = dist * (1.0 - ShadowEpsilonFactor)
         return Ray(o=o, d=d, mint=jnp.zeros_like(dist), maxt=maxt,
                    time=self.time, wavelengths=self.wavelengths), dist
 
 
-ShadowEpsilonFactor = 1e-4
+ShadowEpsilonFactor = RayEpsilon * 10.0  # reference math::ShadowEpsilon
 
 
 def invalid_si(batch_shape, n_wavelengths, dtype=jnp.float32):
@@ -92,7 +96,7 @@ def invalid_si(batch_shape, n_wavelengths, dtype=jnp.float32):
     z = jnp.zeros(batch_shape, dtype)
     up = jnp.zeros(batch_shape + (3,), dtype).at[..., 2].set(1.0)
     return SurfaceInteraction(
-        t=jnp.full(batch_shape, jnp.inf, dtype), p=z3, n=up,
+        t=jnp.full(batch_shape, INVALID_T, dtype), p=z3, n=up,
         sh_frame=Frame(s=jnp.zeros_like(z3).at[..., 0].set(1.0),
                        t=jnp.zeros_like(z3).at[..., 1].set(1.0), n=up),
         uv=jnp.zeros(batch_shape + (2,), dtype), dp_du=z3, dp_dv=z3,
