@@ -11,6 +11,7 @@ grid — same resolution/interpolation scheme as the reference table
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -89,11 +90,13 @@ XYZ_TO_SRGB_M = jnp.asarray(
 
 
 def srgb_to_xyz(rgb):
-    return rgb @ SRGB_TO_XYZ_M.T
+    # pinned precision: 3x3 color matmuls must not inherit a reduced global
+    # default (bf16-class precision costs ~0.5% on a srgb<->xyz roundtrip)
+    return jnp.matmul(rgb, SRGB_TO_XYZ_M.T, precision=jax.lax.Precision.HIGHEST)
 
 
 def xyz_to_srgb(xyz):
-    return xyz @ XYZ_TO_SRGB_M.T
+    return jnp.matmul(xyz, XYZ_TO_SRGB_M.T, precision=jax.lax.Precision.HIGHEST)
 
 
 def luminance(value, wavelengths=None):

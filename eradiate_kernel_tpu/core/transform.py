@@ -8,11 +8,15 @@ application functions are jittable.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .math import normalize
 from .types import pytree_dataclass
+
+
+_PREC = jax.lax.Precision.HIGHEST  # geometry transforms stay exact f32
 
 
 @pytree_dataclass
@@ -95,19 +99,19 @@ class Transform:
 
     # -- application ----------------------------------------------------------
     def transform_point(self, p):
-        ph = self.m[..., :3, :3] @ p[..., None]
+        ph = jnp.matmul(self.m[..., :3, :3], p[..., None], precision=_PREC)
         ph = ph[..., 0] + self.m[..., :3, 3]
         w = jnp.sum(self.m[..., 3, :3] * p, axis=-1) + self.m[..., 3, 3]
         return ph / w[..., None]
 
     def transform_affine_point(self, p):
-        return (self.m[..., :3, :3] @ p[..., None])[..., 0] + self.m[..., :3, 3]
+        return jnp.matmul(self.m[..., :3, :3], p[..., None], precision=_PREC)[..., 0] + self.m[..., :3, 3]
 
     def transform_vector(self, v):
-        return (self.m[..., :3, :3] @ v[..., None])[..., 0]
+        return jnp.matmul(self.m[..., :3, :3], v[..., None], precision=_PREC)[..., 0]
 
     def transform_normal(self, n):
-        return (self.inv_t[..., :3, :3] @ n[..., None])[..., 0]
+        return jnp.matmul(self.inv_t[..., :3, :3], n[..., None], precision=_PREC)[..., 0]
 
     def transform_unit_vector(self, v):
         return normalize(self.transform_vector(v))
@@ -128,9 +132,36 @@ class Transform:
 
 
 def as_transform(t) -> Transform:
-    """Accept Transform | 4x4 array-like | None (identity)."""
+    """Accept Transform | 4x4 array-like | dict | list-of-dicts | None.
+
+    Dict forms mirror the XML/dict loader's transform tags (xml.cpp Tag
+    handling): {'type': 'look_at'|'translate'|'scale'|'rotate'|'matrix', ...}.
+    A list of such dicts composes left-to-right like successive XML child
+    tags (each new op premultiplies: last listed is applied last)."""
     if t is None:
         return Transform.identity()
     if isinstance(t, Transform):
         return t
+    if isinstance(t, dict):
+        kind = t["type"]
+        if kind == "look_at":
+            return Transform.look_at(t.get("origin", [0, 0, 0]),
+                                     t.get("target", [0, 0, 1]),
+                                     t.get("up", [0, 1, 0]))
+        if kind == "translate":
+            return Transform.translate(t.get("value", [0, 0, 0]))
+        if kind == "scale":
+            return Transform.scale(t.get("value", 1.0))
+        if kind == "rotate":
+            return Transform.rotate(t.get("axis", [0, 0, 1]),
+                                    t.get("angle", 0.0))
+        if kind == "matrix":
+            return Transform.from_matrix(np.asarray(t["value"], np.float32)
+                                         .reshape(4, 4))
+        raise ValueError(f"unknown transform dict type {kind!r}")
+    if isinstance(t, (list, tuple)) and t and isinstance(t[0], dict):
+        out = Transform.identity()
+        for step in t:
+            out = as_transform(step) @ out
+        return out
     return Transform.from_matrix(np.asarray(t, dtype=np.float32))

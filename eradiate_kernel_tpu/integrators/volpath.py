@@ -48,6 +48,8 @@ def _merge_si(si_new, si_old, mask):
 
 
 def _medium_phase(scene, medium_idx):
+    if scene.medium_phase.shape[0] == 0:  # medium-free scene
+        return jnp.zeros(medium_idx.shape, jnp.int32)
     return scene.medium_phase[jnp.maximum(medium_idx, 0)]
 
 

@@ -54,6 +54,8 @@ def _spec(scene, spec_idx, wavelengths):
 def medium_intersect_bounds(scene, medium_idx, ray, active):
     """(seg_valid, mint, maxt) clipped to the ray bounds (medium.cpp:48-55)."""
     cfg = scene.config
+    if not cfg.medium_kinds:  # medium-free scene: no valid segments
+        return jnp.zeros(ray.mint.shape, bool), ray.mint, ray.maxt
     kind = scene.medium_kind[medium_idx]
     slot = scene.medium_slot[medium_idx]
     mint = jnp.broadcast_to(ray.mint, ray.mint.shape)
@@ -81,10 +83,12 @@ def medium_intersect_bounds(scene, medium_idx, ray, active):
 def medium_combined_extinction(scene, medium_idx, p, wavelengths):
     """Majorant (per channel) at/for the medium (get_combined_extinction)."""
     cfg = scene.config
-    kind = scene.medium_kind[medium_idx]
-    slot = scene.medium_slot[medium_idx]
     nc = wavelengths.shape[-1] if cfg.variant.is_spectral else cfg.variant.n_channels
     out = jnp.ones(medium_idx.shape + (nc,))
+    if not cfg.medium_kinds:
+        return out
+    kind = scene.medium_kind[medium_idx]
+    slot = scene.medium_slot[medium_idx]
     for k, kname in enumerate(cfg.medium_kinds):
         m = kind == k
         params = scene.media[kname]
@@ -103,12 +107,14 @@ def medium_combined_extinction(scene, medium_idx, p, wavelengths):
 def medium_scattering_coefficients(scene, medium_idx, p, wavelengths):
     """(sigma_s, sigma_n, sigma_t) at world point p."""
     cfg = scene.config
-    kind = scene.medium_kind[medium_idx]
-    slot = scene.medium_slot[medium_idx]
     nc = wavelengths.shape[-1] if cfg.variant.is_spectral else cfg.variant.n_channels
     sigma_s = jnp.zeros(medium_idx.shape + (nc,))
     sigma_t = jnp.zeros(medium_idx.shape + (nc,))
     majorant = medium_combined_extinction(scene, medium_idx, p, wavelengths)
+    if not cfg.medium_kinds:
+        return sigma_s, majorant, sigma_t
+    kind = scene.medium_kind[medium_idx]
+    slot = scene.medium_slot[medium_idx]
     for k, kname in enumerate(cfg.medium_kinds):
         m = kind == k
         params = scene.media[kname]

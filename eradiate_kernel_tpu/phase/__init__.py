@@ -100,10 +100,12 @@ def _sample_cos_theta(kind, params, slot, s1):
 def phase_eval(scene, phase_idx, wi, wo, active=True):
     """Phase value (= pdf) for (wi, wo) world directions; wi = -ray.d."""
     cfg = scene.config
-    kind = scene.phase_kind[phase_idx]
-    slot = scene.phase_slot[phase_idx]
     ct = dot(wi, wo)  # eval_hg(dot(wi, wo)) convention (hg.cpp:80-86)
     out = jnp.zeros(ct.shape)
+    if not cfg.phase_kinds:  # medium-free scene
+        return out
+    kind = scene.phase_kind[phase_idx]
+    slot = scene.phase_slot[phase_idx]
     for k, kname in enumerate(cfg.phase_kinds):
         m = kind == k
         params = scene.phases[kname]
@@ -125,9 +127,12 @@ def phase_eval(scene, phase_idx, wi, wo, active=True):
 def phase_sample(scene, phase_idx, ray_d, s1, s2, active=True):
     """Sample wo (world); returns (wo, pdf). Frame +z = ray.d (hg.cpp:57-76)."""
     cfg = scene.config
+    ct = jnp.zeros(s1.shape)
+    if not cfg.phase_kinds:  # medium-free scene: degenerate sample
+        wo = jnp.broadcast_to(ray_d, s2.shape[:-1] + (3,))
+        return wo, jnp.zeros(s1.shape)
     kind = scene.phase_kind[phase_idx]
     slot = scene.phase_slot[phase_idx]
-    ct = jnp.zeros(s1.shape)
     for k, kname in enumerate(cfg.phase_kinds):
         m = kind == k
         params = scene.phases[kname]

@@ -412,6 +412,14 @@ class SceneBuilder:
                                           "twosided": np.bool_(False)}]
             self.bsdf_table.append(("diffuse", 0))
             self.bsdf_flag_list.append(0)
+        if not self.shape_rows:
+            # pad row so per-shape gathers (shape_bsdf/emitter/family...) are
+            # well-formed in shape-free scenes; family=-1 never matches any
+            # intersection family, so it is unreachable from valid hits
+            self.shape_rows.append(dict(
+                family=-1, prim_slot=0, bsdf=0, emitter=-1,
+                interior=-1, exterior=-1, area=1.0,
+                face_offset=0, face_count=0))
         emitter_kinds = tuple(self.emitter_rows.keys())
         medium_kinds = tuple(self.media_rows.keys())
         phase_kinds = tuple(self.phase_rows.keys())
