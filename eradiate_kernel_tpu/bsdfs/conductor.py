@@ -1,0 +1,78 @@
+"""Perfectly smooth conductor (reference: src/bsdfs/conductor.cpp).
+
+Params: eta, k — spectrum indices (complex relative IOR); material presets
+from fresnel.CONDUCTOR_PRESETS; specular_reflectance — texture index.
+Default material is "none" (perfect mirror, conductor.cpp docs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..render import fresnel as fr
+from ..render.texture import scene_spectrum_eval, texture_eval
+from . import common
+
+FLAGS = common.DeltaReflection | common.FrontSide
+
+
+def _eta_k(props, builder):
+    def unbounded(v):
+        # eta/k exceed 1, which the srgb-upsampling placeholder for rgb
+        # triples clamps away in spectral mode — fall back to the mean there
+        if builder.variant.is_spectral and isinstance(v, (list, tuple)):
+            return builder.spectrum({"type": "uniform",
+                                     "value": float(np.mean(v))})
+        return builder.spectrum(v)
+
+    mat = props.get("material", "none")
+    if "eta" in props or "k" in props:
+        eta = unbounded(props.get("eta", 0.0))
+        k = unbounded(props.get("k", 1.0))
+    else:
+        eta_rgb, k_rgb = fr.CONDUCTOR_PRESETS[mat.lower()]
+        eta = unbounded(list(eta_rgb))
+        k = unbounded(list(k_rgb))
+    return eta, k
+
+
+def build(props, builder):
+    eta, k = _eta_k(props, builder)
+    return {
+        "eta": np.int32(eta),
+        "k": np.int32(k),
+        "specular_reflectance": np.int32(
+            builder.texture(props.get("specular_reflectance", 1.0))),
+        "twosided": builder.twosided_flag(props),
+    }
+
+
+def _fresnel_term(scene, params, slot, si, cos_i, active):
+    eta = scene_spectrum_eval(scene, params["eta"][slot], si.wavelengths)
+    k = scene_spectrum_eval(scene, params["k"][slot], si.wavelengths)
+    f = fr.fresnel_conductor(cos_i, eta, k)
+    refl = texture_eval(scene, params["specular_reflectance"][slot], si.uv,
+                        si.wavelengths, active)
+    return f * refl
+
+
+def sample(scene, params, slot, si, s1, s2, active, mode=common.RADIANCE):
+    two = params["twosided"][slot]
+    wi, flip = common.twosided_frame(two, si.wi)
+    cos_i = wi[..., 2]
+    act = active & (cos_i > 0.0)
+    wo = fr.reflect(wi)
+    weight = _fresnel_term(scene, params, slot, si, cos_i, act)
+    bs = common.BSDFSample(
+        wo=jnp.where(flip[..., None], common.flip_z(wo), wo),
+        pdf=jnp.where(act, 1.0, 0.0),
+        eta=jnp.ones_like(cos_i),
+        sampled_type=jnp.full(cos_i.shape, FLAGS, jnp.uint32))
+    return bs, jnp.where(act[..., None], weight, 0.0)
+
+
+def eval_pdf(scene, params, slot, si, wo, active, mode=common.RADIANCE):
+    nc = si.wavelengths.shape[-1] if scene.config.variant.is_spectral \
+        else scene.config.variant.n_channels
+    return jnp.zeros(si.t.shape + (nc,)), jnp.zeros(si.t.shape)

@@ -139,6 +139,15 @@ def d65_approx(wavelengths):
 #   'bitmap':       data (n, H, W, C) padded, spec of nothing; raw rgb
 
 
+def scene_spectrum_eval(scene, spec_idx, wavelengths):
+    """Evaluate a spectrum index directly (no texture indirection) — used for
+    non-spatially-varying quantities like conductor eta/k."""
+    cfg = scene.config
+    return spectrum_eval(scene.spectra, scene.spec_kind[spec_idx],
+                         scene.spec_slot[spec_idx], cfg.spectrum_kinds,
+                         wavelengths, cfg.variant.n_channels)
+
+
 def texture_eval(scene, tex_index, si_uv, wavelengths, active=True):
     """Evaluate texture objects per lane -> (..., nc)."""
     cfg = scene.config
