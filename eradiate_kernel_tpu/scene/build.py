@@ -22,7 +22,112 @@ from .scene import IntegratorConfig, Scene, SceneConfig
 _SHAPE_TYPES = ("rectangle", "disk", "sphere", "cylinder", "cube", "mesh",
                 "obj", "ply")
 _EMITTER_SCENE_TYPES = ("constant", "point", "directional")
-_SENSOR_TYPES = ("perspective", "thinlens", "radiancemeter")
+_SENSOR_TYPES = ("perspective", "thinlens", "radiancemeter", "mradiancemeter",
+                 "distant", "mdistant", "distantflux", "irradiancemeter")
+
+
+def _build_srf(spec, params):
+    """Discretize a spectral response function onto a uniform grid and build
+    the piecewise-constant sampling CDF (perspective.cpp:106-180 srf
+    importance sampling). Adds srf_nodes/srf_cdf/srf_integral to params."""
+    K = 257
+    t = spec["type"]
+    if t == "uniform":
+        lo, hi = spec.get("lambda_min", 360.0), spec.get("lambda_max", 830.0)
+        nodes = np.linspace(lo, hi, K)
+        vals = np.full(K, float(spec.get("value", 1.0)))
+    elif t == "regular":
+        lo, hi = spec["lambda_min"], spec["lambda_max"]
+        src = np.asarray(spec["values"], np.float64)
+        nodes = np.linspace(lo, hi, K)
+        vals = np.interp(nodes, np.linspace(lo, hi, len(src)), src)
+    elif t == "irregular":
+        wav = np.asarray(spec["wavelengths"], np.float64)
+        src = np.asarray(spec["values"], np.float64)
+        nodes = np.linspace(wav[0], wav[-1], K)
+        vals = np.interp(nodes, wav, src)
+    else:
+        raise ValueError(f"unsupported srf spectrum type {t!r}")
+    # piecewise-constant cell masses -> exact linear CDF inversion
+    cell = 0.5 * (vals[1:] + vals[:-1]) * np.diff(nodes)
+    integral = float(cell.sum())
+    cdf = np.concatenate([[0.0], np.cumsum(cell)]) / max(integral, 1e-30)
+    params["srf_nodes"] = jnp.asarray(nodes, jnp.float32)
+    params["srf_cdf"] = jnp.asarray(cdf, jnp.float32)
+    params["srf_integral"] = jnp.asarray(integral, jnp.float32)
+
+
+def _build_sensor(b, t, val, film_cfg):
+    """Build (sensor_params, sensor_static) for sensor type ``t``."""
+    tw = as_transform(val.get("to_world"))
+    params = {}
+    static = {}
+    if t in ("perspective", "thinlens"):
+        fov = float(val.get("fov", 34.0))
+        params["to_world"] = tw
+        params["tan_half_fov"] = jnp.asarray(np.tan(np.deg2rad(fov) / 2),
+                                             jnp.float32)
+        if t == "thinlens":
+            params["aperture_radius"] = jnp.asarray(
+                float(val.get("aperture_radius", 0.1)), jnp.float32)
+            params["focus_distance"] = jnp.asarray(
+                float(val.get("focus_distance", 1.0)), jnp.float32)
+    elif t == "radiancemeter":
+        params["to_world"] = tw
+    elif t == "mradiancemeter":
+        origins = np.asarray(val["origins"], np.float32).reshape(-1, 3)
+        directions = np.asarray(val["directions"], np.float32).reshape(-1, 3)
+        assert len(origins) == len(directions)
+        params["origins"] = jnp.asarray(origins)
+        params["directions"] = jnp.asarray(directions)
+        film_cfg["width"] = len(origins)
+        film_cfg["height"] = 1
+        film_cfg["rfilter"] = "box"
+    elif t == "distant":
+        params["to_world"] = tw
+        params["direction"] = jnp.asarray(
+            np.asarray(val.get("direction", [0, 0, -1]), np.float32))
+        if "target" in val:
+            params["target"] = jnp.asarray(
+                np.asarray(val["target"], np.float32))
+            static["target_mode"] = "point"
+        else:
+            static["target_mode"] = "none"
+        w, h = film_cfg["width"], film_cfg["height"]
+        static["direction_mode"] = ("single" if (w, h) == (1, 1)
+                                    else "plane" if h == 1 else "hemisphere")
+    elif t == "mdistant":
+        directions = np.asarray(val["directions"], np.float32).reshape(-1, 3)
+        params["directions"] = jnp.asarray(directions)
+        if "target" in val:
+            params["target"] = jnp.asarray(
+                np.asarray(val["target"], np.float32))
+            static["target_mode"] = "point"
+        else:
+            static["target_mode"] = "none"
+        film_cfg["width"] = len(directions)
+        film_cfg["height"] = 1
+        film_cfg["rfilter"] = "box"
+    elif t == "distantflux":
+        params["to_world"] = tw
+        if "target" in val:
+            params["target"] = jnp.asarray(
+                np.asarray(val["target"], np.float32))
+            static["target_mode"] = "point"
+        else:
+            static["target_mode"] = "none"
+    elif t == "irradiancemeter":
+        sh = val.get("shape")
+        assert isinstance(sh, dict) and sh.get("type") == "ref", \
+            "irradiancemeter needs {'shape': {'type': 'ref', 'id': <name>}}"
+        kind, idx = b.named[sh["id"]]
+        assert kind == "shape"
+        params["shape"] = jnp.asarray(np.int32(idx))
+    else:
+        raise ValueError(f"unknown sensor type {t!r}")
+    if "srf" in val:
+        _build_srf(val["srf"], params)
+    return params, tuple(sorted(static.items()))
 
 
 def _cie_rgb_of_spectrum(eval_fn, emitter: bool) -> np.ndarray:
@@ -512,7 +617,8 @@ class SceneBuilder:
             film_width=film_cfg["width"], film_height=film_cfg["height"],
             rfilter=film_cfg.get("rfilter", "gaussian"),
             rfilter_params=tuple(sorted(film_cfg.get("rfilter_params", {}).items())),
-            integrator=integrator_cfg, spp=spp)
+            integrator=integrator_cfg, spp=spp,
+            sensor_static=getattr(self, "sensor_static", ()))
 
         bitmaps = (np.stack(self.bitmaps) if self.bitmaps
                    else np.zeros((1, 1, 1, 3), np.float32))
@@ -677,6 +783,7 @@ def load_dict(d: dict, variant: Variant | None = None) -> Scene:
     integrator_cfg = IntegratorConfig()
     sensor_kind = "perspective"
     sensor_params = None
+    pending_sensor = None
     film_cfg = {"width": 64, "height": 64, "rfilter": "gaussian"}
     spp = 16
 
@@ -693,11 +800,14 @@ def load_dict(d: dict, variant: Variant | None = None) -> Scene:
             continue
         t = val.get("type")
         if t in _SHAPE_TYPES:
-            _build_shape(b, val)
+            idx = _build_shape(b, val)
+            b.named[key] = ("shape", idx)
         elif t in _EMITTER_SCENE_TYPES:
             _build_scene_emitter(b, val)
         elif t in _SENSOR_TYPES:
+            # defer building until all shapes exist (irradiancemeter refs)
             sensor_kind = t
+            pending_sensor = val
             film = val.get("film", {})
             film_cfg["width"] = int(film.get("width", 64))
             film_cfg["height"] = int(film.get("height", 64))
@@ -708,18 +818,6 @@ def load_dict(d: dict, variant: Variant | None = None) -> Scene:
                                               if k != "type"}
             sampler = val.get("sampler", {})
             spp = int(sampler.get("sample_count", 16))
-            tw = as_transform(val.get("to_world"))
-            fov = float(val.get("fov", 34.0))
-            sensor_params = {
-                "to_world": tw,
-                "tan_half_fov": jnp.asarray(np.tan(np.deg2rad(fov) / 2),
-                                            jnp.float32),
-            }
-            if t == "thinlens":
-                sensor_params["aperture_radius"] = jnp.asarray(
-                    float(val.get("aperture_radius", 0.1)), jnp.float32)
-                sensor_params["focus_distance"] = jnp.asarray(
-                    float(val.get("focus_distance", 1.0)), jnp.float32)
             if "medium" in val:
                 b.sensor_medium = b.medium(val["medium"])
         elif t in ("path", "direct", "depth", "volpath", "aov", "moment"):
@@ -739,6 +837,9 @@ def load_dict(d: dict, variant: Variant | None = None) -> Scene:
         else:
             raise ValueError(f"unhandled scene entry {key!r} of type {t!r}")
 
+    if pending_sensor is not None:
+        sensor_params, b.sensor_static = _build_sensor(
+            b, sensor_kind, pending_sensor, film_cfg)
     if sensor_params is None:
         sensor_params = {
             "to_world": Transform.look_at([0, 0, -4], [0, 0, 0], [0, 1, 0]),

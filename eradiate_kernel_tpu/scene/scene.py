@@ -47,6 +47,7 @@ class SceneConfig:
     integrator: IntegratorConfig
     spp: int
     sensor_medium: int = -1  # medium the sensor is embedded in
+    sensor_static: tuple = ()  # hashable ((key, value), ...) sensor statics
 
 
 @pytree_dataclass(static_fields=("config",))

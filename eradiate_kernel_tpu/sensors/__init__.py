@@ -1,9 +1,17 @@
 """Sensor plugins.
 
 Counterpart of include/mitsuba/render/sensor.h and src/sensors. Each kind is a
-module-level function set; ``sample_ray(scene, params, pos_film, s_aperture,
-s_time, s_wavelength)`` maps film-plane positions in [0,1)^2 plus aux samples
-to a primary Ray and a spectral importance weight (sensor.cpp:30-80).
+module-level function; ``sample_ray(scene, sampler, pos_film, time)`` maps
+film-plane positions in [0,1)^2 plus aux samples to a primary Ray and a
+spectral importance weight (sensor.cpp:30-80).
+
+The Eradiate suite (distant / mdistant / mradiancemeter / distantflux) records
+radiance *leaving* the scene: rays start outside the bounding sphere and
+travel along fixed directions. Wavelengths follow the sensor's spectral
+response function (``srf``) when one is attached (perspective.cpp:106-180):
+hero wavelengths are importance-sampled from the srf and the constant
+importance weight equals its integral, so the film records the
+srf-convolved radiance.
 """
 
 from __future__ import annotations
@@ -11,19 +19,43 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..core import spectrum as sp
-from ..core.math import normalize
+from ..core import warp
+from ..core.math import coordinate_system, normalize
 from ..core.ray import Ray
 from ..core.transform import Transform
 
 
-def _wavelengths(scene, sampler, batch):
+def _sample_srf(params, s):
+    """Invert the piecewise-linear srf CDF for stratified hero wavelengths.
+    Returns (wavelengths (..., 4), weight (..., 4) = srf integral)."""
+    nodes = params["srf_nodes"]      # (K,) wavelengths
+    cdf = params["srf_cdf"]          # (K,) normalized CDF, cdf[0]=0, [-1]=1
+    integral = params["srf_integral"]  # () integral of srf over wavelength
+    ws = sp.sample_shifted(s)        # (..., 4)
+    idx = jnp.clip(jnp.searchsorted(cdf, ws, side="right") - 1,
+                   0, nodes.shape[0] - 2)
+    c0 = cdf[idx]
+    c1 = cdf[idx + 1]
+    f = (ws - c0) / jnp.maximum(c1 - c0, 1e-12)
+    lam = nodes[idx] * (1.0 - f) + nodes[idx + 1] * f
+    return lam, jnp.broadcast_to(integral, lam.shape)
+
+
+def _wavelengths(scene, sampler, batch, params=None):
     cfg = scene.config
     sampler, s_wavelength = sampler.next_1d()
     if cfg.variant.is_spectral:
-        wl, weight = sp.sample_wavelength(s_wavelength)
+        if params is not None and "srf_nodes" in params:
+            wl, weight = _sample_srf(params, s_wavelength)
+        else:
+            wl, weight = sp.sample_wavelength(s_wavelength)
         return wl, weight, sampler
     return (jnp.zeros(batch + (0,)),
             jnp.ones(batch + (cfg.variant.n_channels,)), sampler)
+
+
+def _static(scene, key, default=None):
+    return dict(scene.config.sensor_static).get(key, default)
 
 
 def perspective_sample_ray(scene, params, sampler, pos_film, time):
@@ -43,15 +75,13 @@ def perspective_sample_ray(scene, params, sampler, pos_film, time):
     d = tw.transform_vector(d_cam)
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     o = jnp.broadcast_to(tw.translation, batch + (3,))
-    wl, weight, sampler = _wavelengths(scene, sampler, batch)
+    wl, weight, sampler = _wavelengths(scene, sampler, batch, params)
     ray = Ray.make(o, d, time=time, wavelengths=wl)
     return ray, weight, sampler
 
 
 def thinlens_sample_ray(scene, params, sampler, pos_film, time):
     """src/sensors/thinlens.cpp — perspective + finite aperture/focus."""
-    from ..core import warp
-
     batch = pos_film.shape[:-1]
     tw: Transform = params["to_world"]
     tan_x = params["tan_half_fov"]
@@ -69,7 +99,7 @@ def thinlens_sample_ray(scene, params, sampler, pos_film, time):
     o = tw.transform_affine_point(o_cam)
     d = tw.transform_vector(d_cam2)
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    wl, weight, sampler = _wavelengths(scene, sampler, batch)
+    wl, weight, sampler = _wavelengths(scene, sampler, batch, params)
     return Ray.make(o, d, time=time, wavelengths=wl), weight, sampler
 
 
@@ -80,38 +110,107 @@ def radiancemeter_sample_ray(scene, params, sampler, pos_film, time):
     o = jnp.broadcast_to(tw.translation, batch + (3,))
     d = jnp.broadcast_to(
         normalize(tw.transform_vector(jnp.asarray([0.0, 0.0, 1.0]))), batch + (3,))
-    wl, weight, sampler = _wavelengths(scene, sampler, batch)
+    wl, weight, sampler = _wavelengths(scene, sampler, batch, params)
     return Ray.make(o, d, time=time, wavelengths=wl), weight, sampler
 
 
-def distant_sample_ray(scene, params, sampler, pos_film, time):
-    """[ERADIATE] src/sensors/distant.cpp:290-385 — records radiance leaving
-    the scene along a fixed direction. Default target/origin mode: rays aim
-    at the bounding-sphere cross-section perpendicular to the direction and
-    start one bounding-sphere radius outside (RayTargetType::None +
-    RayOriginType::BoundingSphere). Single-direction films (1x1)."""
-    from ..core import warp
-    from ..core.math import coordinate_system
-
+def mradiancemeter_sample_ray(scene, params, sampler, pos_film, time):
+    """[ERADIATE] src/sensors/mradiancemeter.cpp — N independent radiance
+    meters, one film pixel each (film = Nx1). params: origins (N, 3),
+    directions (N, 3)."""
     batch = pos_film.shape[:-1]
-    d = normalize(params["direction"])
-    d = jnp.broadcast_to(d, batch + (3,))
-    s, t = coordinate_system(d)
-    sampler, s_aperture = sampler.next_2d()
-    offset = warp.square_to_uniform_disk_concentric(s_aperture)
+    W = scene.config.film_width
+    idx = jnp.clip((pos_film[..., 0] * W).astype(jnp.int32), 0, W - 1)
+    o = params["origins"][idx]
+    d = normalize(params["directions"][idx])
+    wl, weight, sampler = _wavelengths(scene, sampler, batch, params)
+    return Ray.make(o, d, time=time, wavelengths=wl), weight, sampler
+
+
+def _distant_origin(scene, sampler, d, target_mode, params):
+    """Shared distant-ray construction: pick the target point, then start one
+    diameter upstream of it (distant.cpp:301-385, RayOriginType::BoundingSphere).
+    Returns (origin, target, sampler)."""
     r = scene.bsphere_radius
-    target = scene.bsphere_center + (s * offset[..., 0:1]
-                                     + t * offset[..., 1:2]) * r
-    o = target - d * r
-    wl, weight, sampler = _wavelengths(scene, sampler, batch)
+    if target_mode == "point":
+        target = jnp.broadcast_to(params["target"], d.shape)
+    else:  # 'none': uniform over the bounding-sphere cross-section disk
+        s, t = coordinate_system(d)
+        sampler, s_aperture = sampler.next_2d()
+        offset = warp.square_to_uniform_disk_concentric(s_aperture)
+        target = scene.bsphere_center + (s * offset[..., 0:1]
+                                         + t * offset[..., 1:2]) * r
+    o = target - d * (2.0 * r)
+    return o, target, sampler
+
+
+def distant_sample_ray(scene, params, sampler, pos_film, time):
+    """[ERADIATE] src/sensors/distant.cpp — records radiance leaving the scene.
+
+    Direction mode is picked by the film size (distant.cpp:74-85):
+      1x1  single   — the fixed ``direction``
+      Nx1  plane    — arc in the to_world x-z plane, theta = pi*(u - 1/2)
+      NxM  hemisphere — film square warped over the -z hemisphere of to_world
+    Target: full bounding-sphere cross-section ('none', default) or a fixed
+    point; rays start one bounding-sphere diameter upstream (distant.cpp:49-67).
+    """
+    batch = pos_film.shape[:-1]
+    mode = _static(scene, "direction_mode", "single")
+    target_mode = _static(scene, "target_mode", "none")
+    if mode == "single":
+        d = normalize(params["direction"])
+        d = jnp.broadcast_to(d, batch + (3,))
+    elif mode == "plane":
+        tw: Transform = params["to_world"]
+        theta = jnp.pi * (pos_film[..., 0] - 0.5)
+        d_local = jnp.stack([jnp.sin(theta), jnp.zeros_like(theta),
+                             jnp.cos(theta)], -1)
+        d = normalize(tw.transform_vector(-d_local))
+    else:  # hemisphere
+        tw: Transform = params["to_world"]
+        d_local = warp.square_to_uniform_hemisphere(pos_film)
+        d = normalize(tw.transform_vector(-d_local))
+    o, _target, sampler = _distant_origin(scene, sampler, d, target_mode, params)
+    wl, weight, sampler = _wavelengths(scene, sampler, batch, params)
+    return Ray.make(o, d, time=time, wavelengths=wl), weight, sampler
+
+
+def mdistant_sample_ray(scene, params, sampler, pos_film, time):
+    """[ERADIATE] src/sensors/mdistant.cpp:69-279 — multi-direction distant
+    sensor: film pixel x records radiance leaving along directions[x]."""
+    batch = pos_film.shape[:-1]
+    W = scene.config.film_width
+    idx = jnp.clip((pos_film[..., 0] * W).astype(jnp.int32), 0, W - 1)
+    d = normalize(params["directions"][idx])
+    target_mode = _static(scene, "target_mode", "none")
+    o, _target, sampler = _distant_origin(scene, sampler, d, target_mode, params)
+    wl, weight, sampler = _wavelengths(scene, sampler, batch, params)
+    return Ray.make(o, d, time=time, wavelengths=wl), weight, sampler
+
+
+def distantflux_sample_ray(scene, params, sampler, pos_film, time):
+    """[ERADIATE] src/sensors/distantflux.cpp — hemispherical exitant flux.
+
+    The film square is warped over the -z hemisphere of to_world with the
+    cosine warp; each sample carries weight pi / (W*H) so the film SUM equals
+    the hemispherical flux  F = int L(d) cos(theta) dd  (pixels are the
+    cosine-warp strata of the hemisphere)."""
+    batch = pos_film.shape[:-1]
+    tw: Transform = params["to_world"]
+    d_local = warp.square_to_cosine_hemisphere(pos_film)
+    d = normalize(tw.transform_vector(-d_local))
+    target_mode = _static(scene, "target_mode", "none")
+    o, _target, sampler = _distant_origin(scene, sampler, d, target_mode, params)
+    wl, weight, sampler = _wavelengths(scene, sampler, batch, params)
+    n_pix = scene.config.film_width * scene.config.film_height
+    weight = weight * (jnp.pi / n_pix)
     return Ray.make(o, d, time=time, wavelengths=wl), weight, sampler
 
 
 def irradiancemeter_sample_ray(scene, params, sampler, pos_film, time):
-    """[ERADIATE-adjacent] src/sensors/irradiancemeter.cpp:60-110 — cosine-
-    weighted rays from the surface of an attached shape; weight pi converts
-    the cosine-hemisphere estimator to irradiance."""
-    from ..core import warp
+    """src/sensors/irradiancemeter.cpp:60-110 — cosine-weighted rays from the
+    surface of an attached shape; weight pi converts the cosine-hemisphere
+    estimator to irradiance."""
     from ..core.frame import Frame
     from ..render import shape_sampling
 
@@ -123,7 +222,7 @@ def irradiancemeter_sample_ray(scene, params, sampler, pos_film, time):
     ps = shape_sampling.sample_position(scene, shape_idx, s_face, s_pos)
     local = warp.square_to_cosine_hemisphere(s_dir)
     d = Frame.from_normal(ps.n).to_world(local)
-    wl, weight, sampler = _wavelengths(scene, sampler, batch)
+    wl, weight, sampler = _wavelengths(scene, sampler, batch, params)
     return Ray.make(ps.p + ps.n * 1e-4, d, time=time, wavelengths=wl), \
         weight * jnp.pi, sampler
 
@@ -132,9 +231,17 @@ REGISTRY = {
     "perspective": perspective_sample_ray,
     "thinlens": thinlens_sample_ray,
     "radiancemeter": radiancemeter_sample_ray,
+    "mradiancemeter": mradiancemeter_sample_ray,
     "distant": distant_sample_ray,
+    "mdistant": mdistant_sample_ray,
+    "distantflux": distantflux_sample_ray,
     "irradiancemeter": irradiancemeter_sample_ray,
 }
+
+
+def register_sensor(name, fn):
+    """Extension hook (sensor trampoline analog, integrator_v.cpp:167)."""
+    REGISTRY[name] = fn
 
 
 def sample_ray(scene, sampler, pos_film, time):

@@ -273,6 +273,108 @@ def WarpAdapter(warp_fn, pdf_fn, sample_dim=2):
     return sample_func, pdf_func
 
 
+def BSDFAdapter(bsdf_dict, wi=(0.3, -0.2, 0.9), variant=None):
+    """chi2 adapter for a BSDF kind (reference: chi2.py:478 BSDFAdapter).
+
+    Builds a one-rectangle scene around ``bsdf_dict``, fabricates a fixed-wi
+    SurfaceInteraction wavefront, and exposes (sample_func, pdf_func) in the
+    local shading frame (= world frame of the canonical rectangle). Delta
+    lobes are excluded from the histogram via their sampled_type flags (the
+    chi2 compares the smooth component only, like the reference which relies
+    on the pdf covering the sampled measure)."""
+    import numpy as np
+
+    from .. import bsdfs
+    from ..core.types import Variant
+    from ..render.records import SurfaceInteraction
+    from ..core.frame import Frame
+    from ..scene import load_dict
+
+    variant = variant or Variant("rgb")
+    scene = load_dict({
+        "type": "scene",
+        "sensor": {"type": "perspective", "film": {"width": 2, "height": 2}},
+        "rect": {"type": "rectangle", "bsdf": bsdf_dict},
+    }, variant)
+    wi = np.asarray(wi, np.float64)
+    wi = wi / np.linalg.norm(wi)
+
+    def make_si(n):
+        z = jnp.zeros(n)
+        return SurfaceInteraction(
+            t=jnp.ones(n), p=jnp.zeros((n, 3)),
+            n=jnp.zeros((n, 3)).at[:, 2].set(1.0),
+            sh_frame=Frame.from_normal(jnp.zeros((n, 3)).at[:, 2].set(1.0)),
+            uv=jnp.full((n, 2), 0.5),
+            dp_du=jnp.zeros((n, 3)).at[:, 0].set(1.0),
+            dp_dv=jnp.zeros((n, 3)).at[:, 1].set(1.0),
+            wi=jnp.broadcast_to(jnp.asarray(wi, jnp.float32), (n, 3)),
+            wavelengths=(jnp.full((n, 4), 550.0) if variant.is_spectral
+                         else jnp.zeros((n, 0))),
+            time=z, prim_index=jnp.zeros(n, jnp.int32),
+            shape_index=jnp.zeros(n, jnp.int32))
+
+    bsdf_idx_of = lambda n: scene.shape_bsdf[jnp.zeros(n, jnp.int32)]
+
+    def sample_func(sampler):
+        n = sampler.k0.shape[0]
+        si = make_si(n)
+        sampler, s1 = sampler.next_1d()
+        sampler, s2 = sampler.next_2d()
+        bs, w = bsdfs.bsdf_sample(scene, bsdf_idx_of(n), si, s1, s2,
+                                  jnp.ones(n, bool))
+        from ..bsdfs import common as bc
+        smooth = (bs.sampled_type & bc.Delta) == 0
+        ok = (bs.pdf > 0) & smooth & jnp.any(w > 0, -1)
+        return np.asarray(bs.wo), np.asarray(ok.astype(jnp.float32))
+
+    def pdf_func(pts):
+        n = pts.shape[0]
+        si = make_si(n)
+        _, pdf = bsdfs.bsdf_eval_pdf(scene, bsdf_idx_of(n), si,
+                                     jnp.asarray(pts, jnp.float32),
+                                     jnp.ones(n, bool))
+        return pdf
+
+    return sample_func, pdf_func
+
+
+def PhaseFunctionAdapter(phase_dict, wi=(0.0, 0.0, 1.0), variant=None):
+    """chi2 adapter for a phase-function kind (chi2.py:558)."""
+    import numpy as np
+
+    from ..core.types import Variant
+    from ..phase import phase_eval, phase_sample
+    from ..scene import load_dict
+
+    variant = variant or Variant("rgb")
+    scene = load_dict({
+        "type": "scene",
+        "sensor": {"type": "perspective", "film": {"width": 2, "height": 2}},
+        "rect": {"type": "rectangle",
+                 "interior": {"type": "homogeneous", "sigma_t": 1.0,
+                              "phase": phase_dict}},
+    }, variant)
+    ray_d = np.asarray(wi, np.float64)
+    ray_d = ray_d / np.linalg.norm(ray_d)
+
+    def sample_func(sampler):
+        n = sampler.k0.shape[0]
+        sampler, s1 = sampler.next_1d()
+        sampler, s2 = sampler.next_2d()
+        d = jnp.broadcast_to(jnp.asarray(ray_d, jnp.float32), (n, 3))
+        wo, _pdf = phase_sample(scene, jnp.zeros(n, jnp.int32), d, s1, s2)
+        return np.asarray(wo)
+
+    def pdf_func(pts):
+        n = pts.shape[0]
+        d = jnp.broadcast_to(jnp.asarray(ray_d, jnp.float32), (n, 3))
+        return phase_eval(scene, jnp.zeros(n, jnp.int32), -d,
+                          jnp.asarray(pts, jnp.float32))
+
+    return sample_func, pdf_func
+
+
 def SpectrumAdapter(sample_fn, pdf_fn):
     """1D wavelength-sampling adapter (chi2.py:442)."""
 
