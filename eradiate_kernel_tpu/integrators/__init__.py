@@ -49,7 +49,7 @@ def render_wavefront(scene, lane_offset, n_lanes, seed, spp):
     px = (pixel % W).astype(jnp.float32)
     py = (pixel // W).astype(jnp.float32)
 
-    sampler = Sampler.seed(seed, lane)
+    sampler = Sampler.seed(seed, lane, kind=cfg.sampler_kind, spp=spp)
     sampler, jitter = sampler.next_2d()
     pos = jnp.stack([px, py], -1) + jitter  # continuous pixel coords
     pos_film = pos / jnp.asarray([W, H], jnp.float32)

@@ -618,7 +618,8 @@ class SceneBuilder:
             rfilter=film_cfg.get("rfilter", "gaussian"),
             rfilter_params=tuple(sorted(film_cfg.get("rfilter_params", {}).items())),
             integrator=integrator_cfg, spp=spp,
-            sensor_static=getattr(self, "sensor_static", ()))
+            sensor_static=getattr(self, "sensor_static", ()),
+            sampler_kind=getattr(self, "sampler_kind", "independent"))
 
         bitmaps = (np.stack(self.bitmaps) if self.bitmaps
                    else np.zeros((1, 1, 1, 3), np.float32))
@@ -818,6 +819,7 @@ def load_dict(d: dict, variant: Variant | None = None) -> Scene:
                                               if k != "type"}
             sampler = val.get("sampler", {})
             spp = int(sampler.get("sample_count", 16))
+            b.sampler_kind = sampler.get("type", "independent")
             if "medium" in val:
                 b.sensor_medium = b.medium(val["medium"])
         elif t in ("path", "direct", "depth", "volpath", "aov", "moment"):

@@ -48,6 +48,7 @@ class SceneConfig:
     spp: int
     sensor_medium: int = -1  # medium the sensor is embedded in
     sensor_static: tuple = ()  # hashable ((key, value), ...) sensor statics
+    sampler_kind: str = "independent"
 
 
 @pytree_dataclass(static_fields=("config",))
