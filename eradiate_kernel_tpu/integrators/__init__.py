@@ -16,14 +16,29 @@ from ..core import spectrum as sp
 from ..core.rng import Sampler
 from .. import sensors
 from ..films import N_BASE_CHANNELS, develop, film_put
-from . import depth, direct, path, volpath
+from . import aov, depth, direct, moment, path, volpath
+from .bins import bins, nbins
 
 REGISTRY = {
     "path": path,
     "direct": direct,
     "depth": depth,
     "volpath": volpath,
+    "aov": aov,
+    "moment": moment,
+    "bins": bins,
+    "nbins": nbins,
 }
+
+
+def n_aov(cfg):
+    mod = REGISTRY[cfg.integrator.kind]
+    return mod.n_aov(cfg) if hasattr(mod, "n_aov") else 0
+
+
+def aov_names(cfg):
+    mod = REGISTRY[cfg.integrator.kind]
+    return mod.aov_names(cfg) if hasattr(mod, "aov_names") else []
 
 
 def register_integrator(name, module):
@@ -58,7 +73,13 @@ def render_wavefront(scene, lane_offset, n_lanes, seed, spp):
     ray, ray_weight, sampler = sensors.sample_ray(scene, sampler, pos_film, time)
 
     integrator = REGISTRY[cfg.integrator.kind]
-    spec, valid, sampler = integrator.sample(scene, sampler, ray)
+    extra = n_aov(cfg)
+    if extra:
+        spec, valid, sampler, aovs = integrator.sample_aov(
+            scene, sampler, ray, ray_weight)
+    else:
+        spec, valid, sampler = integrator.sample(scene, sampler, ray)
+        aovs = jnp.zeros(spec.shape[:-1] + (0,))
     spec = spec * ray_weight
 
     if cfg.variant.is_spectral:
@@ -72,20 +93,24 @@ def render_wavefront(scene, lane_offset, n_lanes, seed, spp):
         xyz,
         jnp.where(valid, 1.0, 0.0)[..., None],
         jnp.ones((n_lanes, 1)),
+        aovs,
     ], axis=-1)
     values = jnp.where(lane_ok[..., None], values, 0.0)
 
-    image = jnp.zeros((H, W, N_BASE_CHANNELS))
+    image = jnp.zeros((H, W, N_BASE_CHANNELS + extra))
     rp = dict(cfg.rfilter_params)
     image = film_put(image, pos, values, cfg.rfilter, rp)
     return image
 
 
-def render(scene, seed=0, spp=None, samples_per_pass=None, develop_film=True):
+def render(scene, seed=0, spp=None, samples_per_pass=None, develop_film=True,
+           return_aovs=False):
     """Full render: multi-pass wavefront accumulation (integrator.cpp:59-65).
 
-    Returns the developed image (H, W, 3|1) or the raw film if
-    ``develop_film=False``.
+    Returns the developed image (H, W, 3|1); with ``return_aovs=True`` also a
+    {name: (H, W) array} dict of the integrator's weight-normalized AOV
+    channels (aov.cpp/moment.cpp outputs). ``develop_film=False`` returns the
+    raw film instead.
     """
     cfg = scene.config
     spp = spp or cfg.spp
@@ -95,13 +120,21 @@ def render(scene, seed=0, spp=None, samples_per_pass=None, develop_film=True):
         samples_per_pass = min(total, 1 << 22)
     n_passes = -(-total // samples_per_pass)
 
-    film = jnp.zeros((H, W, N_BASE_CHANNELS))
+    extra = n_aov(cfg)
+    film = jnp.zeros((H, W, N_BASE_CHANNELS + extra))
     run = jax.jit(render_wavefront, static_argnames=("n_lanes", "spp"))
     for p in range(n_passes):
         off = p * samples_per_pass
         n = min(samples_per_pass, total - off)
         film = film + run(scene, jnp.uint32(off), n, seed, spp)
-    if develop_film:
-        mode = "mono" if cfg.variant.is_monochromatic else "rgb"
-        return develop(film, mode)
-    return film
+    if not develop_film:
+        return film
+    mode = "mono" if cfg.variant.is_monochromatic else "rgb"
+    img = develop(film[..., :N_BASE_CHANNELS], mode)
+    if not return_aovs:
+        return img
+    w = jnp.maximum(film[..., 4:5], 1e-12)
+    aov_img = film[..., N_BASE_CHANNELS:] / w
+    aovs = {name: aov_img[..., i]
+            for i, name in enumerate(aov_names(cfg))}
+    return img, aovs

@@ -1,0 +1,84 @@
+"""AOV wrapper integrator (reference: src/integrators/aov.cpp:65-99).
+
+Wraps a child integrator and appends arbitrary-output-variable channels to
+the film. AOV spec string: "name:type,name:type,..." with types
+depth | position | uv | geo_normal | sh_normal | prim_index | shape_index.
+The child integrator runs as usual; AOVs come from the camera-ray hit.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..render.geometry import ray_intersect
+
+_TYPE_CHANNELS = {
+    "depth": 1, "position": 3, "uv": 2, "geo_normal": 3, "sh_normal": 3,
+    "prim_index": 1, "shape_index": 1,
+}
+
+
+def parse_aovs(cfg):
+    """[(name, type), ...] from the integrator config's extra tuple."""
+    extra = dict(cfg.integrator.extra)
+    spec = extra.get("aovs", "")
+    out = []
+    for part in str(spec).split(","):
+        part = part.strip()
+        if not part:
+            continue
+        name, ty = part.split(":")
+        assert ty in _TYPE_CHANNELS, f"unknown aov type {ty!r}"
+        out.append((name.strip(), ty.strip()))
+    return out
+
+
+def aov_names(cfg):
+    names = []
+    for name, ty in parse_aovs(cfg):
+        n = _TYPE_CHANNELS[ty]
+        if n == 1:
+            names.append(name)
+        else:
+            names += [f"{name}.{c}" for c in "xyzw"[:n]]
+    return names
+
+
+def n_aov(cfg):
+    return sum(_TYPE_CHANNELS[ty] for _, ty in parse_aovs(cfg))
+
+
+def _child(cfg):
+    from . import REGISTRY
+    extra = dict(cfg.integrator.extra)
+    return REGISTRY[extra.get("child", "path")]
+
+
+def sample(scene, sampler, ray, active=None):
+    cfg = scene.config
+    return _child(cfg).sample(scene, sampler, ray, active)
+
+
+def sample_aov(scene, sampler, ray, ray_weight, active=None):
+    cfg = scene.config
+    spec, valid, sampler = _child(cfg).sample(scene, sampler, ray, active)
+    si = ray_intersect(scene.geo, ray)
+    cols = []
+    for _name, ty in parse_aovs(cfg):
+        if ty == "depth":
+            cols.append(jnp.where(si.is_valid, si.t, 0.0)[..., None])
+        elif ty == "position":
+            cols.append(jnp.where(si.is_valid[..., None], si.p, 0.0))
+        elif ty == "uv":
+            cols.append(jnp.where(si.is_valid[..., None], si.uv, 0.0))
+        elif ty == "geo_normal":
+            cols.append(jnp.where(si.is_valid[..., None], si.n, 0.0))
+        elif ty == "sh_normal":
+            cols.append(jnp.where(si.is_valid[..., None], si.sh_frame.n, 0.0))
+        elif ty == "prim_index":
+            cols.append(si.prim_index.astype(jnp.float32)[..., None])
+        elif ty == "shape_index":
+            cols.append(si.shape_index.astype(jnp.float32)[..., None])
+    aovs = (jnp.concatenate(cols, -1) if cols
+            else jnp.zeros(spec.shape[:-1] + (0,)))
+    return spec, valid, sampler, aovs

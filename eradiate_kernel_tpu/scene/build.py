@@ -822,16 +822,30 @@ def load_dict(d: dict, variant: Variant | None = None) -> Scene:
             b.sampler_kind = sampler.get("type", "independent")
             if "medium" in val:
                 b.sensor_medium = b.medium(val["medium"])
-        elif t in ("path", "direct", "depth", "volpath", "aov", "moment"):
-            extra = tuple(sorted(
-                (k, v) for k, v in val.items()
-                if k in ("max_iterations", "nee_steps")))
+        elif t in ("path", "direct", "depth", "volpath", "volpathmis",
+                   "aov", "moment", "bins", "nbins"):
+            props = val
+            extra = []
+            if t in ("aov", "moment", "bins", "nbins"):
+                # wrapper integrators: pull the nested child's own settings
+                children = [v for v in val.values()
+                            if isinstance(v, dict) and v.get("type") in
+                            ("path", "direct", "depth", "volpath",
+                             "volpathmis")]
+                child_kind = children[0]["type"] if children else "path"
+                props = children[0] if children else {}
+                extra.append(("child", child_kind))
+                for k in ("aovs", "bins", "tolerance"):
+                    if k in val:
+                        extra.append((k, val[k]))
+            extra += [(k, v) for k, v in props.items()
+                      if k in ("max_iterations", "nee_steps")]
             integrator_cfg = IntegratorConfig(
                 kind=t,
-                max_depth=int(val.get("max_depth", 8)),
-                rr_depth=int(val.get("rr_depth", 5)),
-                hide_emitters=bool(val.get("hide_emitters", False)),
-                extra=extra)
+                max_depth=int(props.get("max_depth", 8)),
+                rr_depth=int(props.get("rr_depth", 5)),
+                hide_emitters=bool(props.get("hide_emitters", False)),
+                extra=tuple(sorted(extra)))
         elif t in ("homogeneous", "heterogeneous"):
             b.named[key] = ("medium", b.medium(val))
         elif t in bsdf_pkg.REGISTRY or t == "twosided":
