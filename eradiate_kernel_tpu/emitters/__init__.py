@@ -7,6 +7,7 @@ uniform emitter pick -> per-kind sample_direction -> shadow-ray visibility.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core import warp
@@ -118,11 +119,198 @@ def directional_sample_direction(scene, params, slot, ref_p, wavelengths, s1, s2
     return ds, value
 
 
+def spot_sample_direction(scene, params, slot, ref_p, wavelengths, s1, s2, active):
+    """src/emitters/spot.cpp — cone spotlight with linear falloff between
+    beam and cutoff angles; delta position."""
+    p = params["position"][slot]
+    delta = p - ref_p
+    dist2 = jnp.maximum(jnp.sum(delta * delta, -1), 1e-20)
+    dist = jnp.sqrt(dist2)
+    d = delta / dist[..., None]
+    # angle between the spot axis and the direction toward ref
+    axis = normalize(params["direction"][slot])
+    cos_a = dot(axis, -d)
+    ccut = params["cos_cutoff"][slot]
+    cbeam = params["cos_beam"][slot]
+    falloff = jnp.clip((cos_a - ccut) / jnp.maximum(cbeam - ccut, 1e-6),
+                       0.0, 1.0)
+    value = _tex(scene, params["intensity"][slot],
+                 jnp.zeros(dist.shape + (2,)), wavelengths, active)
+    value = value * (falloff / dist2)[..., None]
+    ds = DirectionSample(p=p, n=-d, uv=jnp.zeros(dist.shape + (2,)), d=d,
+                         dist=dist, pdf=jnp.ones_like(dist),
+                         delta=jnp.ones(dist.shape, bool),
+                         emitter_index=jnp.zeros(dist.shape, jnp.int32))
+    return ds, value
+
+
+def projector_sample_direction(scene, params, slot, ref_p, wavelengths, s1, s2,
+                               active):
+    """src/emitters/projector.cpp — perspective image projection from a
+    delta position; the texture uv comes from projecting the direction
+    through the projector's frustum."""
+    from ..core.transform import Transform
+
+    p = params["position"][slot]
+    delta = p - ref_p
+    dist2 = jnp.maximum(jnp.sum(delta * delta, -1), 1e-20)
+    dist = jnp.sqrt(dist2)
+    d = delta / dist[..., None]
+    # direction from projector toward ref in the projector frame (+z fwd)
+    w2l = Transform(m=params["w2l_m"][slot], inv_t=params["w2l_it"][slot])
+    d_loc = w2l.transform_vector(-d)
+    tan_x = params["tan_half_fov"][slot]
+    aspect = params["aspect"][slot]
+    z = jnp.maximum(d_loc[..., 2], 1e-6)
+    u = 0.5 * (d_loc[..., 0] / (z * tan_x) + 1.0)
+    v = 0.5 * (1.0 - d_loc[..., 1] / (z * tan_x * aspect))
+    inside = (d_loc[..., 2] > 0) & (u >= 0) & (u < 1) & (v >= 0) & (v < 1)
+    uv = jnp.stack([u, v], -1)
+    value = _tex(scene, params["irradiance"][slot], uv, wavelengths,
+                 active & inside)
+    value = jnp.where((active & inside)[..., None], value / dist2[..., None],
+                      0.0)
+    ds = DirectionSample(p=p, n=-d, uv=uv, d=d, dist=dist,
+                         pdf=jnp.ones_like(dist),
+                         delta=jnp.ones(dist.shape, bool),
+                         emitter_index=jnp.zeros(dist.shape, jnp.int32))
+    return ds, value
+
+
+# --- envmap (src/emitters/envmap.cpp): lat-long bitmap with 2D importance ----
+#
+# Direction convention (z-up): uv = (phi / 2pi, theta / pi) with theta from
+# +z; the reference uses its own y-up frame — orientation differences are
+# absorbed by to_world. Sampling inverts a (sin-theta * luminance)-weighted
+# row/column CDF pair — the flat-array equivalent of Hierarchical2D
+# (distr_2d.h:18-57).
+
+def _envmap_dir_to_uv(params, slot, d):
+    from ..core.transform import Transform
+    w2l = Transform(m=params["w2l_m"][slot], inv_t=params["w2l_it"][slot])
+    dl = normalize(w2l.transform_vector(d))
+    theta = jnp.arccos(jnp.clip(dl[..., 2], -1.0, 1.0))
+    phi = jnp.arctan2(dl[..., 1], dl[..., 0])
+    phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+    return jnp.stack([phi / (2 * jnp.pi), theta / jnp.pi], -1), theta
+
+
+def _envmap_uv_to_dir(params, slot, uv):
+    from ..core.transform import Transform
+    phi = uv[..., 0] * 2 * jnp.pi
+    theta = uv[..., 1] * jnp.pi
+    st = jnp.sin(theta)
+    dl = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), jnp.cos(theta)], -1)
+    w2l = Transform(m=params["w2l_m"][slot], inv_t=params["w2l_it"][slot])
+    return normalize(w2l.inverse().transform_vector(dl)), theta
+
+
+def _envmap_bilinear(params, slot, uv, wavelengths, nc):
+    img = params["image"][slot]  # (H, W, 3)
+    H, W = img.shape[-3], img.shape[-2]
+    u = jnp.clip(uv[..., 0], 0.0, 1.0 - 1e-6) * W - 0.5
+    v = jnp.clip(uv[..., 1], 0.0, 1.0 - 1e-6) * H - 0.5
+    x0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, W - 1)
+    y0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    fx = jnp.clip(u - x0, 0.0, 1.0)[..., None]
+    fy = jnp.clip(v - y0, 0.0, 1.0)[..., None]
+    if img.ndim == 3:  # single slot selected per lane
+        gather = lambda y, x: img[y, x]
+    else:
+        gather = lambda y, x: img[jnp.arange(img.shape[0]), y, x]
+    c = (gather(y0, x0) * (1 - fx) * (1 - fy) + gather(y0, x1) * fx * (1 - fy)
+         + gather(y1, x0) * (1 - fx) * fy + gather(y1, x1) * fx * fy)
+    rgb = c * params["scale"][slot][..., None]
+    if nc == 3:
+        return rgb
+    if nc == 1:
+        return jnp.mean(rgb, -1, keepdims=True)
+    # spectral: flat-luminance placeholder (full spectral upsampling of env
+    # maps lands with the rgb2spec table work)
+    lum = (0.212671 * rgb[..., 0] + 0.715160 * rgb[..., 1]
+           + 0.072169 * rgb[..., 2])
+    return jnp.broadcast_to(lum[..., None], lum.shape + (nc,))
+
+
+def envmap_eval(scene, params, slot, d, wavelengths, active):
+    nc = wavelengths.shape[-1] if scene.config.variant.is_spectral \
+        else scene.config.variant.n_channels
+    uv, _theta = _envmap_dir_to_uv(params, slot, d)
+    v = _envmap_bilinear(params, slot, uv, wavelengths, nc)
+    return jnp.where(active[..., None], v, 0.0)
+
+
+def envmap_pdf_direction(scene, params, slot, d, active):
+    uv, theta = _envmap_dir_to_uv(params, slot, d)
+    lum = params["lum"][slot]       # (H, W) sin-weighted sampling density
+    norm = params["lum_sum"][slot]  # scalar: sum of lum
+    H, W = lum.shape[-2], lum.shape[-1]
+    x = jnp.clip((uv[..., 0] * W).astype(jnp.int32), 0, W - 1)
+    y = jnp.clip((uv[..., 1] * H).astype(jnp.int32), 0, H - 1)
+    cell = (lum[y, x] if lum.ndim == 2
+            else lum[jnp.arange(lum.shape[0]), y, x])
+    # pdf over the sphere: cell/norm per texel, texel solid angle =
+    # (2 pi / W)(pi / H) sin(theta)
+    st = jnp.maximum(jnp.sin(theta), 1e-6)
+    pdf = cell / jnp.maximum(norm, 1e-20) * (W * H) \
+        / (2.0 * jnp.pi * jnp.pi * st)
+    return jnp.where(active, pdf, 0.0)
+
+
+def envmap_sample_direction(scene, params, slot, ref_p, wavelengths, s1, s2,
+                            active):
+    lum = params["lum"][slot]          # (..., H, W) per-lane gathered
+    row_cdf = params["row_cdf"][slot]  # (..., H)
+    col_cdf = params["col_cdf"][slot]  # (..., H, W)
+    H, W = lum.shape[-2], lum.shape[-1]
+    batch = s2.shape[:-1]
+    row_cdf = jnp.broadcast_to(row_cdf, batch + (H,))
+    # invert the marginal row CDF with s2[...,1], conditional with s2[...,0]
+    # (vectorized per-lane binary search via counting)
+    y = jnp.sum((row_cdf < s2[..., 1:2]).astype(jnp.int32), axis=-1)
+    y = jnp.clip(y, 0, H - 1)
+    cc = jnp.take_along_axis(
+        jnp.broadcast_to(col_cdf, batch + (H, W)),
+        y[..., None, None], axis=-2)[..., 0, :]  # (..., W)
+    x = jnp.sum((cc < s2[..., 0:1]).astype(jnp.int32), axis=-1)
+    x = jnp.clip(x, 0, W - 1)
+    # in-texel jitter: the CDF-inversion residuals are fresh uniforms
+    # (sample reuse, distr_2d.h invert-and-rescale pattern)
+    take = lambda a, i: jnp.take_along_axis(a, i[..., None], -1)[..., 0]
+    y0 = jnp.where(y > 0, take(row_cdf, jnp.maximum(y - 1, 0)), 0.0)
+    y1 = take(row_cdf, y)
+    jv = jnp.clip((s2[..., 1] - y0) / jnp.maximum(y1 - y0, 1e-12), 0.0, 1.0)
+    x0 = jnp.where(x > 0, take(cc, jnp.maximum(x - 1, 0)), 0.0)
+    x1 = take(cc, x)
+    ju = jnp.clip((s2[..., 0] - x0) / jnp.maximum(x1 - x0, 1e-12), 0.0, 1.0)
+    u = (x.astype(jnp.float32) + ju) / W
+    v = (y.astype(jnp.float32) + jv) / H
+    uv = jnp.stack([u, v], -1)
+    d, theta = _envmap_uv_to_dir(params, slot, uv)
+    pdf = envmap_pdf_direction(scene, params, slot, d, active)
+    nc = wavelengths.shape[-1] if scene.config.variant.is_spectral \
+        else scene.config.variant.n_channels
+    value = _envmap_bilinear(params, slot, uv, wavelengths, nc)
+    value = jnp.where((active & (pdf > 0))[..., None],
+                      value / jnp.maximum(pdf, 1e-20)[..., None], 0.0)
+    r = 2.0 * scene.bsphere_radius
+    ds = DirectionSample(p=ref_p + d * r, n=-d, uv=uv, d=d,
+                         dist=jnp.full(pdf.shape, r), pdf=pdf,
+                         delta=jnp.zeros(pdf.shape, bool),
+                         emitter_index=jnp.zeros(pdf.shape, jnp.int32))
+    return ds, value
+
+
 KIND_SAMPLERS = {
     "area": area_sample_direction,
     "constant": constant_sample_direction,
     "point": point_sample_direction,
     "directional": directional_sample_direction,
+    "spot": spot_sample_direction,
+    "projector": projector_sample_direction,
+    "envmap": envmap_sample_direction,
 }
 
 
@@ -187,7 +375,7 @@ def sample_emitter_direction(scene, si, s_pick, s1, s2, active,
     return ds, value
 
 
-def pdf_emitter_direction(scene, ref_p, si_hit, escaped, active):
+def pdf_emitter_direction(scene, ref_p, si_hit, escaped, active, d=None):
     """Solid-angle pdf that sample_emitter_direction would have produced the
     direction that hit ``si_hit`` (or escaped to the environment) — used for
     MIS on BSDF-sampled rays (scene.cpp pdf_emitter_direction)."""
@@ -208,7 +396,16 @@ def pdf_emitter_direction(scene, ref_p, si_hit, escaped, active):
     # environment
     if cfg.env_emitter >= 0:
         m = active & escaped
-        pdf = jnp.where(m, warp.INV_FOUR_PI, pdf)
+        if "envmap" in cfg.emitter_kinds and d is not None:
+            slot = scene.emitter_slot[cfg.env_emitter]
+            # si_hit is invalid for escaped rays; the ray direction d is the
+            # query (passed by the integrators for exactly this case)
+            p_env = envmap_pdf_direction(
+                scene, scene.emitters["envmap"],
+                jnp.full(ref_p.shape[:-1], slot, jnp.int32), d, m)
+            pdf = jnp.where(m, p_env, pdf)
+        else:
+            pdf = jnp.where(m, warp.INV_FOUR_PI, pdf)
     return pdf / n_em
 
 
@@ -227,15 +424,20 @@ def eval_emitter_hit(scene, si, active):
 
 
 def eval_environment(scene, ray, escaped, active):
-    """Environment radiance for escaped rays (constant emitter)."""
+    """Environment radiance for escaped rays (constant / envmap emitter)."""
     cfg = scene.config
     nc = ray.wavelengths.shape[-1] if cfg.variant.is_spectral else cfg.variant.n_channels
     out = jnp.zeros(ray.o.shape[:-1] + (nc,))
     if cfg.env_emitter < 0:
         return out
-    slot = scene.emitter_slot[cfg.env_emitter]
+    slot_full = jnp.full(ray.o.shape[:-1],
+                         scene.emitter_slot[cfg.env_emitter], jnp.int32)
     m = active & escaped
-    v = constant_eval(scene, scene.emitters["constant"],
-                      jnp.full(ray.o.shape[:-1], slot, jnp.int32),
-                      jnp.zeros(ray.o.shape[:-1] + (2,)), ray.wavelengths, m)
+    if "envmap" in cfg.emitter_kinds:
+        v = envmap_eval(scene, scene.emitters["envmap"], slot_full, ray.d,
+                        ray.wavelengths, m)
+    else:
+        v = constant_eval(scene, scene.emitters["constant"], slot_full,
+                          jnp.zeros(ray.o.shape[:-1] + (2,)),
+                          ray.wavelengths, m)
     return jnp.where(m[..., None], v, out)

@@ -48,7 +48,7 @@ def sample(scene, sampler, ray, active=None):
     emit = emit + emitters.eval_environment(scene, ray2, ~si2.is_valid, active)
     delta_lobe = (bs.sampled_type & bsdf_flags.Delta) != 0
     em_pdf = emitters.pdf_emitter_direction(scene, si.p, si2, ~si2.is_valid,
-                                            active & ~delta_lobe)
+                                            active & ~delta_lobe, d=ray2.d)
     em_pdf = jnp.where(delta_lobe, 0.0, em_pdf)
     mis2 = mis_weight(bs.pdf, em_pdf)
     result = result + jnp.where(active[..., None],

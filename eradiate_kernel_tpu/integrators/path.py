@@ -124,7 +124,8 @@ def _trace(scene, sampler: Sampler, ray: Ray, active=None):
         # we just sampled (path.cpp:198-205)
         delta_lobe = (bs.sampled_type & bsdf_flags.Delta) != 0
         em_pdf = emitters.pdf_emitter_direction(
-            scene, si.p, si_next, ~si_next.is_valid, active & ~delta_lobe)
+            scene, si.p, si_next, ~si_next.is_valid, active & ~delta_lobe,
+            d=wo_world)
         em_pdf = jnp.where(delta_lobe, 0.0, em_pdf)
         emission_weight = mis_weight(bs.pdf, em_pdf)
 

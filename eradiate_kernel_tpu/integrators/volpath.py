@@ -324,7 +324,7 @@ def _evaluate_direct_light(scene, ref_p, ray, si_ray, medium_idx, channel,
         emitter_val = jnp.where(emitter_hit[..., None],
                                 transmittance * (e_area + e_env), s.emitter_val)
         epdf = emitters.pdf_emitter_direction(scene, ref_p, si, ~si.is_valid,
-                                              emitter_hit)
+                                              emitter_hit, d=ray.d)
         emitter_pdf = jnp.where(emitter_hit, epdf, s.emitter_pdf)
         active = active & ~emitter_hit
         active_surface = active_surface & active

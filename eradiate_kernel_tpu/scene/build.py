@@ -21,7 +21,8 @@ from .scene import IntegratorConfig, Scene, SceneConfig
 
 _SHAPE_TYPES = ("rectangle", "disk", "sphere", "cylinder", "cube", "mesh",
                 "obj", "ply")
-_EMITTER_SCENE_TYPES = ("constant", "point", "directional")
+_EMITTER_SCENE_TYPES = ("constant", "point", "directional", "spot",
+                        "projector", "envmap")
 _SENSOR_TYPES = ("perspective", "thinlens", "radiancemeter", "mradiancemeter",
                  "distant", "mdistant", "distantflux", "irradiancemeter")
 
@@ -503,14 +504,18 @@ class SceneBuilder:
                 if table else np.zeros(0, np.int32)
             return jnp.asarray(kind_ids), jnp.asarray(slots)
 
-        spec_kinds = tuple(self.spectra.keys()) or ("baked",)
-        if "baked" not in self.spectra and not self.variant.is_spectral:
-            self.spectra["baked"] = [{"value": np.zeros(self.nc, np.float32)}]
-            spec_kinds = tuple(self.spectra.keys())
-        tex_kinds = tuple(self.textures.keys()) or ("constant",)
-        if "constant" not in self.textures:
-            self.textures["constant"] = [{"spec": np.int32(0)}]
-            tex_kinds = tuple(self.textures.keys())
+        if not self.spec_table:
+            # default spectrum slot 0 so texture/bsdf fallbacks resolve
+            if self.variant.is_spectral:
+                self.add_spectrum_row("uniform", {"value": np.float32(0.5)})
+            else:
+                self.add_spectrum_row("baked",
+                                      {"value": np.full(self.nc, 0.5,
+                                                        np.float32)})
+        spec_kinds = tuple(self.spectra.keys())
+        if not self.tex_table:
+            self.add_texture_row("constant", {"spec": np.int32(0)})
+        tex_kinds = tuple(self.textures.keys())
         bsdf_kinds = tuple(self.bsdf_rows.keys()) or ("diffuse",)
         if not self.bsdf_rows:
             self.bsdf_rows["diffuse"] = [{"reflectance": np.int32(0),
@@ -705,6 +710,67 @@ def _build_scene_emitter(builder: SceneBuilder, d):
         return builder.add_emitter_row("directional", {
             "direction": np.asarray(d.get("direction", [0, 0, -1]), np.float32),
             "irradiance": np.int32(builder.texture(d.get("irradiance", 1.0), emitter=True))})
+    if t == "spot":
+        tw = as_transform(d.get("to_world"))
+        m = np.asarray(tw.m)
+        cutoff = float(d.get("cutoff_angle", 20.0))
+        beam = float(d.get("beam_width", cutoff * 0.75))
+        return builder.add_emitter_row("spot", {
+            "position": np.asarray(d.get("position", m[:3, 3]), np.float32),
+            "direction": np.asarray(d.get("direction", m[:3, 2]), np.float32),
+            "cos_cutoff": np.float32(np.cos(np.deg2rad(cutoff))),
+            "cos_beam": np.float32(np.cos(np.deg2rad(beam))),
+            "intensity": np.int32(builder.texture(d.get("intensity", 1.0),
+                                                  emitter=True))})
+    if t == "projector":
+        tw = as_transform(d.get("to_world"))
+        w2l = tw.inverse()
+        fov = float(d.get("fov", 45.0))
+        irr = d.get("irradiance", 1.0)
+        data = (np.asarray(irr["data"], np.float32)
+                if isinstance(irr, dict) and irr.get("type") == "bitmap"
+                else None)
+        aspect = (data.shape[1] / data.shape[0]) if data is not None else 1.0
+        return builder.add_emitter_row("projector", {
+            "position": np.asarray(np.asarray(tw.m)[:3, 3], np.float32),
+            "w2l_m": np.asarray(w2l.m, np.float32),
+            "w2l_it": np.asarray(w2l.inv_t, np.float32),
+            "tan_half_fov": np.float32(np.tan(np.deg2rad(fov) / 2)),
+            "aspect": np.float32(aspect),
+            "irradiance": np.int32(builder.texture(irr, emitter=True))})
+    if t == "envmap":
+        data = np.asarray(d["data"], np.float32)  # (H, W, 3) lat-long image
+        if data.ndim == 2:
+            data = data[..., None].repeat(3, -1)
+        scale = float(d.get("scale", 1.0))
+        tw = as_transform(d.get("to_world"))
+        w2l = tw.inverse()
+        H, W = data.shape[:2]
+        lum = (0.212671 * data[..., 0] + 0.715160 * data[..., 1]
+               + 0.072169 * data[..., 2]).astype(np.float64)
+        # 3x3 max-pool: the bilinear eval reads neighboring texels, so the
+        # sampling density must dominate them or value/pdf spikes at sharp
+        # edges (the Hierarchical2D bilinear-patch property, distr_2d.h)
+        lp = np.pad(lum, 1, mode="edge")
+        lum = np.max(np.stack([lp[i:i + H, j:j + W]
+                               for i in range(3) for j in range(3)]), axis=0)
+        # sin(theta)-weighted sampling density over texel centers
+        theta = (np.arange(H) + 0.5) / H * np.pi
+        lum = np.maximum(lum, 1e-12) * np.sin(theta)[:, None]
+        row_mass = lum.sum(axis=1)
+        row_cdf = np.cumsum(row_mass) / row_mass.sum()
+        col_cdf = np.cumsum(lum, axis=1) / row_mass[:, None]
+        idx = builder.add_emitter_row("envmap", {
+            "image": data,
+            "scale": np.float32(scale),
+            "w2l_m": np.asarray(w2l.m, np.float32),
+            "w2l_it": np.asarray(w2l.inv_t, np.float32),
+            "lum": lum.astype(np.float32),
+            "lum_sum": np.float32(lum.sum()),
+            "row_cdf": row_cdf.astype(np.float32),
+            "col_cdf": col_cdf.astype(np.float32)})
+        builder.env_emitter = idx
+        return idx
     raise ValueError(f"unknown emitter type {t!r}")
 
 
