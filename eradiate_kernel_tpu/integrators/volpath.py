@@ -138,7 +138,10 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
         active=active)
 
     def body(s: _WalkState):
-        remaining = ds.dist * (1.0 - 1e-4) - s.total_dist
+        # clamp: total_dist accumulates INVALID_T on escaped lanes; a huge
+        # negative remaining would turn exp(-t*sigma) into inf (NaN grads)
+        remaining = jnp.clip(ds.dist * (1.0 - 1e-4) - s.total_dist,
+                             0.0, INVALID_T)
         ray = s.ray.replace(maxt=remaining)
         active = s.active & (remaining > 0)
 
@@ -157,13 +160,21 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
         mi = mi.replace(t=jnp.where(active_medium & (si.t < mi.t), INVALID_T, mi.t))
 
         # transmittance estimator (volpath.cpp:305-312)
-        t_clip = jnp.minimum(remaining, jnp.minimum(mi.t, si.t)) - mi.mint
-        tr = jnp.exp(-t_clip[..., None] * mi.combined_extinction)
+        t_clip = jnp.clip(
+            jnp.minimum(remaining, jnp.minimum(mi.t, si.t)) - mi.mint,
+            0.0, INVALID_T)
+        x = jnp.clip(t_clip[..., None] * mi.combined_extinction, 0.0, 60.0)
+        tr = jnp.exp(-x)
         pdf_medium_event = tr * mi.combined_extinction
         passed = (si.t < mi.t) | (mi.t > remaining)
         ff_pdf = jnp.where(passed[..., None], tr, pdf_medium_event)
         tr_pdf = _index_ch(ff_pdf, channel)
-        ratio = jnp.where(tr_pdf[..., None] > 0, tr / jnp.maximum(tr_pdf[..., None], 1e-30), 0.0)
+        # double-where: a max(x, 1e-30) denominator leaves 1e30-scale values
+        # in masked lanes whose cotangents overflow to inf*0=NaN in reverse
+        ok_pdf = tr_pdf > 1e-15  # pdf^2 appears in the division VJP: keep it representable
+        den = jax.lax.stop_gradient(
+            jnp.where(ok_pdf, tr_pdf, 1.0))[..., None]
+        ratio = jnp.where(ok_pdf[..., None], tr / den, 0.0)
         transmittance = jnp.where(active_medium[..., None],
                                   s.transmittance * ratio, s.transmittance)
 
@@ -293,8 +304,10 @@ def _evaluate_direct_light(scene, ref_p, ray, si_ray, medium_idx, channel,
         mi = mi.replace(t=jnp.where(active_medium & (si.t < mi.t), INVALID_T, mi.t))
         tr, ff_pdf = media.eval_tr_and_pdf(mi, si.t)
         tr_pdf = _index_ch(ff_pdf, channel)
-        ratio = jnp.where(tr_pdf[..., None] > 0,
-                          tr / jnp.maximum(tr_pdf[..., None], 1e-30), 0.0)
+        ok_pdf = tr_pdf > 1e-15  # pdf^2 appears in the division VJP: keep it representable
+        den = jax.lax.stop_gradient(
+            jnp.where(ok_pdf, tr_pdf, 1.0))[..., None]
+        ratio = jnp.where(ok_pdf[..., None], tr / den, 0.0)
         transmittance = jnp.where(active_medium[..., None],
                                   s.transmittance * ratio, s.transmittance)
 
@@ -380,6 +393,31 @@ class _VolPathState:
     active: jnp.ndarray
 
 
+_DEBUG_STATES = []  # populated only under ERT_UNROLL_DEBUG
+
+
+def _probe(name, x):
+    """Debug-only identity that reports NaN cotangents (ERT_UNROLL_DEBUG)."""
+    import os as _os
+    if not _os.environ.get("ERT_PROBE"):
+        return x
+
+    @jax.custom_vjp
+    def _id(v):
+        return v
+
+    def _fwd(v):
+        return v, None
+
+    def _bwd(_, ct):
+        bad = jnp.any(jnp.isnan(ct)) | jnp.any(jnp.isinf(ct))
+        jax.debug.print(name + " ct bad: {b}", b=bad)
+        return (ct,)
+
+    _id.defvjp(_fwd, _bwd)
+    return _id(x)
+
+
 def sample(scene, sampler: Sampler, ray: Ray, active=None, medium_idx=None):
     cfg = scene.config.integrator
     batch = ray.o.shape[:-1]
@@ -453,10 +491,12 @@ def sample(scene, sampler: Sampler, ray: Ray, active=None, medium_idx=None):
 
         tr, ff_pdf = media.eval_tr_and_pdf(mi, si.t)
         tr_pdf = _index_ch(ff_pdf, s.channel)
-        ratio = jnp.where(tr_pdf[..., None] > 0,
-                          tr / jnp.maximum(tr_pdf[..., None], 1e-30), 0.0)
+        ok_pdf = tr_pdf > 1e-15  # pdf^2 appears in the division VJP: keep it representable
+        den = jnp.where(ok_pdf, tr_pdf, 1.0)[..., None]
+        ratio = _probe("ratio", jnp.where(ok_pdf[..., None], tr / den, 0.0))
         throughput = jnp.where(active_medium[..., None], throughput * ratio,
                                throughput)
+        throughput = _probe("tp_after_ratio", throughput)
 
         escaped_medium = active_medium & ~mi.is_valid
         active_medium = active_medium & mi.is_valid
@@ -470,11 +510,14 @@ def sample(scene, sampler: Sampler, ray: Ray, active=None, medium_idx=None):
         act_null = null_scatter & active_medium
         act_scatter = ~null_scatter & active_medium
 
+        sn_ch = _index_ch(mi.sigma_n, s.channel)
+        sn_den = jax.lax.stop_gradient(
+            jnp.where(act_null & (sn_ch > 1e-15), sn_ch, 1.0))[..., None]
         throughput = jnp.where(
-            act_null[..., None],
+            (act_null & (sn_ch > 1e-15))[..., None],
             throughput * mi.sigma_n
             * _index_ch(mi.combined_extinction, s.channel)[..., None]
-            / jnp.maximum(_index_ch(mi.sigma_n, s.channel), 1e-30)[..., None],
+            / sn_den,
             throughput)
         depth = s.depth + act_scatter.astype(jnp.int32)
         active = active & (depth < max_depth)
@@ -487,15 +530,19 @@ def sample(scene, sampler: Sampler, ray: Ray, active=None, medium_idx=None):
         si = si.replace(t=jnp.where(act_null, si.t - mi.t, si.t))
 
         # real scatter (volpath.cpp:146-175)
+        st_ch = _index_ch(mi.sigma_t, s.channel)
+        st_den = jax.lax.stop_gradient(
+            jnp.where(act_scatter & (st_ch > 1e-15), st_ch, 1.0))[..., None]
         throughput = jnp.where(
-            act_scatter[..., None],
+            (act_scatter & (st_ch > 1e-15))[..., None],
             throughput * mi.sigma_s
             * _index_ch(mi.combined_extinction, s.channel)[..., None]
-            / jnp.maximum(_index_ch(mi.sigma_t, s.channel), 1e-30)[..., None],
+            / st_den,
             throughput)
         valid_ray = s.valid_ray | act_scatter
         specular_chain = s.specular_chain & ~act_scatter
 
+        throughput = _probe("tp_after_scatter", throughput)
         phase_idx = _medium_phase(scene, s.medium_idx)
 
         # medium NEE
@@ -503,6 +550,7 @@ def sample(scene, sampler: Sampler, ray: Ray, active=None, medium_idx=None):
             scene, mi.p, -ray.d, jnp.ones_like(act_scatter), ray.wavelengths,
             ray.time, s.medium_idx, s.channel, smp, act_scatter, nee_steps)
         phase_val = phase.phase_eval(scene, phase_idx, -ray.d, ds_m.d, act_scatter)
+        emitted = _probe("medium_nee_emitted", emitted)
         result = result + jnp.where(
             act_scatter[..., None],
             throughput * phase_val[..., None] * emitted, 0.0)
@@ -512,6 +560,7 @@ def sample(scene, sampler: Sampler, ray: Ray, active=None, medium_idx=None):
         smp, xi_p2 = smp.next_2d()
         wo_m, _ppdf = phase.phase_sample(scene, phase_idx, ray.d, xi_p1, xi_p2,
                                          act_scatter)
+        wo_m = _probe("wo_m", wo_m)
         scale = 1.0 + jnp.max(jnp.abs(mi.p), -1)
         ray = Ray(
             o=jnp.where(act_scatter[..., None], mi.p, ray.o),
@@ -520,11 +569,18 @@ def sample(scene, sampler: Sampler, ray: Ray, active=None, medium_idx=None):
             maxt=jnp.where(act_scatter, INVALID_T, ray.maxt),
             time=ray.time, wavelengths=ray.wavelengths)
         needs_intersection = needs_intersection | act_scatter
+        ray = ray.replace(d=_probe("ray_d_mid", ray.d),
+                          o=_probe("ray_o_mid", ray.o))
 
         # --- surface interactions (volpath.cpp:180-252) -----------------------
         active_surface = active_surface | escaped_medium
         intersect2 = active_surface & needs_intersection
-        si = _merge_si(ray_intersect(scene.geo, ray), si, intersect2)
+        si_fresh = ray_intersect(scene.geo, ray)
+        si_fresh = si_fresh.replace(p=_probe("sifresh_p", si_fresh.p),
+                                    t=_probe("sifresh_t", si_fresh.t),
+                                    n=_probe("sifresh_n", si_fresh.n),
+                                    wi=_probe("sifresh_wi", si_fresh.wi))
+        si = _merge_si(si_fresh, si, intersect2)
         needs_intersection = needs_intersection & ~intersect2
 
         # emitter hits on specular chains only
@@ -534,6 +590,7 @@ def sample(scene, sampler: Sampler, ray: Ray, active=None, medium_idx=None):
         use_emit = (hit_area | hit_env) & specular_chain
         e_val = emitters.eval_emitter_hit(scene, si, use_emit & hit_area) \
             + emitters.eval_environment(scene, ray, ~si.is_valid, use_emit & hit_env)
+        e_val = _probe("e_val_hit", e_val)
         result = result + jnp.where(use_emit[..., None], throughput * e_val, 0.0)
 
         active_surface = active_surface & si.is_valid
@@ -552,6 +609,8 @@ def sample(scene, sampler: Sampler, ray: Ray, active=None, medium_idx=None):
                                                  active_e)
         mis_pdf = jnp.where(ds_s.delta, 0.0, bsdf_pdf)
         w_nee = jnp.where(ds_s.pdf > 0, mis_weight(ds_s.pdf, mis_pdf), 0.0)
+        emitted_s = _probe("surface_nee_emitted", emitted_s)
+        bsdf_val = _probe("surface_nee_bsdfval", bsdf_val)
         result = result + jnp.where(
             active_e[..., None],
             throughput * bsdf_val * w_nee[..., None] * emitted_s, 0.0)
@@ -561,6 +620,7 @@ def sample(scene, sampler: Sampler, ray: Ray, active=None, medium_idx=None):
         smp, xb2 = smp.next_2d()
         bs, bsdf_weight = bsdfs.bsdf_sample(scene, bsdf_idx, si, xb1, xb2,
                                             active_surface)
+        bsdf_weight = _probe("bsdf_weight", bsdf_weight)
         throughput = jnp.where(active_surface[..., None],
                                throughput * bsdf_weight, throughput)
         eta = jnp.where(active_surface, s.eta * bs.eta, s.eta)
@@ -585,8 +645,12 @@ def sample(scene, sampler: Sampler, ray: Ray, active=None, medium_idx=None):
         add_emitter = active_surface & ~sampled_delta & ~sampled_null & \
             jnp.any(throughput != 0, -1) & (depth < max_depth) & \
             (scene.config.n_emitters > 0)
-        si_new = _merge_si(ray_intersect(scene.geo, ray), si,
-                           active_surface)
+        si_new0 = ray_intersect(scene.geo, ray)
+        si_new0 = si_new0.replace(p=_probe("sinew_p", si_new0.p),
+                                  t=_probe("sinew_t", si_new0.t),
+                                  n=_probe("sinew_n", si_new0.n),
+                                  wi=_probe("sinew_wi", si_new0.wi))
+        si_new = _merge_si(si_new0, si, active_surface)
         needs_intersection = needs_intersection & ~active_surface
 
         # medium transition before walking the direct ray
@@ -598,11 +662,13 @@ def sample(scene, sampler: Sampler, ray: Ray, active=None, medium_idx=None):
             scene, si.p, ray, si_new, medium_next, s.channel, smp, add_emitter,
             nee_steps)
         w_dir = mis_weight(bs.pdf, emitter_pdf)
+        emitted_d = _probe("direct_emitted", emitted_d)
         result = result + jnp.where(
             (add_emitter & (emitter_pdf > 0))[..., None],
             throughput * w_dir[..., None] * emitted_d, 0.0)
 
         si = _merge_si(si_new, si, active_surface)
+        si = si.replace(p=_probe("si_p_end", si.p), t=_probe("si_t_end", si.t))
         active = active & (active_surface | active_medium)
 
         keepf = lambda new, old, m: jnp.where(
@@ -619,5 +685,15 @@ def sample(scene, sampler: Sampler, ray: Ray, active=None, medium_idx=None):
     def scan_body(s, _):
         return body(s), None
 
-    final, _ = jax.lax.scan(scan_body, state, None, length=max_iterations)
+    import os as _os
+    if _os.environ.get("ERT_UNROLL_DEBUG"):
+        final = state
+        _DEBUG_STATES.clear()
+        _DEBUG_STATES.append(final)
+        for _ in range(max_iterations):
+            final = body(final)
+            _DEBUG_STATES.append(final)
+    else:
+        final, _ = jax.lax.scan(scan_body, state, None,
+                                length=max_iterations)
     return final.result, final.valid_ray, final.sampler

@@ -168,9 +168,16 @@ def sample_interaction(scene, medium_idx, ray, sample, channel, active):
 
 
 def eval_tr_and_pdf(mi: MediumInteraction, si_t):
-    """Medium::eval_tr_and_pdf (medium.cpp:80-91)."""
+    """Medium::eval_tr_and_pdf (medium.cpp:80-91).
+
+    The optical depth is clamped to 60 so tr (and the pdf built from it)
+    never underflows to zero/subnormal — the tr/pdf ratio estimator is exact
+    under this clamp (extinction is carried by the free-flight event
+    probability, not the tr magnitude), and it keeps every division VJP in
+    the volumetric integrators finite."""
     t = jnp.clip(jnp.minimum(mi.t, si_t) - mi.mint, 0.0, INVALID_T)
-    tr = jnp.exp(-t[..., None] * mi.combined_extinction)
+    x = jnp.clip(t[..., None] * mi.combined_extinction, 0.0, 60.0)
+    tr = jnp.exp(-x)
     pdf = jnp.where((si_t < mi.t)[..., None], tr,
                     tr * mi.combined_extinction)
     return tr, pdf

@@ -322,7 +322,10 @@ def compute_surface_interaction(geo: Geometry, ray: Ray,
         vn1 = geo.normals[f[..., 1]]
         vn2 = geo.normals[f[..., 2]]
         has_vn = (jnp.sum(sqr(vn0), -1) > 1e-12)
-        ns = normalize(vn0 * w[..., None] + vn1 * u[..., None] + vn2 * v[..., None])
+        # double-where: normalize(0) is NaN and its VJP poisons the ray
+        # cotangents even on masked lanes — feed ng where normals are absent
+        vn_interp = vn0 * w[..., None] + vn1 * u[..., None] + vn2 * v[..., None]
+        ns = normalize(jnp.where(has_vn[..., None], vn_interp, ng))
         ns = sel(has_vn, ns, ng)
         uv0 = geo.uvs[f[..., 0]]
         uv1 = geo.uvs[f[..., 1]]

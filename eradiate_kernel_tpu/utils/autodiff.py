@@ -1,0 +1,179 @@
+"""Inverse-rendering utilities — the mitsuba.python.autodiff analog
+(reference: src/python/python/autodiff.py).
+
+The reference re-implements the wavefront loop in Python and differentiates
+with Enoki's tape (autodiff.py:6-91); here the whole renderer is already a
+pure JAX program, so ``jax.grad`` flows through ``integrators.render``
+directly. This module adds the reference's user-facing pieces:
+
+- ``render``: differentiable render of a Scene with a trainable-parameter
+  dict, with the ``unbiased`` primal/derivative decorrelation option
+  (autodiff.py:121-194 — primal image from one seed, adjoint computed
+  through an independently-seeded render so gradient noise is uncorrelated
+  with the image).
+- ``SGD`` / ``Adam``: ParameterMap-driven optimizers (autodiff.py:197-378).
+- ``render_torch``: torch.autograd bridge (autodiff.py:381-483) so torch
+  optimization loops can consume the JAX renderer.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .. import integrators
+from .params import ParameterMap, traverse
+
+__all__ = ["render", "SGD", "Adam", "render_torch", "traverse",
+           "ParameterMap"]
+
+
+def _render_trainable(trainable, pm: ParameterMap, seed, spp,
+                      samples_per_pass=None):
+    scene = pm.with_trainable(trainable)
+    return integrators.render(scene, seed=seed, spp=spp,
+                              samples_per_pass=samples_per_pass)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _render_unbiased(trainable, pm, seed, spp):
+    return _render_trainable(trainable, pm, jnp.uint32(seed), spp)
+
+
+def _render_unbiased_fwd(trainable, pm, seed, spp):
+    img = _render_trainable(trainable, pm, jnp.uint32(seed), spp)
+    return img, trainable
+
+
+def _render_unbiased_bwd(pm, seed, spp, trainable, ct):
+    # adjoint through a decorrelated render (autodiff.py:142-157): the
+    # gradient estimate is unbiased even when multiplied with the primal
+    # image inside the loss (E[g(X) f(Y)] = E[g] E[f] for X independent of Y)
+    _, vjp = jax.vjp(
+        lambda tr: _render_trainable(
+            tr, pm, jnp.uint32((seed + 0x9E3779B9) & 0xFFFFFFFF), spp),
+        trainable)
+    (g,) = vjp(ct)
+    return (g,)
+
+
+_render_unbiased.defvjp(_render_unbiased_fwd, _render_unbiased_bwd)
+
+
+def render(scene_or_pm, params=None, seed=0, spp=None, unbiased=False):
+    """Differentiable render.
+
+    scene_or_pm: Scene or ParameterMap. ``params``: optional trainable dict
+    {key: array} overriding the map's kept parameters (this is what you
+    differentiate with ``jax.grad``). ``unbiased=True`` decorrelates the
+    primal image from the gradient pass.
+    """
+    pm = scene_or_pm if isinstance(scene_or_pm, ParameterMap) \
+        else traverse(scene_or_pm)
+    trainable = params if params is not None else pm.trainable()
+    if unbiased:
+        # seed must be a host int here (static in the custom_vjp residuals)
+        return _render_unbiased(trainable, pm, int(seed), spp)
+    return _render_trainable(trainable, pm, jnp.uint32(seed), spp)
+
+
+# =============================================================================
+# Optimizers (autodiff.py:197-378) — functional JAX state, ParameterMap API
+# =============================================================================
+
+class Optimizer:
+    """Holds the trainable dict + per-parameter state; ``step(grads)``
+    returns nothing but updates ``self.params`` (host-side loop driver, the
+    inner math is jitted)."""
+
+    def __init__(self, params: dict, lr: float):
+        self.params = {k: jnp.asarray(v) for k, v in params.items()}
+        self.lr = lr
+        self.state = {}
+
+    def items(self):
+        return self.params.items()
+
+    def __getitem__(self, k):
+        return self.params[k]
+
+    def __setitem__(self, k, v):
+        self.params[k] = jnp.asarray(v, self.params[k].dtype) \
+            .reshape(self.params[k].shape)
+
+
+class SGD(Optimizer):
+    """SGD with optional momentum (autodiff.py SGD)."""
+
+    def __init__(self, params, lr, momentum=0.0):
+        super().__init__(params, lr)
+        self.momentum = momentum
+        if momentum > 0:
+            self.state = {k: jnp.zeros_like(v) for k, v in params.items()}
+
+    def step(self, grads: dict):
+        for k, g in grads.items():
+            if self.momentum > 0:
+                self.state[k] = self.momentum * self.state[k] + g
+                g = self.state[k]
+            self.params[k] = self.params[k] - self.lr * g
+
+
+class Adam(Optimizer):
+    """Adam (autodiff.py Adam; Kingma & Ba 2015)."""
+
+    def __init__(self, params, lr, beta_1=0.9, beta_2=0.999, epsilon=1e-8):
+        super().__init__(params, lr)
+        self.beta_1, self.beta_2, self.epsilon = beta_1, beta_2, epsilon
+        self.t = 0
+        self.state = {k: (jnp.zeros_like(v), jnp.zeros_like(v))
+                      for k, v in params.items()}
+
+    def step(self, grads: dict):
+        self.t += 1
+        lr_t = self.lr * (1 - self.beta_2 ** self.t) ** 0.5 \
+            / (1 - self.beta_1 ** self.t)
+        for k, g in grads.items():
+            m, v = self.state[k]
+            m = self.beta_1 * m + (1 - self.beta_1) * g
+            v = self.beta_2 * v + (1 - self.beta_2) * g * g
+            self.state[k] = (m, v)
+            self.params[k] = self.params[k] \
+                - lr_t * m / (jnp.sqrt(v) + self.epsilon)
+
+
+# =============================================================================
+# torch bridge (autodiff.py:381-483)
+# =============================================================================
+
+def render_torch(scene_or_pm, params: dict, seed=0, spp=None, unbiased=True):
+    """Render to a torch tensor with autograd support: gradients flow from a
+    torch loss back into the torch parameter tensors via the JAX vjp."""
+    import numpy as np
+    import torch
+
+    pm = scene_or_pm if isinstance(scene_or_pm, ParameterMap) \
+        else traverse(scene_or_pm)
+
+    class _RenderFn(torch.autograd.Function):
+        @staticmethod
+        def forward(ctx, *values):
+            keys = list(params.keys())
+            trainable = {k: jnp.asarray(np.asarray(v.detach()))
+                         for k, v in zip(keys, values)}
+            img, vjp = jax.vjp(
+                lambda tr: render(pm, tr, seed=seed, spp=spp,
+                                  unbiased=unbiased), trainable)
+            ctx.vjp = vjp
+            ctx.keys = keys
+            return torch.from_numpy(np.asarray(img))
+
+        @staticmethod
+        def backward(ctx, ct):
+            (g,) = ctx.vjp(jnp.asarray(np.asarray(ct)))
+            return tuple(torch.from_numpy(np.asarray(g[k]))
+                         for k in ctx.keys)
+
+    return _RenderFn.apply(*params.values())
