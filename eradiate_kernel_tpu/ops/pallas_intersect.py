@@ -1,0 +1,272 @@
+"""Pallas TPU ray-stream intersector over triangle tiles.
+
+The kernel is the TPU counterpart of the reference's OptiX launch
+(src/librender/scene_optix.inl:100-177, optix_rt.cu:9-64): SoA ray buffers
+in, SoA PreliminaryIntersection buffers out. Instead of divergent per-ray
+BVH traversal it sweeps Morton-ordered triangle tiles over blocks of B rays:
+
+  for each tile (fori_loop):
+      slab-test the tile AABB against the whole ray block      (VPU, B ops)
+      if no ray enters and beats its current best t: skip      (scalar cond)
+      else: dense (B x K) Moller-Trumbore batch, keep min-t    (VPU)
+
+Layouts are chosen for Mosaic: every value is >= 2-D. Rays live on the
+sublane axis as (B, 1) columns; a tile's K=128 triangles live on the lane
+axis as (1, K) rows, so the dense batch is a natural (B, K) outer broadcast
+with zero in-kernel transposes or gathers (triangle data is pre-gathered as
+(T, 9, K) component planes).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .accel import TILE_K
+
+RAY_BLOCK = 512  # rays per kernel program
+
+
+def _kernel(rays_ref, ids_ref, count_ref, tris_ref, prim_ref, shape_ref,
+            t_ref, uv_ref, prim_out_ref, shape_out_ref, *, n_tiles):
+    ox = rays_ref[:, 0:1]        # (B, 1)
+    oy = rays_ref[:, 1:2]
+    oz = rays_ref[:, 2:3]
+    dx = rays_ref[:, 3:4]
+    dy = rays_ref[:, 4:5]
+    dz = rays_ref[:, 5:6]
+    mint = rays_ref[:, 6:7]
+    maxt = rays_ref[:, 7:8]
+    B = ox.shape[0]
+
+    block_row = pl.program_id(0) % 8  # row within the 8-row SMEM block
+
+    def tile_body(k, carry):
+        # compacted visibility: ids_ref holds the admitted tiles first, so
+        # the loop runs exactly count times with no in-loop branch at all
+        j = ids_ref[block_row, k]
+
+        def do_tile(c):
+            best_t, best_u, best_v, best_prim, best_shape = c
+            tri = tris_ref[j]              # (9, K)
+            v0x = tri[0:1, :]              # (1, K)
+            v0y = tri[1:2, :]
+            v0z = tri[2:3, :]
+            e1x = tri[3:4, :]
+            e1y = tri[4:5, :]
+            e1z = tri[5:6, :]
+            e2x = tri[6:7, :]
+            e2y = tri[7:8, :]
+            e2z = tri[8:9, :]
+            # pvec = d x e2 -> (B, K)
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+            tx = ox - v0x
+            ty = oy - v0y
+            tz = oz - v0z
+            u = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            prim = prim_ref[j]             # (1, K) i32
+            ok = ((jnp.abs(det) >= 1e-12) & (u >= 0) & (v >= 0)
+                  & (u + v <= 1.0) & (prim >= 0)
+                  & (t >= mint) & (t < best_t))
+            t = jnp.where(ok, t, jnp.inf)
+            t_min = jnp.min(t, axis=1, keepdims=True)         # (B, 1)
+            hit = t_min < best_t
+            k_best = jnp.argmin(t, axis=1, keepdims=True)     # (B, 1)
+            onehot = (jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+                      == k_best)
+            pick = lambda a: jnp.sum(jnp.where(onehot, a, 0.0), axis=1,
+                                     keepdims=True)
+            ipick = lambda a: jnp.sum(jnp.where(onehot, a, 0), axis=1,
+                                      keepdims=True)
+            return (jnp.where(hit, t_min, best_t),
+                    jnp.where(hit, pick(u), best_u),
+                    jnp.where(hit, pick(v), best_v),
+                    jnp.where(hit, ipick(prim), best_prim),
+                    jnp.where(hit, ipick(shape_ref[j]), best_shape))
+
+        return do_tile(carry)
+
+    init = (maxt, jnp.zeros((B, 1), jnp.float32),
+            jnp.zeros((B, 1), jnp.float32),
+            jnp.zeros((B, 1), jnp.int32), jnp.full((B, 1), -1, jnp.int32))
+    count = count_ref[block_row, 0]
+    best_t, best_u, best_v, best_prim, best_shape = jax.lax.fori_loop(
+        0, count, tile_body, init)
+
+    no_hit = best_t >= maxt
+    t_ref[:, :] = jnp.where(no_hit, jnp.inf, best_t)
+    uv_ref[:, 0:1] = best_u
+    uv_ref[:, 1:2] = best_v
+    prim_out_ref[:, :] = best_prim
+    shape_out_ref[:, :] = jnp.where(no_hit, -1, best_shape)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _run(rays, ids, count, tris, prim, shape, interpret=False):
+    n = rays.shape[0]
+    T = tris.shape[0]
+    grid = (n // RAY_BLOCK,)
+    kernel = functools.partial(_kernel, n_tiles=T)
+
+    t, uv, prim_o, shape_o = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((RAY_BLOCK, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, T), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, 8), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((T, 9, TILE_K), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 1, TILE_K), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 1, TILE_K), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 2), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(rays, ids, count, tris, prim, shape)
+    return t[:, 0], uv, prim_o[:, 0], shape_o[:, 0]
+
+
+def _block_tile_mask(rays, lo, hi):
+    """Conservative per-(ray block, tile) visibility in plain XLA: interval
+    arithmetic slab test of the block's ray bounds vs every tile AABB.
+    False positives only cost a dense tile visit; false negatives cannot
+    occur. rays: (N, 8) with N a multiple of RAY_BLOCK; lo/hi: (T, 3).
+    Returns (n_blocks, T) i32."""
+    nb = rays.shape[0] // RAY_BLOCK
+    r = rays.reshape(nb, RAY_BLOCK, 8)
+    o_lo = r[..., 0:3].min(axis=1)       # (nb, 3)
+    o_hi = r[..., 0:3].max(axis=1)
+    d_lo = r[..., 3:6].min(axis=1)
+    d_hi = r[..., 3:6].max(axis=1)
+    maxt_ub = r[..., 7].max(axis=1)      # (nb,)
+
+    big = jnp.float32(3.4e38)
+    # interval reciprocal per axis; sign-mixed direction intervals are
+    # unbounded -> conservative (-big, big)
+    mixed = (d_lo <= 0) & (d_hi >= 0)
+    safe_lo = jnp.where(mixed, 1.0, d_lo)
+    safe_hi = jnp.where(mixed, 1.0, d_hi)
+    i1 = 1.0 / safe_lo
+    i2 = 1.0 / safe_hi
+    inv_lo = jnp.where(mixed, -big, jnp.minimum(i1, i2))   # (nb, 3)
+    inv_hi = jnp.where(mixed, big, jnp.maximum(i1, i2))
+
+    # slab offsets as intervals: a = slab - o
+    a_lo = lo[None, :, :] - o_hi[:, None, :]               # (nb, T, 3)
+    a_hi = lo[None, :, :] - o_lo[:, None, :]
+    b_lo = hi[None, :, :] - o_hi[:, None, :]
+    b_hi = hi[None, :, :] - o_lo[:, None, :]
+
+    def iprod(x_lo, x_hi, y_lo, y_hi):
+        cands = jnp.stack([x_lo * y_lo, x_lo * y_hi, x_hi * y_lo,
+                           x_hi * y_hi])
+        return cands.min(axis=0), cands.max(axis=0)
+
+    il = inv_lo[:, None, :]
+    ih = inv_hi[:, None, :]
+    t0_lo, t0_hi = iprod(a_lo, a_hi, il, ih)
+    t1_lo, t1_hi = iprod(b_lo, b_hi, il, ih)
+    tnear_lb = jnp.minimum(t0_lo, t1_lo)                   # (nb, T, 3)
+    tfar_ub = jnp.maximum(t0_hi, t1_hi)
+    tnear_lb = jnp.maximum(tnear_lb.max(axis=-1), 0.0)     # (nb, T)
+    tfar_ub = jnp.minimum(tfar_ub.min(axis=-1), maxt_ub[:, None])
+    ok = tnear_lb <= tfar_ub
+
+    # sign-mixed direction axes produced unbounded t-intervals above, which
+    # throws the axis constraint away entirely — fatal for axis-aligned
+    # camera rays (d_x = d_y = 0 admits every tile). Recover it with a
+    # reachability bound: distance from the origin interval to the slab must
+    # be coverable within maxt at the axis' max speed.
+    dist_lb = jnp.maximum(
+        jnp.maximum(lo[None, :, :] - o_hi[:, None, :],
+                    o_lo[:, None, :] - hi[None, :, :]), 0.0)  # (nb, T, 3)
+    speed_ub = jnp.maximum(jnp.abs(d_lo), jnp.abs(d_hi))[:, None, :]
+    # clamp inf maxt: inf * speed(=0) would be NaN and reject everything
+    maxt_c = jnp.minimum(maxt_ub, 1e30)[:, None, None]
+    reach = dist_lb <= maxt_c * speed_ub + 1e-6
+    ok = ok & jnp.all(jnp.where(mixed[:, None, :], reach, True), axis=-1)
+    return ok.astype(jnp.int32)
+
+
+def _device_layout(tiles):
+    """Rearrange pack_tiles output into the kernel's component-plane layout:
+    tris (T, 9, K), prim/shape (T, 1, K)."""
+    v0 = jnp.moveaxis(tiles["v0"], -1, 1)   # (T, 3, K)
+    e1 = jnp.moveaxis(tiles["e1"], -1, 1)
+    e2 = jnp.moveaxis(tiles["e2"], -1, 1)
+    tris = jnp.concatenate([v0, e1, e2], axis=1)  # (T, 9, K)
+    return (tris, tiles["prim"][:, None, :], tiles["shape"][:, None, :])
+
+
+def intersect_tiles(tiles, ray, interpret=False):
+    """Closest-hit query over the tile set.
+
+    tiles: dict of device arrays (ops.accel.pack_tiles layout);
+    ray: core.ray.Ray with (N,)-shaped fields. Returns (t, uv, prim, shape)
+    with t = inf on miss. N is padded to the ray-block size internally.
+    """
+    n = ray.o.shape[0]
+    n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
+    pad = n_pad - n
+
+    rays = jnp.stack([
+        ray.o[..., 0], ray.o[..., 1], ray.o[..., 2],
+        ray.d[..., 0], ray.d[..., 1], ray.d[..., 2],
+        jnp.broadcast_to(ray.mint, (n,)),
+        jnp.broadcast_to(ray.maxt, (n,))], axis=-1)   # (N, 8)
+    if pad:
+        filler = jnp.zeros((pad, 8), rays.dtype).at[:, 5].set(1.0)
+        rays = jnp.concatenate([rays, filler], axis=0)
+
+    tris, prim, shape = _device_layout(tiles)
+    mask = _block_tile_mask(rays, tiles["lo"], tiles["hi"])
+    # compact: admitted tile indices first (stable argsort keeps Morton
+    # order within the admitted set), plus the per-block admitted count
+    ids = jnp.argsort(1 - mask, axis=1, stable=True).astype(jnp.int32)
+    count = jnp.sum(mask, axis=1, dtype=jnp.int32)[:, None]
+    count = jnp.broadcast_to(count, (count.shape[0], 8))
+    # pad the block dim to a multiple of 8 (SMEM block row constraint)
+    nb = ids.shape[0]
+    nb_pad = -(-nb // 8) * 8
+    if nb_pad != nb:
+        ids = jnp.concatenate(
+            [ids, jnp.zeros((nb_pad - nb, ids.shape[1]), ids.dtype)], 0)
+        count = jnp.concatenate(
+            [count, jnp.zeros((nb_pad - nb, 8), count.dtype)], 0)
+    t, uv, prim_o, shape_o = _run(rays, ids, count, tris, prim, shape,
+                                  interpret=interpret)
+    return t[:n], uv[:n], prim_o[:n], shape_o[:n]

@@ -73,9 +73,22 @@ class Geometry:
     # per-shape family table
     shape_family: jnp.ndarray  # (n_shapes,) i32
 
+    # triangle-tile accelerator (ops/accel.py; empty leading dim = absent)
+    tiles_v0: jnp.ndarray      # (T, K, 3)
+    tiles_e1: jnp.ndarray      # (T, K, 3)
+    tiles_e2: jnp.ndarray      # (T, K, 3)
+    tiles_prim: jnp.ndarray    # (T, K) i32 face index (-1 pad)
+    tiles_shape: jnp.ndarray   # (T, K) i32
+    tiles_lo: jnp.ndarray      # (T, 3)
+    tiles_hi: jnp.ndarray      # (T, 3)
+
     @property
     def n_shapes(self):
         return self.shape_family.shape[0]
+
+    @property
+    def has_tiles(self):
+        return self.tiles_v0.shape[0] > 0
 
 
 def empty_geometry(n_shapes=0):
@@ -89,7 +102,10 @@ def empty_geometry(n_shapes=0):
         rect_to_world=ident, rect_shape=zi(0),
         disk_to_world=ident, disk_shape=zi(0),
         cyl_to_world=ident, cyl_length=z(0), cyl_radius=z(0), cyl_shape=zi(0),
-        shape_family=zi(n_shapes))
+        shape_family=zi(n_shapes),
+        tiles_v0=z(0, 128, 3), tiles_e1=z(0, 128, 3), tiles_e2=z(0, 128, 3),
+        tiles_prim=zi(0, 128), tiles_shape=zi(0, 128),
+        tiles_lo=z(0, 3), tiles_hi=z(0, 3))
 
 
 # =============================================================================
@@ -238,6 +254,23 @@ def _intersect_cylinders(geo: Geometry, ray: Ray):
 # Combined preliminary intersection (the accelerator oracle)
 # =============================================================================
 
+def _use_tile_kernel(geo: Geometry) -> bool:
+    """Static policy: the Pallas tile sweep wins on TPU for non-trivial
+    meshes; small scenes and CPU runs keep the fused brute-force sweep.
+    ERT_ACCEL=tiles|naive overrides (tests force 'tiles' in interpret mode)."""
+    import os
+    mode = os.environ.get("ERT_ACCEL", "auto")
+    if mode == "naive" or not geo.has_tiles:
+        return False
+    if mode == "tiles":
+        return True
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    return platform == "tpu" and geo.faces.shape[0] >= 1024
+
+
 def ray_intersect_preliminary(geo: Geometry, ray: Ray) -> PreliminaryIntersection:
     """Closest hit over all present families; detached (callers stop_gradient
     it — the differentiable quantities come from compute_surface_interaction)."""
@@ -257,7 +290,25 @@ def ray_intersect_preliminary(geo: Geometry, ray: Ray) -> PreliminaryIntersectio
         shape = jnp.where(closer, shapef, shape)
 
     if geo.faces.shape[0] > 0:
-        merge(_intersect_meshes(geo, ray))
+        if _use_tile_kernel(geo):
+            import os
+
+            from ..ops.pallas_intersect import intersect_tiles
+
+            tiles = {"v0": geo.tiles_v0, "e1": geo.tiles_e1,
+                     "e2": geo.tiles_e2, "prim": geo.tiles_prim,
+                     "shape": geo.tiles_shape, "lo": geo.tiles_lo,
+                     "hi": geo.tiles_hi}
+            interp = os.environ.get("ERT_ACCEL_INTERPRET", "") != ""
+            flat_shape = batch
+            ray_flat = jax.tree_util.tree_map(
+                lambda a: a.reshape((-1,) + a.shape[len(batch):]), ray)
+            tt, tuv, tprim, tshape = intersect_tiles(tiles, ray_flat,
+                                                     interpret=interp)
+            merge((tt.reshape(flat_shape), tuv.reshape(flat_shape + (2,)),
+                   tprim.reshape(flat_shape), tshape.reshape(flat_shape)))
+        else:
+            merge(_intersect_meshes(geo, ray))
     if geo.sph_center.shape[0] > 0:
         merge(_intersect_spheres(geo, ray))
     if geo.rect_shape.shape[0] > 0:

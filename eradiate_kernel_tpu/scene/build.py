@@ -552,7 +552,29 @@ class SceneBuilder:
             return Transform(m=jnp.stack([t.m for t in transforms]),
                              inv_t=jnp.stack([t.inv_t for t in transforms]))
 
+        # triangle-tile accelerator arrays (ops/accel.py; native builder)
+        if len(F) > 0:
+            from ..ops import accel as _accel
+
+            _tiles = _accel.pack_tiles(V, N, F, FS)
+            tile_args = dict(
+                tiles_v0=jnp.asarray(_tiles["v0"]),
+                tiles_e1=jnp.asarray(_tiles["e1"]),
+                tiles_e2=jnp.asarray(_tiles["e2"]),
+                tiles_prim=jnp.asarray(_tiles["prim"]),
+                tiles_shape=jnp.asarray(_tiles["shape"]),
+                tiles_lo=jnp.asarray(_tiles["lo"]),
+                tiles_hi=jnp.asarray(_tiles["hi"]))
+        else:
+            tile_args = dict(
+                tiles_v0=jnp.zeros((0, 128, 3)), tiles_e1=jnp.zeros((0, 128, 3)),
+                tiles_e2=jnp.zeros((0, 128, 3)),
+                tiles_prim=jnp.zeros((0, 128), jnp.int32),
+                tiles_shape=jnp.zeros((0, 128), jnp.int32),
+                tiles_lo=jnp.zeros((0, 3)), tiles_hi=jnp.zeros((0, 3)))
+
         geo = Geometry(
+            **tile_args,
             vertices=jnp.asarray(V), normals=jnp.asarray(N), uvs=jnp.asarray(UV),
             faces=jnp.asarray(F), face_shape=jnp.asarray(FS),
             sph_center=jnp.asarray(np.stack([s[0] for s in self.spheres])

@@ -1,0 +1,110 @@
+"""Acceleration-structure tests: native tile builder properties and the
+Pallas tile intersector vs the brute-force oracle (the kd-tree-vs-naive
+cross-validation analog, librender/tests/test_kdtrees.py:26-101)."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from eradiate_kernel_tpu.ops import accel
+
+
+def soup(F=500, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-1, 1, (F, 3))
+    verts = (centers[:, None, :]
+             + rng.uniform(-0.15, 0.15, (F, 3, 3))).reshape(-1, 3)
+    faces = np.arange(3 * F, dtype=np.int32).reshape(F, 3)
+    return verts.astype(np.float32), faces
+
+
+def test_builder_partition_and_bounds():
+    verts, faces = soup()
+    tiles = accel.pack_tiles(verts, None, faces, np.zeros(len(faces), np.int32))
+    T, K, _ = tiles["v0"].shape
+    prim = tiles["prim"].ravel()
+    real = prim[prim >= 0]
+    # every face appears exactly once
+    assert sorted(real.tolist()) == list(range(len(faces)))
+    # tile AABBs contain their triangles
+    for t in range(T):
+        ids = tiles["prim"][t]
+        ok = ids >= 0
+        tri = verts[faces[ids[ok]]].reshape(-1, 3)
+        assert (tri >= tiles["lo"][t] - 1e-4).all()
+        assert (tri <= tiles["hi"][t] + 1e-4).all()
+
+
+def test_numpy_fallback_agrees_with_native():
+    verts, faces = soup(300, seed=3)
+    a = accel._build_tiles_numpy(verts, faces, 128)
+    if accel._load_builder() is None:
+        pytest.skip("no native builder in this environment")
+    b = accel.build_tri_tiles(verts, faces, 128)
+    # same partition structure (both morton-stable-sort based)
+    assert a[0].shape == b[0].shape
+    assert np.allclose(a[1], b[1], atol=1e-5)
+    assert np.allclose(a[2], b[2], atol=1e-5)
+
+
+def test_kernel_matches_bruteforce():
+    from eradiate_kernel_tpu.core.ray import Ray
+    from eradiate_kernel_tpu.ops.pallas_intersect import intersect_tiles
+    from eradiate_kernel_tpu.render.geometry import moller_trumbore
+
+    verts, faces = soup(400, seed=1)
+    tiles_np = accel.pack_tiles(verts, None, faces,
+                                np.zeros(len(faces), np.int32))
+    tiles = {k: jnp.asarray(v) for k, v in tiles_np.items()}
+
+    rng = np.random.default_rng(2)
+    N = 600
+    o = rng.uniform(-4, 4, (N, 3)).astype(np.float32)
+    target = rng.uniform(-1, 1, (N, 3)).astype(np.float32)
+    d = target - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ray = Ray.make(jnp.asarray(o), jnp.asarray(d),
+                   wavelengths=jnp.zeros((N, 0)))
+
+    t, uv, prim, shape = intersect_tiles(tiles, ray, interpret=True)
+
+    v0 = verts[faces[:, 0]]
+    v1 = verts[faces[:, 1]]
+    v2 = verts[faces[:, 2]]
+    tt, _, _, ok = moller_trumbore(
+        jnp.asarray(o)[:, None, :], jnp.asarray(d)[:, None, :],
+        jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2))
+    tt = np.asarray(jnp.where(ok & (tt >= 0), tt, jnp.inf))
+    ref_t = tt.min(axis=1)
+
+    t = np.asarray(t)
+    assert (np.isinf(t) == np.isinf(ref_t)).all()
+    both = ~np.isinf(t)
+    assert both.sum() > N // 3  # rays were aimed: plenty of hits
+    assert np.allclose(t[both], ref_t[both], rtol=1e-4, atol=1e-5)
+    assert (np.asarray(prim)[both] == tt.argmin(axis=1)[both]).mean() > 0.999
+
+
+def test_render_with_tiles_matches_naive():
+    """Full cbox render through the tile path (interpret mode) vs the
+    brute-force path."""
+    from eradiate_kernel_tpu.scene import load_dict
+    from eradiate_kernel_tpu import integrators
+    from eradiate_kernel_tpu.utils.scenes import cornell_box
+
+    scene = load_dict(cornell_box(width=8, height=8, spp=4, max_depth=3))
+    os.environ["ERT_ACCEL"] = "naive"
+    try:
+        ref = np.asarray(integrators.render(scene, seed=5))
+    finally:
+        os.environ.pop("ERT_ACCEL", None)
+    os.environ["ERT_ACCEL"] = "tiles"
+    os.environ["ERT_ACCEL_INTERPRET"] = "1"
+    try:
+        img = np.asarray(integrators.render(scene, seed=5))
+    finally:
+        os.environ.pop("ERT_ACCEL", None)
+        os.environ.pop("ERT_ACCEL_INTERPRET", None)
+    assert np.allclose(img, ref, atol=1e-4), np.abs(img - ref).max()
