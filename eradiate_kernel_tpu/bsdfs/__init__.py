@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..core.gather import table_gather as tg
+
 from . import (bilambertian, blendbsdf, bumpmap, common, conductor,
                dielectric, diffuse, mask, normalmap, null, plastic,
                roughconductor, roughdielectric, roughplastic, rpv,
@@ -54,7 +56,7 @@ def register_bsdf(name, module):
 
 def bsdf_flags(scene, bsdf_index):
     """Per-lane lobe flags (device gather from the precomputed table)."""
-    return scene.bsdf_flags[bsdf_index]
+    return tg(scene.bsdf_flags, bsdf_index)
 
 
 def _merge_sample(bs, weight, b, w, m):
@@ -68,8 +70,8 @@ def _merge_sample(bs, weight, b, w, m):
 
 def _dispatch_sample(scene, bsdf_index, si, s1, s2, active, mode, kinds):
     cfg = scene.config
-    kind_id = scene.bsdf_kind[bsdf_index]
-    slot = scene.bsdf_slot[bsdf_index]
+    kind_id = tg(scene.bsdf_kind, bsdf_index)
+    slot = tg(scene.bsdf_slot, bsdf_index)
     nc = si.wavelengths.shape[-1] if cfg.variant.is_spectral \
         else cfg.variant.n_channels
     bs, weight = zero_bsdf_sample(si.t.shape, nc)
@@ -85,8 +87,8 @@ def _dispatch_sample(scene, bsdf_index, si, s1, s2, active, mode, kinds):
 
 def _dispatch_eval_pdf(scene, bsdf_index, si, wo, active, mode, kinds):
     cfg = scene.config
-    kind_id = scene.bsdf_kind[bsdf_index]
-    slot = scene.bsdf_slot[bsdf_index]
+    kind_id = tg(scene.bsdf_kind, bsdf_index)
+    slot = tg(scene.bsdf_slot, bsdf_index)
     nc = si.wavelengths.shape[-1] if cfg.variant.is_spectral \
         else cfg.variant.n_channels
     value = jnp.zeros(si.t.shape + (nc,))
@@ -131,8 +133,8 @@ def eval_null_transmission(scene, bsdf_index, si, active):
     """Unscattered straight-through transmittance (bsdf.h
     eval_null_transmission) — used by volumetric NEE transmittance walks."""
     cfg = scene.config
-    kind_id = scene.bsdf_kind[bsdf_index]
-    slot = scene.bsdf_slot[bsdf_index]
+    kind_id = tg(scene.bsdf_kind, bsdf_index)
+    slot = tg(scene.bsdf_slot, bsdf_index)
     nc = si.wavelengths.shape[-1] if cfg.variant.is_spectral \
         else cfg.variant.n_channels
     out = jnp.zeros(si.t.shape + (nc,))

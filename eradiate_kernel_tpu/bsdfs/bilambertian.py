@@ -7,6 +7,7 @@ import jax.numpy as jnp
 
 from ..core import warp
 from ..render.texture import texture_eval
+from ..core.gather import table_gather as _tg
 from . import common
 
 FLAGS = (common.DiffuseReflection | common.DiffuseTransmission
@@ -22,9 +23,9 @@ def build(props, builder):
 
 
 def _weights(scene, params, slot, si, active):
-    r = texture_eval(scene, params["reflectance"][slot], si.uv,
+    r = texture_eval(scene, _tg(params["reflectance"], slot), si.uv,
                      si.wavelengths, active)
-    t = texture_eval(scene, params["transmittance"][slot], si.uv,
+    t = texture_eval(scene, _tg(params["transmittance"], slot), si.uv,
                      si.wavelengths, active)
     denom = jnp.maximum(jnp.mean(r + t, -1), 1e-12)
     w_r = jnp.where(jnp.mean(r + t, -1) > 0, jnp.mean(r, -1) / denom, 0.0)

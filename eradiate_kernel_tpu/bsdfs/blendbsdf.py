@@ -10,6 +10,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..render.texture import texture_eval
+from ..core.gather import table_gather as _tg
 from . import common
 
 IS_WRAPPER = True
@@ -30,7 +31,7 @@ def build(props, builder):
 
 
 def _weight(scene, params, slot, si, active):
-    w = texture_eval(scene, params["weight"][slot], si.uv, si.wavelengths,
+    w = texture_eval(scene, _tg(params["weight"], slot), si.uv, si.wavelengths,
                      active)
     return jnp.clip(jnp.mean(w, axis=-1), 0.0, 1.0)
 
@@ -42,9 +43,9 @@ def sample(scene, params, slot, si, s1, s2, active, mode=common.RADIANCE):
     sel1 = s1 < w  # second bsdf with probability w
     s1n = jnp.where(sel1, s1 / jnp.maximum(w, 1e-12),
                     (s1 - w) / jnp.maximum(1.0 - w, 1e-12))
-    bs0, w0 = dispatch_sample_nested(scene, params["nested0"][slot], si, s1n,
+    bs0, w0 = dispatch_sample_nested(scene, _tg(params["nested0"], slot), si, s1n,
                                      s2, active & ~sel1, mode)
-    bs1, w1 = dispatch_sample_nested(scene, params["nested1"][slot], si, s1n,
+    bs1, w1 = dispatch_sample_nested(scene, _tg(params["nested1"], slot), si, s1n,
                                      s2, active & sel1, mode)
     bs = common.BSDFSample(
         wo=jnp.where(sel1[..., None], bs1.wo, bs0.wo),
@@ -59,9 +60,9 @@ def eval_pdf(scene, params, slot, si, wo, active, mode=common.RADIANCE):
     from . import dispatch_eval_pdf_nested
 
     w = _weight(scene, params, slot, si, active)
-    v0, p0 = dispatch_eval_pdf_nested(scene, params["nested0"][slot], si, wo,
+    v0, p0 = dispatch_eval_pdf_nested(scene, _tg(params["nested0"], slot), si, wo,
                                       active, mode)
-    v1, p1 = dispatch_eval_pdf_nested(scene, params["nested1"][slot], si, wo,
+    v1, p1 = dispatch_eval_pdf_nested(scene, _tg(params["nested1"], slot), si, wo,
                                       active, mode)
     value = v0 * (1.0 - w)[..., None] + v1 * w[..., None]
     pdf = p0 * (1.0 - w) + p1 * w

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from ..core.frame import Frame
 from ..core.math import normalize
 from ..render.texture import texture_eval
+from ..core.gather import table_gather as _tg
 from . import common
 
 IS_WRAPPER = True
@@ -35,12 +36,12 @@ def build(props, builder):
 
 
 def _height(scene, params, slot, si_uv, wavelengths, active):
-    v = texture_eval(scene, params["bumpmap"][slot], si_uv, wavelengths, active)
+    v = texture_eval(scene, _tg(params["bumpmap"], slot), si_uv, wavelengths, active)
     return jnp.mean(v, axis=-1)
 
 
 def _perturbed_frame(scene, params, slot, si, active):
-    scale = params["scale"][slot]
+    scale = _tg(params["scale"], slot)
     h0 = _height(scene, params, slot, si.uv, si.wavelengths, active)
     hu = _height(scene, params, slot,
                  si.uv + jnp.asarray([_EPS, 0.0]), si.wavelengths, active)
@@ -58,7 +59,7 @@ def sample(scene, params, slot, si, s1, s2, active, mode=common.RADIANCE):
 
     frame = _perturbed_frame(scene, params, slot, si, active)
     si_p = si.replace(wi=frame.to_local(si.wi))
-    bs, weight = dispatch_sample_nested(scene, params["nested"][slot], si_p,
+    bs, weight = dispatch_sample_nested(scene, _tg(params["nested"], slot), si_p,
                                         s1, s2, active, mode)
     wo = frame.to_world(bs.wo)
     ok = (wo[..., 2] * bs.wo[..., 2]) > 0.0
@@ -73,7 +74,7 @@ def eval_pdf(scene, params, slot, si, wo, active, mode=common.RADIANCE):
     si_p = si.replace(wi=frame.to_local(si.wi))
     wo_p = frame.to_local(wo)
     ok = (wo[..., 2] * wo_p[..., 2]) > 0.0
-    v, p = dispatch_eval_pdf_nested(scene, params["nested"][slot], si_p, wo_p,
+    v, p = dispatch_eval_pdf_nested(scene, _tg(params["nested"], slot), si_p, wo_p,
                                     active & ok, mode)
     return (jnp.where((active & ok)[..., None], v, 0.0),
             jnp.where(active & ok, p, 0.0))

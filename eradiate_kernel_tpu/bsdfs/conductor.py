@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from ..render import fresnel as fr
 from ..render.texture import scene_spectrum_eval, texture_eval
+from ..core.gather import table_gather as _tg
 from . import common
 
 FLAGS = common.DeltaReflection | common.FrontSide
@@ -49,16 +50,16 @@ def build(props, builder):
 
 
 def _fresnel_term(scene, params, slot, si, cos_i, active):
-    eta = scene_spectrum_eval(scene, params["eta"][slot], si.wavelengths)
-    k = scene_spectrum_eval(scene, params["k"][slot], si.wavelengths)
+    eta = scene_spectrum_eval(scene, _tg(params["eta"], slot), si.wavelengths)
+    k = scene_spectrum_eval(scene, _tg(params["k"], slot), si.wavelengths)
     f = fr.fresnel_conductor(cos_i, eta, k)
-    refl = texture_eval(scene, params["specular_reflectance"][slot], si.uv,
+    refl = texture_eval(scene, _tg(params["specular_reflectance"], slot), si.uv,
                         si.wavelengths, active)
     return f * refl
 
 
 def sample(scene, params, slot, si, s1, s2, active, mode=common.RADIANCE):
-    two = params["twosided"][slot]
+    two = _tg(params["twosided"], slot)
     wi, flip = common.twosided_frame(two, si.wi)
     cos_i = wi[..., 2]
     act = active & (cos_i > 0.0)

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from ..render import fresnel as fr
 from ..render.texture import texture_eval
+from ..core.gather import table_gather as _tg
 from . import common
 
 FLAGS = (common.DeltaReflection | common.DeltaTransmission
@@ -33,7 +34,7 @@ def build(props, builder):
 
 
 def sample(scene, params, slot, si, s1, s2, active, mode=common.RADIANCE):
-    eta = params["eta"][slot]
+    eta = _tg(params["eta"], slot)
     wi = si.wi
     cos_i = wi[..., 2]
     r, cos_t, eta_it, eta_ti = fr.fresnel(cos_i, eta)
@@ -50,9 +51,9 @@ def sample(scene, params, slot, si, s1, s2, active, mode=common.RADIANCE):
                      jnp.uint32(common.DeltaTransmission | common.FrontSide
                                 | common.BackSide | common.NonSymmetric))
 
-    refl = texture_eval(scene, params["specular_reflectance"][slot], si.uv,
+    refl = texture_eval(scene, _tg(params["specular_reflectance"], slot), si.uv,
                         si.wavelengths, act)
-    trans = texture_eval(scene, params["specular_transmittance"][slot], si.uv,
+    trans = texture_eval(scene, _tg(params["specular_transmittance"], slot), si.uv,
                          si.wavelengths, act)
     # radiance transport: transmitted radiance is compressed by eta_ti^2
     # (dielectric.cpp:165-170); importance mode omits the factor

@@ -9,6 +9,7 @@ import jax.numpy as jnp
 
 from ..core import warp
 from ..render.texture import texture_eval
+from ..core.gather import table_gather as _tg
 from . import common
 
 FLAGS = common.DiffuseReflection | common.FrontSide
@@ -22,12 +23,12 @@ def build(props, builder):
 
 
 def _refl(scene, params, slot, si, active):
-    return texture_eval(scene, params["reflectance"][slot], si.uv,
+    return texture_eval(scene, _tg(params["reflectance"], slot), si.uv,
                         si.wavelengths, active)
 
 
 def sample(scene, params, slot, si, s1, s2, active, mode=common.RADIANCE):
-    two = params["twosided"][slot]
+    two = _tg(params["twosided"], slot)
     wi, flip = common.twosided_frame(two, si.wi)
     cos_i = wi[..., 2]
     act = active & (cos_i > 0.0)
@@ -44,7 +45,7 @@ def sample(scene, params, slot, si, s1, s2, active, mode=common.RADIANCE):
 
 
 def eval_pdf(scene, params, slot, si, wo, active, mode=common.RADIANCE):
-    two = params["twosided"][slot]
+    two = _tg(params["twosided"], slot)
     wi, flip = common.twosided_frame(two, si.wi)
     wo = jnp.where(flip[..., None], common.flip_z(wo), wo)
     cos_i = wi[..., 2]

@@ -11,6 +11,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..render.texture import texture_eval
+from ..core.gather import table_gather as _tg
 from . import common
 
 IS_WRAPPER = True
@@ -31,7 +32,7 @@ def build(props, builder):
 
 
 def _opacity(scene, params, slot, si, active):
-    op = texture_eval(scene, params["opacity"][slot], si.uv, si.wavelengths,
+    op = texture_eval(scene, _tg(params["opacity"], slot), si.uv, si.wavelengths,
                       active)
     return jnp.clip(jnp.mean(op, axis=-1), 0.0, 1.0)
 
@@ -44,7 +45,7 @@ def sample(scene, params, slot, si, s1, s2, active, mode=common.RADIANCE):
     # renormalize the lobe-selection sample for the nested BSDF (mask.cpp)
     s1n = jnp.where(sel_nested, s1 / jnp.maximum(op, 1e-12),
                     (s1 - op) / jnp.maximum(1.0 - op, 1e-12))
-    nested = params["nested"][slot]
+    nested = _tg(params["nested"], slot)
     bs_n, w_n = dispatch_sample_nested(scene, nested, si, s1n, s2,
                                        active & sel_nested, mode)
     batch = si.t.shape
@@ -66,7 +67,7 @@ def eval_pdf(scene, params, slot, si, wo, active, mode=common.RADIANCE):
     from . import dispatch_eval_pdf_nested
 
     op = _opacity(scene, params, slot, si, active)
-    nested = params["nested"][slot]
+    nested = _tg(params["nested"], slot)
     v, p = dispatch_eval_pdf_nested(scene, nested, si, wo, active, mode)
     return v * op[..., None], p * op
 

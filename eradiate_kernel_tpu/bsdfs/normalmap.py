@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from ..core.frame import Frame
 from ..core.math import normalize
 from ..render.texture import texture_eval
+from ..core.gather import table_gather as _tg
 from . import common
 
 IS_WRAPPER = True
@@ -34,7 +35,7 @@ def build(props, builder):
 
 
 def _perturbed_frame(scene, params, slot, si, active):
-    rgb = texture_eval(scene, params["normalmap"][slot], si.uv,
+    rgb = texture_eval(scene, _tg(params["normalmap"], slot), si.uv,
                        si.wavelengths, active)
     # pad mono variants to 3 channels
     if rgb.shape[-1] < 3:
@@ -53,7 +54,7 @@ def sample(scene, params, slot, si, s1, s2, active, mode=common.RADIANCE):
 
     frame = _perturbed_frame(scene, params, slot, si, active)
     si_p = si.replace(wi=_to_perturbed(frame, si.wi))
-    bs, weight = dispatch_sample_nested(scene, params["nested"][slot], si_p,
+    bs, weight = dispatch_sample_nested(scene, _tg(params["nested"], slot), si_p,
                                         s1, s2, active, mode)
     wo = frame.to_world(bs.wo)
     # reject samples that leak through the true surface
@@ -69,7 +70,7 @@ def eval_pdf(scene, params, slot, si, wo, active, mode=common.RADIANCE):
     si_p = si.replace(wi=_to_perturbed(frame, si.wi))
     wo_p = _to_perturbed(frame, wo)
     ok = (wo[..., 2] * wo_p[..., 2]) > 0.0
-    v, p = dispatch_eval_pdf_nested(scene, params["nested"][slot], si_p, wo_p,
+    v, p = dispatch_eval_pdf_nested(scene, _tg(params["nested"], slot), si_p, wo_p,
                                     active & ok, mode)
     return (jnp.where((active & ok)[..., None], v, 0.0),
             jnp.where(active & ok, p, 0.0))

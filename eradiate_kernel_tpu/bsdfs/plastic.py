@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from ..core import warp
 from ..render import fresnel as fr
 from ..render.texture import texture_eval
+from ..core.gather import table_gather as _tg
 from . import common
 
 FLAGS = (common.DeltaReflection | common.DiffuseReflection
@@ -42,7 +43,7 @@ def build(props, builder):
 def _probs(params, slot, f_i):
     """Lobe selection probability for the specular component
     (plastic.cpp sample()): prob_spec = F_i * w_s / (F_i w_s + (1-F_i) w_d)."""
-    ws = params["spec_weight"][slot]
+    ws = _tg(params["spec_weight"], slot)
     wd = 1.0 - ws
     denom = f_i * ws + (1.0 - f_i) * wd
     return jnp.where(denom > 0, f_i * ws / jnp.maximum(denom, 1e-12), 1.0)
@@ -52,10 +53,10 @@ def _diffuse_term(scene, params, slot, si, f_i, f_o, cos_o, active,
                   mode=common.RADIANCE):
     """Internal-scattering-corrected diffuse value WITH cosine
     (plastic.cpp eval())."""
-    eta = params["eta"][slot]
-    fdr = params["fdr_int"][slot]
-    nonlinear = params["nonlinear"][slot]
-    diff = texture_eval(scene, params["diffuse_reflectance"][slot], si.uv,
+    eta = _tg(params["eta"], slot)
+    fdr = _tg(params["fdr_int"], slot)
+    nonlinear = _tg(params["nonlinear"], slot)
+    diff = texture_eval(scene, _tg(params["diffuse_reflectance"], slot), si.uv,
                         si.wavelengths, active)
     sat = jnp.where(nonlinear[..., None], diff, jnp.ones_like(diff))
     value = diff / (1.0 - sat * fdr[..., None])
@@ -66,11 +67,11 @@ def _diffuse_term(scene, params, slot, si, f_i, f_o, cos_o, active,
 
 
 def sample(scene, params, slot, si, s1, s2, active, mode=common.RADIANCE):
-    two = params["twosided"][slot]
+    two = _tg(params["twosided"], slot)
     wi, flip = common.twosided_frame(two, si.wi)
     cos_i = wi[..., 2]
     act = active & (cos_i > 0.0)
-    eta = params["eta"][slot]
+    eta = _tg(params["eta"], slot)
 
     f_i, _, _, _ = fr.fresnel(cos_i, eta)
     prob_spec = _probs(params, slot, f_i)
@@ -85,7 +86,7 @@ def sample(scene, params, slot, si, s1, s2, active, mode=common.RADIANCE):
     pdf_diff = warp.square_to_cosine_hemisphere_pdf(wo) * (1.0 - prob_spec)
     pdf = jnp.where(sel_spec, prob_spec, pdf_diff)
 
-    spec = texture_eval(scene, params["specular_reflectance"][slot], si.uv,
+    spec = texture_eval(scene, _tg(params["specular_reflectance"], slot), si.uv,
                         si.wavelengths, act)
     w_spec = spec * (f_i / jnp.maximum(prob_spec, 1e-12))[..., None]
     diff_val = _diffuse_term(scene, params, slot, si, f_i, f_o, cos_o, act, mode)
@@ -103,13 +104,13 @@ def sample(scene, params, slot, si, s1, s2, active, mode=common.RADIANCE):
 
 
 def eval_pdf(scene, params, slot, si, wo, active, mode=common.RADIANCE):
-    two = params["twosided"][slot]
+    two = _tg(params["twosided"], slot)
     wi, flip = common.twosided_frame(two, si.wi)
     wo = jnp.where(flip[..., None], common.flip_z(wo), wo)
     cos_i = wi[..., 2]
     cos_o = wo[..., 2]
     act = active & (cos_i > 0.0) & (cos_o > 0.0)
-    eta = params["eta"][slot]
+    eta = _tg(params["eta"], slot)
     f_i, _, _, _ = fr.fresnel(cos_i, eta)
     f_o, _, _, _ = fr.fresnel(cos_o, eta)
     value = _diffuse_term(scene, params, slot, si, f_i, f_o, cos_o, act, mode)

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from ..render import fresnel as fr
 from ..render import microfacet as mf
 from ..render.texture import scene_spectrum_eval, texture_eval
+from ..core.gather import table_gather as _tg
 from . import common
 from .conductor import _eta_k
 
@@ -38,7 +39,7 @@ def _dist_sweep(params, slot, fn):
     """Run fn(dist_type) for the (at most two) distribution types present and
     blend by the per-lane dist id. Keeps dist a data column while tracing
     both branches only when both exist."""
-    dist = params["dist"][slot]
+    dist = _tg(params["dist"], slot)
     types = [mf.GGX, mf.BECKMANN]
     out = None
     for ty in types:
@@ -54,12 +55,12 @@ def _dist_sweep(params, slot, fn):
 
 
 def sample(scene, params, slot, si, s1, s2, active, mode=common.RADIANCE):
-    two = params["twosided"][slot]
+    two = _tg(params["twosided"], slot)
     wi, flip = common.twosided_frame(two, si.wi)
     cos_i = wi[..., 2]
     act = active & (cos_i > 0.0)
-    au = params["alpha_u"][slot]
-    av = params["alpha_v"][slot]
+    au = _tg(params["alpha_u"], slot)
+    av = _tg(params["alpha_v"], slot)
 
     def per_dist(ty):
         m, pdf_m = mf.sample(ty, wi, au, av, s2)
@@ -76,10 +77,10 @@ def sample(scene, params, slot, si, s1, s2, active, mode=common.RADIANCE):
 
     wo, pdf, w_nof, cos_im = _dist_sweep(params, slot, per_dist)
 
-    eta = scene_spectrum_eval(scene, params["eta"][slot], si.wavelengths)
-    kk = scene_spectrum_eval(scene, params["k"][slot], si.wavelengths)
+    eta = scene_spectrum_eval(scene, _tg(params["eta"], slot), si.wavelengths)
+    kk = scene_spectrum_eval(scene, _tg(params["k"], slot), si.wavelengths)
     f = fr.fresnel_conductor(cos_im, eta, kk)
-    refl = texture_eval(scene, params["specular_reflectance"][slot], si.uv,
+    refl = texture_eval(scene, _tg(params["specular_reflectance"], slot), si.uv,
                         si.wavelengths, act)
     weight = f * refl * w_nof[..., None]
 
@@ -92,14 +93,14 @@ def sample(scene, params, slot, si, s1, s2, active, mode=common.RADIANCE):
 
 
 def eval_pdf(scene, params, slot, si, wo, active, mode=common.RADIANCE):
-    two = params["twosided"][slot]
+    two = _tg(params["twosided"], slot)
     wi, flip = common.twosided_frame(two, si.wi)
     wo = jnp.where(flip[..., None], common.flip_z(wo), wo)
     cos_i = wi[..., 2]
     cos_o = wo[..., 2]
     act = active & (cos_i > 0.0) & (cos_o > 0.0)
-    au = params["alpha_u"][slot]
-    av = params["alpha_v"][slot]
+    au = _tg(params["alpha_u"], slot)
+    av = _tg(params["alpha_v"], slot)
 
     from ..core.math import normalize
     h = normalize(wi + wo)
@@ -114,10 +115,10 @@ def eval_pdf(scene, params, slot, si, wo, active, mode=common.RADIANCE):
 
     val_nof, pdf = _dist_sweep(params, slot, per_dist)
 
-    eta = scene_spectrum_eval(scene, params["eta"][slot], si.wavelengths)
-    kk = scene_spectrum_eval(scene, params["k"][slot], si.wavelengths)
+    eta = scene_spectrum_eval(scene, _tg(params["eta"], slot), si.wavelengths)
+    kk = scene_spectrum_eval(scene, _tg(params["k"], slot), si.wavelengths)
     f = fr.fresnel_conductor(jnp.sum(wi * h, -1), eta, kk)
-    refl = texture_eval(scene, params["specular_reflectance"][slot], si.uv,
+    refl = texture_eval(scene, _tg(params["specular_reflectance"], slot), si.uv,
                         si.wavelengths, act)
     value = f * refl * val_nof[..., None]  # already divided by 4 cos_i;
     # note: D G F / (4 cos_i cos_o) * cos_o = D G F / (4 cos_i)

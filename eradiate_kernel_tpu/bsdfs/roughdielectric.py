@@ -14,6 +14,7 @@ from ..core.math import normalize, sqr
 from ..render import fresnel as fr
 from ..render import microfacet as mf
 from ..render.texture import texture_eval
+from ..core.gather import table_gather as _tg
 from . import common
 from .roughconductor import _dist_sweep
 
@@ -44,9 +45,9 @@ def _mulsign(v, s):
 
 
 def sample(scene, params, slot, si, s1, s2, active, mode=common.RADIANCE):
-    eta = params["eta"][slot]
-    au = params["alpha_u"][slot]
-    av = params["alpha_v"][slot]
+    eta = _tg(params["eta"], slot)
+    au = _tg(params["alpha_u"], slot)
+    av = _tg(params["alpha_v"], slot)
     wi = si.wi
     cos_i = wi[..., 2]
     act = active & (cos_i != 0.0)
@@ -72,7 +73,7 @@ def sample(scene, params, slot, si, s1, s2, active, mode=common.RADIANCE):
     act = act & ok & (pdf_m > 0)
 
     # VNDF sample weight = G2/G1(wi) = G1(wo) for separable Smith
-    dist = params["dist"][slot]
+    dist = _tg(params["dist"], slot)
     au_b = jnp.broadcast_to(au, cos_o.shape)
     av_b = jnp.broadcast_to(av, cos_o.shape)
     g1_ggx = mf.smith_g1(mf.GGX, _mulsign(wo, cos_o), m, au_b, av_b)
@@ -86,9 +87,9 @@ def sample(scene, params, slot, si, s1, s2, active, mode=common.RADIANCE):
     pdf = pdf_m * jnp.where(select_r, f, 1.0 - f) \
         * jnp.where(select_r, dwh_dwo_r, dwh_dwo_t)
 
-    refl = texture_eval(scene, params["specular_reflectance"][slot], si.uv,
+    refl = texture_eval(scene, _tg(params["specular_reflectance"], slot), si.uv,
                         si.wavelengths, act)
-    trans = texture_eval(scene, params["specular_transmittance"][slot], si.uv,
+    trans = texture_eval(scene, _tg(params["specular_transmittance"], slot), si.uv,
                          si.wavelengths, act)
     t_factor = sqr(eta_ti) if mode == common.RADIANCE else jnp.ones_like(eta_ti)
     weight = jnp.where(select_r[..., None], refl,
@@ -107,9 +108,9 @@ def sample(scene, params, slot, si, s1, s2, active, mode=common.RADIANCE):
 
 
 def eval_pdf(scene, params, slot, si, wo, active, mode=common.RADIANCE):
-    eta = params["eta"][slot]
-    au = params["alpha_u"][slot]
-    av = params["alpha_v"][slot]
+    eta = _tg(params["eta"], slot)
+    au = _tg(params["alpha_u"], slot)
+    av = _tg(params["alpha_v"], slot)
     wi = si.wi
     cos_i = wi[..., 2]
     cos_o = wo[..., 2]
@@ -163,9 +164,9 @@ def eval_pdf(scene, params, slot, si, wo, active, mode=common.RADIANCE):
     value = jnp.where(reflect, val_r, val_t)
     pdf = jnp.where(reflect, pdf_r, pdf_t)
 
-    refl_tex = texture_eval(scene, params["specular_reflectance"][slot], si.uv,
+    refl_tex = texture_eval(scene, _tg(params["specular_reflectance"], slot), si.uv,
                             si.wavelengths, act)
-    trans_tex = texture_eval(scene, params["specular_transmittance"][slot],
+    trans_tex = texture_eval(scene, _tg(params["specular_transmittance"], slot),
                              si.uv, si.wavelengths, act)
     tex = jnp.where(reflect[..., None], refl_tex, trans_tex)
     return (jnp.where(act[..., None], value[..., None] * tex, 0.0),

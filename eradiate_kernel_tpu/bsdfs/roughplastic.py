@@ -16,6 +16,7 @@ from ..core.math import normalize
 from ..render import fresnel as fr
 from ..render import microfacet as mf
 from ..render.texture import texture_eval
+from ..core.gather import table_gather as _tg
 from . import common
 from .plastic import _diffuse_term
 from .roughconductor import _dist_sweep
@@ -47,7 +48,7 @@ def build(props, builder):
 
 
 def _prob_spec(params, slot, f_i):
-    ws = params["spec_weight"][slot]
+    ws = _tg(params["spec_weight"], slot)
     wd = 1.0 - ws
     denom = f_i * ws + (1.0 - f_i) * wd
     return jnp.where(denom > 0, f_i * ws / jnp.maximum(denom, 1e-12), 1.0)
@@ -55,9 +56,9 @@ def _prob_spec(params, slot, f_i):
 
 def _spec_eval(scene, params, slot, si, wi, wo, act):
     """(value_with_cos, pdf_m-based pdf) of the microfacet lobe."""
-    au = params["alpha_u"][slot]
-    av = params["alpha_v"][slot]
-    eta = params["eta"][slot]
+    au = _tg(params["alpha_u"], slot)
+    av = _tg(params["alpha_v"], slot)
+    eta = _tg(params["eta"], slot)
     cos_i = wi[..., 2]
     h = normalize(wi + wo)
 
@@ -71,19 +72,19 @@ def _spec_eval(scene, params, slot, si, wi, wo, act):
     f, _, _, _ = fr.fresnel(jnp.sum(wi * h, -1), eta)
     val = f * d * g / jnp.maximum(4.0 * cos_i, 1e-12)
     pdf = pdf_m / jnp.maximum(4.0 * jnp.abs(jnp.sum(wo * h, -1)), 1e-12)
-    spec = texture_eval(scene, params["specular_reflectance"][slot], si.uv,
+    spec = texture_eval(scene, _tg(params["specular_reflectance"], slot), si.uv,
                         si.wavelengths, act)
     return val[..., None] * spec, pdf
 
 
 def sample(scene, params, slot, si, s1, s2, active, mode=common.RADIANCE):
-    two = params["twosided"][slot]
+    two = _tg(params["twosided"], slot)
     wi, flip = common.twosided_frame(two, si.wi)
     cos_i = wi[..., 2]
     act = active & (cos_i > 0.0)
-    eta = params["eta"][slot]
-    au = params["alpha_u"][slot]
-    av = params["alpha_v"][slot]
+    eta = _tg(params["eta"], slot)
+    au = _tg(params["alpha_u"], slot)
+    av = _tg(params["alpha_v"], slot)
 
     f_i, _, _, _ = fr.fresnel(cos_i, eta)
     prob_spec = _prob_spec(params, slot, f_i)
@@ -115,13 +116,13 @@ def sample(scene, params, slot, si, s1, s2, active, mode=common.RADIANCE):
 
 
 def eval_pdf(scene, params, slot, si, wo, active, mode=common.RADIANCE):
-    two = params["twosided"][slot]
+    two = _tg(params["twosided"], slot)
     wi, flip = common.twosided_frame(two, si.wi)
     wo = jnp.where(flip[..., None], common.flip_z(wo), wo)
     cos_i = wi[..., 2]
     cos_o = wo[..., 2]
     act = active & (cos_i > 0.0) & (cos_o > 0.0)
-    eta = params["eta"][slot]
+    eta = _tg(params["eta"], slot)
 
     f_i, _, _, _ = fr.fresnel(cos_i, eta)
     f_o, _, _, _ = fr.fresnel(cos_o, eta)

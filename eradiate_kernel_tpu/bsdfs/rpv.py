@@ -13,6 +13,7 @@ from ..core import warp
 from ..core.frame import cos_theta, sin_theta, tan_theta, sin_cos_phi_2
 from ..core.math import safe_sqrt, sqr
 from ..render.texture import texture_eval
+from ..core.gather import table_gather as _tg
 from . import common
 
 FLAGS = common.GlossyReflection | common.FrontSide
@@ -40,10 +41,10 @@ def _sincos_phi(v):
 def eval_rpv(scene, params, slot, si, wi, wo, active):
     """rpv.cpp:107-146 eval_rpv — BRDF value WITHOUT the cosine factor."""
     uv, wl = si.uv, si.wavelengths
-    rho_0 = texture_eval(scene, params["rho_0"][slot], uv, wl, active)
-    rho_c = texture_eval(scene, params["rho_c"][slot], uv, wl, active)
-    g = texture_eval(scene, params["g"][slot], uv, wl, active)
-    k = texture_eval(scene, params["k"][slot], uv, wl, active)
+    rho_0 = texture_eval(scene, _tg(params["rho_0"], slot), uv, wl, active)
+    rho_c = texture_eval(scene, _tg(params["rho_c"], slot), uv, wl, active)
+    g = texture_eval(scene, _tg(params["g"], slot), uv, wl, active)
+    k = texture_eval(scene, _tg(params["k"], slot), uv, wl, active)
 
     sp1, cp1 = _sincos_phi(wi)
     sp2, cp2 = _sincos_phi(wo)
@@ -63,7 +64,7 @@ def eval_rpv(scene, params, slot, si, wi, wo, active):
 
 
 def sample(scene, params, slot, si, s1, s2, active, mode=common.RADIANCE):
-    two = params["twosided"][slot]
+    two = _tg(params["twosided"], slot)
     wi, flip = common.twosided_frame(two, si.wi)
     act = active & (wi[..., 2] > 0.0)
     wo = warp.square_to_cosine_hemisphere(s2)
@@ -80,7 +81,7 @@ def sample(scene, params, slot, si, s1, s2, active, mode=common.RADIANCE):
 
 
 def eval_pdf(scene, params, slot, si, wo, active, mode=common.RADIANCE):
-    two = params["twosided"][slot]
+    two = _tg(params["twosided"], slot)
     wi, flip = common.twosided_frame(two, si.wi)
     wo = jnp.where(flip[..., None], common.flip_z(wo), wo)
     act = active & (wi[..., 2] > 0.0) & (wo[..., 2] > 0.0)

@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from ..render import fresnel as fr
 from ..render.texture import texture_eval
+from ..core.gather import table_gather as _tg
 from . import common
 
 FLAGS = (common.DeltaReflection | common.Null
@@ -32,7 +33,7 @@ def build(props, builder):
 
 
 def sample(scene, params, slot, si, s1, s2, active, mode=common.RADIANCE):
-    eta = params["eta"][slot]
+    eta = _tg(params["eta"], slot)
     wi = si.wi
     cos_i = wi[..., 2]
     r, _, _, _ = fr.fresnel(jnp.abs(cos_i), eta)
@@ -48,9 +49,9 @@ def sample(scene, params, slot, si, s1, s2, active, mode=common.RADIANCE):
                                 | common.BackSide),
                      jnp.uint32(common.Null | common.FrontSide
                                 | common.BackSide))
-    refl = texture_eval(scene, params["specular_reflectance"][slot], si.uv,
+    refl = texture_eval(scene, _tg(params["specular_reflectance"], slot), si.uv,
                         si.wavelengths, act)
-    trans = texture_eval(scene, params["specular_transmittance"][slot], si.uv,
+    trans = texture_eval(scene, _tg(params["specular_transmittance"], slot), si.uv,
                          si.wavelengths, act)
     weight = jnp.where(select_r[..., None], refl, trans)
     bs = common.BSDFSample(wo=wo, pdf=jnp.where(act, pdf, 0.0),
@@ -67,9 +68,9 @@ def eval_pdf(scene, params, slot, si, wo, active, mode=common.RADIANCE):
 def eval_null_transmission(scene, params, slot, si, active):
     """Straight-through transmittance (1 - R') — lets shadow rays pass with
     attenuation (thindielectric.cpp eval_null_transmission... via Null lobe)."""
-    eta = params["eta"][slot]
+    eta = _tg(params["eta"], slot)
     r, _, _, _ = fr.fresnel(jnp.abs(si.wi[..., 2]), eta)
     r = jnp.where(r < 1.0, 2.0 * r / (1.0 + r), 1.0)
-    trans = texture_eval(scene, params["specular_transmittance"][slot], si.uv,
+    trans = texture_eval(scene, _tg(params["specular_transmittance"], slot), si.uv,
                          si.wavelengths, active)
     return jnp.where(active[..., None], trans * (1.0 - r)[..., None], 0.0)

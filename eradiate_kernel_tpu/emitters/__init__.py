@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import warp
+from ..core.gather import table_gather as _tg
 from ..core.math import dot, normalize
 from ..render.records import DirectionSample
 from ..render.texture import texture_eval
@@ -40,12 +41,12 @@ def _tex(scene, tex_idx, uv, wavelengths, active):
 def area_eval(scene, params, slot, si, active):
     """Radiance of an area emitter seen from direction si.wi (front side)."""
     front = si.wi[..., 2] > 0.0
-    v = _tex(scene, params["radiance"][slot], si.uv, si.wavelengths, active)
+    v = _tex(scene, _tg(params["radiance"], slot), si.uv, si.wavelengths, active)
     return jnp.where((active & front)[..., None], v, 0.0)
 
 
 def area_sample_direction(scene, params, slot, ref_p, wavelengths, s1, s2, active):
-    shape_idx = params["shape"][slot]
+    shape_idx = _tg(params["shape"], slot)
     ps = shape_sampling.sample_position(scene, shape_idx, s1, s2, active)
     delta = ps.p - ref_p
     dist2 = jnp.maximum(jnp.sum(delta * delta, -1), 1e-20)
@@ -54,7 +55,7 @@ def area_sample_direction(scene, params, slot, ref_p, wavelengths, s1, s2, activ
     cos_em = dot(ps.n, -d)
     front = cos_em > 1e-7
     pdf_sa = ps.pdf * dist2 / jnp.maximum(jnp.abs(cos_em), 1e-20)
-    value = _tex(scene, params["radiance"][slot], ps.uv, wavelengths, active)
+    value = _tex(scene, _tg(params["radiance"], slot), ps.uv, wavelengths, active)
     value = jnp.where((active & front)[..., None], value, 0.0)
     pdf_sa = jnp.where(front, pdf_sa, 0.0)
     ds = DirectionSample(p=ps.p, n=ps.n, uv=ps.uv, d=d, dist=dist, pdf=pdf_sa,
@@ -64,7 +65,7 @@ def area_sample_direction(scene, params, slot, ref_p, wavelengths, s1, s2, activ
 
 
 def area_pdf_direction(scene, params, slot, ref_p, ds_p, ds_n, active):
-    shape_idx = params["shape"][slot]
+    shape_idx = _tg(params["shape"], slot)
     delta = ds_p - ref_p
     dist2 = jnp.maximum(jnp.sum(delta * delta, -1), 1e-20)
     d = delta / jnp.sqrt(dist2)[..., None]
@@ -74,7 +75,7 @@ def area_pdf_direction(scene, params, slot, ref_p, ds_p, ds_n, active):
 
 
 def constant_eval(scene, params, slot, uv, wavelengths, active):
-    return _tex(scene, params["radiance"][slot], uv, wavelengths, active)
+    return _tex(scene, _tg(params["radiance"], slot), uv, wavelengths, active)
 
 
 def constant_sample_direction(scene, params, slot, ref_p, wavelengths, s1, s2, active):
@@ -82,7 +83,7 @@ def constant_sample_direction(scene, params, slot, ref_p, wavelengths, s1, s2, a
     pdf = warp.square_to_uniform_sphere_pdf(d)
     r = 2.0 * scene.bsphere_radius
     p = ref_p + d * r
-    value = _tex(scene, params["radiance"][slot], s2, wavelengths, active)
+    value = _tex(scene, _tg(params["radiance"], slot), s2, wavelengths, active)
     ds = DirectionSample(p=p, n=-d, uv=s2, d=d, dist=jnp.full(pdf.shape, r),
                          pdf=pdf, delta=jnp.zeros(pdf.shape, bool),
                          emitter_index=jnp.zeros(pdf.shape, jnp.int32))
@@ -90,12 +91,12 @@ def constant_sample_direction(scene, params, slot, ref_p, wavelengths, s1, s2, a
 
 
 def point_sample_direction(scene, params, slot, ref_p, wavelengths, s1, s2, active):
-    p = params["position"][slot]
+    p = _tg(params["position"], slot)
     delta = p - ref_p
     dist2 = jnp.maximum(jnp.sum(delta * delta, -1), 1e-20)
     dist = jnp.sqrt(dist2)
     d = delta / dist[..., None]
-    value = _tex(scene, params["intensity"][slot],
+    value = _tex(scene, _tg(params["intensity"], slot),
                  jnp.zeros(dist.shape + (2,)), wavelengths, active) / dist2[..., None]
     ds = DirectionSample(p=p, n=-d, uv=jnp.zeros(dist.shape + (2,)), d=d,
                          dist=dist, pdf=jnp.ones_like(dist),
@@ -105,10 +106,10 @@ def point_sample_direction(scene, params, slot, ref_p, wavelengths, s1, s2, acti
 
 
 def directional_sample_direction(scene, params, slot, ref_p, wavelengths, s1, s2, active):
-    d_emit = normalize(params["direction"][slot])  # direction light travels
+    d_emit = normalize(_tg(params["direction"], slot))  # direction light travels
     d = -d_emit
     r = 2.0 * scene.bsphere_radius
-    value = _tex(scene, params["irradiance"][slot],
+    value = _tex(scene, _tg(params["irradiance"], slot),
                  jnp.zeros(d.shape[:-1] + (2,)), wavelengths, active)
     ds = DirectionSample(p=ref_p + d * r, n=d_emit,
                          uv=jnp.zeros(d.shape[:-1] + (2,)), d=d,
@@ -122,19 +123,19 @@ def directional_sample_direction(scene, params, slot, ref_p, wavelengths, s1, s2
 def spot_sample_direction(scene, params, slot, ref_p, wavelengths, s1, s2, active):
     """src/emitters/spot.cpp — cone spotlight with linear falloff between
     beam and cutoff angles; delta position."""
-    p = params["position"][slot]
+    p = _tg(params["position"], slot)
     delta = p - ref_p
     dist2 = jnp.maximum(jnp.sum(delta * delta, -1), 1e-20)
     dist = jnp.sqrt(dist2)
     d = delta / dist[..., None]
     # angle between the spot axis and the direction toward ref
-    axis = normalize(params["direction"][slot])
+    axis = normalize(_tg(params["direction"], slot))
     cos_a = dot(axis, -d)
-    ccut = params["cos_cutoff"][slot]
-    cbeam = params["cos_beam"][slot]
+    ccut = _tg(params["cos_cutoff"], slot)
+    cbeam = _tg(params["cos_beam"], slot)
     falloff = jnp.clip((cos_a - ccut) / jnp.maximum(cbeam - ccut, 1e-6),
                        0.0, 1.0)
-    value = _tex(scene, params["intensity"][slot],
+    value = _tex(scene, _tg(params["intensity"], slot),
                  jnp.zeros(dist.shape + (2,)), wavelengths, active)
     value = value * (falloff / dist2)[..., None]
     ds = DirectionSample(p=p, n=-d, uv=jnp.zeros(dist.shape + (2,)), d=d,
@@ -151,22 +152,22 @@ def projector_sample_direction(scene, params, slot, ref_p, wavelengths, s1, s2,
     through the projector's frustum."""
     from ..core.transform import Transform
 
-    p = params["position"][slot]
+    p = _tg(params["position"], slot)
     delta = p - ref_p
     dist2 = jnp.maximum(jnp.sum(delta * delta, -1), 1e-20)
     dist = jnp.sqrt(dist2)
     d = delta / dist[..., None]
     # direction from projector toward ref in the projector frame (+z fwd)
-    w2l = Transform(m=params["w2l_m"][slot], inv_t=params["w2l_it"][slot])
+    w2l = Transform(m=_tg(params["w2l_m"], slot), inv_t=_tg(params["w2l_it"], slot))
     d_loc = w2l.transform_vector(-d)
-    tan_x = params["tan_half_fov"][slot]
-    aspect = params["aspect"][slot]
+    tan_x = _tg(params["tan_half_fov"], slot)
+    aspect = _tg(params["aspect"], slot)
     z = jnp.maximum(d_loc[..., 2], 1e-6)
     u = 0.5 * (d_loc[..., 0] / (z * tan_x) + 1.0)
     v = 0.5 * (1.0 - d_loc[..., 1] / (z * tan_x * aspect))
     inside = (d_loc[..., 2] > 0) & (u >= 0) & (u < 1) & (v >= 0) & (v < 1)
     uv = jnp.stack([u, v], -1)
-    value = _tex(scene, params["irradiance"][slot], uv, wavelengths,
+    value = _tex(scene, _tg(params["irradiance"], slot), uv, wavelengths,
                  active & inside)
     value = jnp.where((active & inside)[..., None], value / dist2[..., None],
                       0.0)
@@ -187,7 +188,7 @@ def projector_sample_direction(scene, params, slot, ref_p, wavelengths, s1, s2,
 
 def _envmap_dir_to_uv(params, slot, d):
     from ..core.transform import Transform
-    w2l = Transform(m=params["w2l_m"][slot], inv_t=params["w2l_it"][slot])
+    w2l = Transform(m=_tg(params["w2l_m"], slot), inv_t=_tg(params["w2l_it"], slot))
     dl = normalize(w2l.transform_vector(d))
     theta = jnp.arccos(jnp.clip(dl[..., 2], -1.0, 1.0))
     phi = jnp.arctan2(dl[..., 1], dl[..., 0])
@@ -201,12 +202,12 @@ def _envmap_uv_to_dir(params, slot, uv):
     theta = uv[..., 1] * jnp.pi
     st = jnp.sin(theta)
     dl = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), jnp.cos(theta)], -1)
-    w2l = Transform(m=params["w2l_m"][slot], inv_t=params["w2l_it"][slot])
+    w2l = Transform(m=_tg(params["w2l_m"], slot), inv_t=_tg(params["w2l_it"], slot))
     return normalize(w2l.inverse().transform_vector(dl)), theta
 
 
 def _envmap_bilinear(params, slot, uv, wavelengths, nc):
-    img = params["image"][slot]  # (H, W, 3)
+    img = _tg(params["image"], slot)  # (H, W, 3)
     H, W = img.shape[-3], img.shape[-2]
     u = jnp.clip(uv[..., 0], 0.0, 1.0 - 1e-6) * W - 0.5
     v = jnp.clip(uv[..., 1], 0.0, 1.0 - 1e-6) * H - 0.5
@@ -222,7 +223,7 @@ def _envmap_bilinear(params, slot, uv, wavelengths, nc):
         gather = lambda y, x: img[jnp.arange(img.shape[0]), y, x]
     c = (gather(y0, x0) * (1 - fx) * (1 - fy) + gather(y0, x1) * fx * (1 - fy)
          + gather(y1, x0) * (1 - fx) * fy + gather(y1, x1) * fx * fy)
-    rgb = c * params["scale"][slot][..., None]
+    rgb = c * _tg(params["scale"], slot)[..., None]
     if nc == 3:
         return rgb
     if nc == 1:
@@ -244,8 +245,8 @@ def envmap_eval(scene, params, slot, d, wavelengths, active):
 
 def envmap_pdf_direction(scene, params, slot, d, active):
     uv, theta = _envmap_dir_to_uv(params, slot, d)
-    lum = params["lum"][slot]       # (H, W) sin-weighted sampling density
-    norm = params["lum_sum"][slot]  # scalar: sum of lum
+    lum = _tg(params["lum"], slot)       # (H, W) sin-weighted sampling density
+    norm = _tg(params["lum_sum"], slot)  # scalar: sum of lum
     H, W = lum.shape[-2], lum.shape[-1]
     x = jnp.clip((uv[..., 0] * W).astype(jnp.int32), 0, W - 1)
     y = jnp.clip((uv[..., 1] * H).astype(jnp.int32), 0, H - 1)
@@ -261,9 +262,9 @@ def envmap_pdf_direction(scene, params, slot, d, active):
 
 def envmap_sample_direction(scene, params, slot, ref_p, wavelengths, s1, s2,
                             active):
-    lum = params["lum"][slot]          # (..., H, W) per-lane gathered
-    row_cdf = params["row_cdf"][slot]  # (..., H)
-    col_cdf = params["col_cdf"][slot]  # (..., H, W)
+    lum = _tg(params["lum"], slot)          # (..., H, W) per-lane gathered
+    row_cdf = _tg(params["row_cdf"], slot)  # (..., H)
+    col_cdf = _tg(params["col_cdf"], slot)  # (..., H, W)
     H, W = lum.shape[-2], lum.shape[-1]
     batch = s2.shape[:-1]
     row_cdf = jnp.broadcast_to(row_cdf, batch + (H,))
@@ -338,8 +339,8 @@ def sample_emitter_direction(scene, si, s_pick, s1, s2, active,
         return ds, jnp.zeros(batch + (nc,))
 
     idx = jnp.minimum((s_pick * n_em).astype(jnp.int32), n_em - 1)
-    kind_id = scene.emitter_kind[idx]
-    slot = scene.emitter_slot[idx]
+    kind_id = _tg(scene.emitter_kind, idx)
+    slot = _tg(scene.emitter_slot, idx)
 
     ds = None
     value = jnp.zeros(batch + (nc,))
@@ -386,10 +387,10 @@ def pdf_emitter_direction(scene, ref_p, si_hit, escaped, active, d=None):
     pdf = jnp.zeros(ref_p.shape[:-1])
     # area emitter hit
     if "area" in cfg.emitter_kinds:
-        em_idx = scene.shape_emitter[jnp.maximum(si_hit.shape_index, 0)]
+        em_idx = _tg(scene.shape_emitter, jnp.maximum(si_hit.shape_index, 0))
         has = active & si_hit.is_valid & (em_idx >= 0)
         params = scene.emitters["area"]
-        slot = scene.emitter_slot[jnp.maximum(em_idx, 0)]
+        slot = _tg(scene.emitter_slot, jnp.maximum(em_idx, 0))
         p_area = area_pdf_direction(scene, params, slot, ref_p, si_hit.p,
                                     si_hit.n, has)
         pdf = jnp.where(has, p_area, pdf)
@@ -416,9 +417,9 @@ def eval_emitter_hit(scene, si, active):
     out = jnp.zeros(si.t.shape + (nc,))
     if "area" not in cfg.emitter_kinds:
         return out
-    em_idx = scene.shape_emitter[jnp.maximum(si.shape_index, 0)]
+    em_idx = _tg(scene.shape_emitter, jnp.maximum(si.shape_index, 0))
     has = active & si.is_valid & (em_idx >= 0)
-    slot = scene.emitter_slot[jnp.maximum(em_idx, 0)]
+    slot = _tg(scene.emitter_slot, jnp.maximum(em_idx, 0))
     v = area_eval(scene, scene.emitters["area"], slot, si, has)
     return jnp.where(has[..., None], v, out)
 

@@ -16,7 +16,7 @@ from ..core import spectrum as sp
 from ..core.rng import Sampler
 from .. import sensors
 from ..films import N_BASE_CHANNELS, develop, film_put
-from . import aov, depth, direct, moment, path, volpath
+from . import aov, depth, direct, moment, path, volpath, volpathmis
 from .bins import bins, nbins
 
 REGISTRY = {
@@ -24,6 +24,7 @@ REGISTRY = {
     "direct": direct,
     "depth": depth,
     "volpath": volpath,
+    "volpathmis": volpathmis,
     "aov": aov,
     "moment": moment,
     "bins": bins,

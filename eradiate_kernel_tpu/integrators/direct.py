@@ -5,6 +5,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .. import bsdfs, emitters
+from ..core.gather import table_gather as _tg
 from ..bsdfs import common as bsdf_flags
 from ..render.geometry import ray_intersect
 from .common import mis_weight
@@ -23,7 +24,7 @@ def sample(scene, sampler, ray, active=None):
     result = result + emitters.eval_environment(scene, ray, ~si.is_valid, active)
 
     active = active & si.is_valid
-    bsdf_idx = scene.shape_bsdf[jnp.maximum(si.shape_index, 0)]
+    bsdf_idx = _tg(scene.shape_bsdf, jnp.maximum(si.shape_index, 0))
 
     # emitter sampling
     sampler, s_pick = sampler.next_1d()

@@ -14,6 +14,7 @@ import numpy as np
 
 from .. import bsdfs, emitters
 from ..bsdfs import common as bsdf_flags
+from ..core.gather import index_channel, table_gather as _tg
 from ..core.rng import Sampler
 from ..core.types import pytree_dataclass
 from ..render.geometry import ray_intersect
@@ -93,8 +94,8 @@ def _trace(scene, sampler: Sampler, ray: Ray, active=None):
         smp, s_pick = smp.next_1d()
         smp, s1 = smp.next_1d()
         smp, s2 = smp.next_2d()
-        bsdf_idx = scene.shape_bsdf[jnp.maximum(si.shape_index, 0)]
-        flags = scene.bsdf_flags[bsdf_idx]
+        bsdf_idx = _tg(scene.shape_bsdf, jnp.maximum(si.shape_index, 0))
+        flags = _tg(scene.bsdf_flags, bsdf_idx)
         is_smooth = (flags & bsdf_flags.Smooth) != 0
         nee_active = active & is_smooth & (scene.config.n_emitters > 0)
         ds, emitter_weight = emitters.sample_emitter_direction(

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from .. import bsdfs, emitters, media, phase
 from ..bsdfs import common as bsdf_flags
+from ..core.gather import index_channel, table_gather as _tg
 from ..core.rng import Sampler
 from ..core.ray import Ray
 from ..core.types import pytree_dataclass
@@ -37,7 +38,7 @@ def _nc(scene, ray):
 
 def _index_ch(spec, channel):
     ch = jnp.clip(channel, 0, spec.shape[-1] - 1)
-    return jnp.take_along_axis(spec, ch[..., None], -1)[..., 0]
+    return index_channel(spec, ch)
 
 
 def _merge_si(si_new, si_old, mask):
@@ -50,19 +51,20 @@ def _merge_si(si_new, si_old, mask):
 def _medium_phase(scene, medium_idx):
     if scene.medium_phase.shape[0] == 0:  # medium-free scene
         return jnp.zeros(medium_idx.shape, jnp.int32)
-    return scene.medium_phase[jnp.maximum(medium_idx, 0)]
+    return _tg(scene.medium_phase, jnp.maximum(medium_idx, 0))
 
 
 def _target_medium(scene, si, d):
     """Medium on the far side of an interface (shape.h target_medium)."""
     sh = jnp.maximum(si.shape_index, 0)
     outward = jnp.sum(d * si.n, -1) > 0
-    return jnp.where(outward, scene.shape_exterior[sh], scene.shape_interior[sh])
+    return jnp.where(outward, _tg(scene.shape_exterior, sh),
+                     _tg(scene.shape_interior, sh))
 
 
 def _is_medium_transition(scene, si):
     sh = jnp.maximum(si.shape_index, 0)
-    return (scene.shape_interior[sh] >= 0) | (scene.shape_exterior[sh] >= 0)
+    return (_tg(scene.shape_interior, sh) >= 0) | (_tg(scene.shape_exterior, sh) >= 0)
 
 
 def _eval_null_transmission(scene, si, ray, active):
@@ -70,8 +72,8 @@ def _eval_null_transmission(scene, si, ray, active):
     (bsdf.h:408; null.cpp). Returns (..., nc)."""
     nc = _nc(scene, ray)
     cfg = scene.config
-    bsdf_idx = scene.shape_bsdf[jnp.maximum(si.shape_index, 0)]
-    kind_id = scene.bsdf_kind[bsdf_idx]
+    bsdf_idx = _tg(scene.shape_bsdf, jnp.maximum(si.shape_index, 0))
+    kind_id = _tg(scene.bsdf_kind, bsdf_idx)
     out = jnp.zeros(si.t.shape + (nc,))
     for k, kind in enumerate(cfg.bsdf_kinds):
         if kind != "null":
@@ -95,6 +97,7 @@ class _WalkState:
     transmittance: jnp.ndarray
     total_dist: jnp.ndarray
     active: jnp.ndarray
+    n_rays: jnp.ndarray  # () f32 — rays traced (bench accounting)
 
 
 def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
@@ -135,7 +138,7 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
         medium_idx=medium_idx,
         transmittance=jnp.where(active[..., None], jnp.ones(batch + (nc,)), 0.0),
         total_dist=jnp.zeros(batch),
-        active=active)
+        active=active, n_rays=jnp.zeros(()))
 
     def body(s: _WalkState):
         # clamp: total_dist accumulates INVALID_T on escaped lanes; a huge
@@ -156,6 +159,7 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
         intersect = s.needs_intersection & active_medium
         si = _merge_si(ray_intersect(scene.geo, ray), s.si, intersect)
         needs_intersection = s.needs_intersection & ~active_medium
+        n_rays = s.n_rays + jnp.sum(intersect)
 
         mi = mi.replace(t=jnp.where(active_medium & (si.t < mi.t), INVALID_T, mi.t))
 
@@ -199,6 +203,7 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
         intersect2 = active_surface & needs_intersection
         si = _merge_si(ray_intersect(scene.geo, ray), si, intersect2)
         needs_intersection = needs_intersection & ~intersect2
+        n_rays = n_rays + jnp.sum(intersect2)
         active_surface = active_surface | escaped_medium
         total_dist = jnp.where(active_surface, total_dist + si.t, total_dist)
 
@@ -224,7 +229,8 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
         return _WalkState(sampler=smp, ray=ray, si=si,
                           needs_intersection=needs_intersection,
                           medium_idx=medium_idx, transmittance=transmittance,
-                          total_dist=total_dist, active=active)
+                          total_dist=total_dist, active=active,
+                          n_rays=n_rays)
 
     def scan_body(s, _):
         return body(s), None
@@ -233,7 +239,7 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
     # lanes still active after the cap contribute nothing (conservative)
     contrib = jnp.where(final.active[..., None], 0.0,
                         final.transmittance) * emitter_val
-    return contrib, ds, final.sampler
+    return contrib, ds, final.sampler, final.n_rays
 
 
 def _pseudo_si(p, n, wavelengths, time):
@@ -272,6 +278,7 @@ class _DirectState:
     emitter_val: jnp.ndarray
     emitter_pdf: jnp.ndarray
     active: jnp.ndarray
+    n_rays: jnp.ndarray
 
 
 def _evaluate_direct_light(scene, ref_p, ray, si_ray, medium_idx, channel,
@@ -286,7 +293,7 @@ def _evaluate_direct_light(scene, ref_p, ray, si_ray, medium_idx, channel,
         transmittance=jnp.where(active[..., None], jnp.ones(batch + (nc,)), 0.0),
         emitter_val=jnp.zeros(batch + (nc,)),
         emitter_pdf=jnp.zeros(batch),
-        active=active)
+        active=active, n_rays=jnp.zeros(()))
 
     def body(s: _DirectState):
         active = s.active
@@ -300,6 +307,7 @@ def _evaluate_direct_light(scene, ref_p, ray, si_ray, medium_idx, channel,
         mi = media.sample_interaction(scene, med, ray, xi, channel, active_medium)
         intersect = s.needs_intersection & active_medium
         si = _merge_si(ray_intersect(scene.geo, ray), s.si, intersect)
+        n_rays = s.n_rays + jnp.sum(intersect)
 
         mi = mi.replace(t=jnp.where(active_medium & (si.t < mi.t), INVALID_T, mi.t))
         tr, ff_pdf = media.eval_tr_and_pdf(mi, si.t)
@@ -325,10 +333,11 @@ def _evaluate_direct_light(scene, ref_p, ray, si_ray, medium_idx, channel,
         intersect2 = active_surface & needs_intersection
         si = _merge_si(ray_intersect(scene.geo, ray), si, intersect2)
         needs_intersection = needs_intersection & ~intersect2
+        n_rays = n_rays + jnp.sum(intersect2)
         active_surface = active_surface | escaped_medium
 
         # emitter hit? (area on valid si, env on escape)
-        em_idx = scene.shape_emitter[jnp.maximum(si.shape_index, 0)]
+        em_idx = _tg(scene.shape_emitter, jnp.maximum(si.shape_index, 0))
         hit_area = active_surface & si.is_valid & (em_idx >= 0)
         hit_env = active_surface & ~si.is_valid & (scene.config.env_emitter >= 0)
         emitter_hit = hit_area | hit_env
@@ -363,13 +372,13 @@ def _evaluate_direct_light(scene, ref_p, ray, si_ray, medium_idx, channel,
                             needs_intersection=needs_intersection,
                             medium_idx=medium_idx, transmittance=transmittance,
                             emitter_val=emitter_val, emitter_pdf=emitter_pdf,
-                            active=active)
+                            active=active, n_rays=n_rays)
 
     def scan_body(s, _):
         return body(s), None
 
     final, _ = jax.lax.scan(scan_body, state, None, length=nee_steps)
-    return final.emitter_val, final.emitter_pdf, final.sampler
+    return final.emitter_val, final.emitter_pdf, final.sampler, final.n_rays
 
 
 # =============================================================================
@@ -391,6 +400,7 @@ class _VolPathState:
     specular_chain: jnp.ndarray
     valid_ray: jnp.ndarray
     active: jnp.ndarray
+    n_rays: jnp.ndarray  # () f32 — rays traced (bench accounting)
 
 
 _DEBUG_STATES = []  # populated only under ERT_UNROLL_DEBUG
@@ -418,7 +428,8 @@ def _probe(name, x):
     return _id(x)
 
 
-def sample(scene, sampler: Sampler, ray: Ray, active=None, medium_idx=None):
+def _trace_full(scene, sampler: Sampler, ray: Ray, active=None,
+                medium_idx=None):
     cfg = scene.config.integrator
     batch = ray.o.shape[:-1]
     nc = _nc(scene, ray)
@@ -432,8 +443,11 @@ def sample(scene, sampler: Sampler, ray: Ray, active=None, medium_idx=None):
     max_depth = cfg.max_depth
     rr_depth = cfg.rr_depth
     extra = dict(cfg.extra)
-    max_iterations = int(extra.get("max_iterations", 2 * max_depth + 16))
-    nee_steps = int(extra.get("nee_steps", 16))
+    # defaults tuned for TPU (every masked iteration costs real kernels):
+    # most scenes converge well before the reference's unbounded
+    # while-any(active) would; both are load_dict-overridable knobs
+    max_iterations = int(extra.get("max_iterations", max_depth + 8))
+    nee_steps = int(extra.get("nee_steps", 8))
 
     # spectral channel selection (volpath.cpp:63-67)
     if scene.config.variant.mode == "rgb":
@@ -458,7 +472,7 @@ def sample(scene, sampler: Sampler, ray: Ray, active=None, medium_idx=None):
         channel=channel,
         specular_chain=active & (not hide),
         valid_ray=valid_ray,
-        active=active)
+        active=active, n_rays=jnp.zeros(()))
 
     def body(s: _VolPathState):
         smp = s.sampler
@@ -486,6 +500,7 @@ def sample(scene, sampler: Sampler, ray: Ray, active=None, medium_idx=None):
                                       active_medium)
         intersect = s.needs_intersection & active_medium
         si = _merge_si(ray_intersect(scene.geo, ray), si, intersect)
+        n_rays = s.n_rays + jnp.sum(intersect)
         needs_intersection = s.needs_intersection & ~active_medium
         mi = mi.replace(t=jnp.where(active_medium & (si.t < mi.t), INVALID_T, mi.t))
 
@@ -546,9 +561,10 @@ def sample(scene, sampler: Sampler, ray: Ray, active=None, medium_idx=None):
         phase_idx = _medium_phase(scene, s.medium_idx)
 
         # medium NEE
-        emitted, ds_m, smp = _sample_emitter(
+        emitted, ds_m, smp, nr_w = _sample_emitter(
             scene, mi.p, -ray.d, jnp.ones_like(act_scatter), ray.wavelengths,
             ray.time, s.medium_idx, s.channel, smp, act_scatter, nee_steps)
+        n_rays = n_rays + nr_w
         phase_val = phase.phase_eval(scene, phase_idx, -ray.d, ds_m.d, act_scatter)
         emitted = _probe("medium_nee_emitted", emitted)
         result = result + jnp.where(
@@ -584,7 +600,7 @@ def sample(scene, sampler: Sampler, ray: Ray, active=None, medium_idx=None):
         needs_intersection = needs_intersection & ~intersect2
 
         # emitter hits on specular chains only
-        em_idx = scene.shape_emitter[jnp.maximum(si.shape_index, 0)]
+        em_idx = _tg(scene.shape_emitter, jnp.maximum(si.shape_index, 0))
         hit_area = active_surface & si.is_valid & (em_idx >= 0)
         hit_env = active_surface & ~si.is_valid & (scene.config.env_emitter >= 0)
         use_emit = (hit_area | hit_env) & specular_chain
@@ -594,16 +610,17 @@ def sample(scene, sampler: Sampler, ray: Ray, active=None, medium_idx=None):
         result = result + jnp.where(use_emit[..., None], throughput * e_val, 0.0)
 
         active_surface = active_surface & si.is_valid
-        bsdf_idx = scene.shape_bsdf[jnp.maximum(si.shape_index, 0)]
-        flags = scene.bsdf_flags[bsdf_idx]
+        bsdf_idx = _tg(scene.shape_bsdf, jnp.maximum(si.shape_index, 0))
+        flags = _tg(scene.bsdf_flags, bsdf_idx)
         is_smooth = (flags & bsdf_flags.Smooth) != 0
 
         # surface NEE
         active_e = active_surface & is_smooth & (depth + 1 < max_depth) & \
             (scene.config.n_emitters > 0)
-        emitted_s, ds_s, smp = _sample_emitter(
+        emitted_s, ds_s, smp, nr_s = _sample_emitter(
             scene, si.p, si.n, jnp.zeros_like(active_e), ray.wavelengths,
             ray.time, s.medium_idx, s.channel, smp, active_e, nee_steps)
+        n_rays = n_rays + nr_s
         wo_local = si.to_local(ds_s.d)
         bsdf_val, bsdf_pdf = bsdfs.bsdf_eval_pdf(scene, bsdf_idx, si, wo_local,
                                                  active_e)
@@ -646,6 +663,7 @@ def sample(scene, sampler: Sampler, ray: Ray, active=None, medium_idx=None):
             jnp.any(throughput != 0, -1) & (depth < max_depth) & \
             (scene.config.n_emitters > 0)
         si_new0 = ray_intersect(scene.geo, ray)
+        n_rays = n_rays + jnp.sum(active_surface)
         si_new0 = si_new0.replace(p=_probe("sinew_p", si_new0.p),
                                   t=_probe("sinew_t", si_new0.t),
                                   n=_probe("sinew_n", si_new0.n),
@@ -658,9 +676,10 @@ def sample(scene, sampler: Sampler, ray: Ray, active=None, medium_idx=None):
         medium_next = jnp.where(has_trans, _target_medium(scene, si, ray.d),
                                 s.medium_idx)
 
-        emitted_d, emitter_pdf, smp = _evaluate_direct_light(
+        emitted_d, emitter_pdf, smp, nr_d = _evaluate_direct_light(
             scene, si.p, ray, si_new, medium_next, s.channel, smp, add_emitter,
             nee_steps)
+        n_rays = n_rays + nr_d
         w_dir = mis_weight(bs.pdf, emitter_pdf)
         emitted_d = _probe("direct_emitted", emitted_d)
         result = result + jnp.where(
@@ -680,7 +699,7 @@ def sample(scene, sampler: Sampler, ray: Ray, active=None, medium_idx=None):
             throughput=throughput, result=result,
             eta=eta, depth=depth, channel=s.channel,
             specular_chain=specular_chain, valid_ray=valid_ray,
-            active=active)
+            active=active, n_rays=n_rays)
 
     def scan_body(s, _):
         return body(s), None
@@ -696,4 +715,18 @@ def sample(scene, sampler: Sampler, ray: Ray, active=None, medium_idx=None):
     else:
         final, _ = jax.lax.scan(scan_body, state, None,
                                 length=max_iterations)
+    return final
+
+
+def sample(scene, sampler: Sampler, ray: Ray, active=None, medium_idx=None):
+    final = _trace_full(scene, sampler, ray, active, medium_idx)
     return final.result, final.valid_ray, final.sampler
+
+
+def sample_counted(scene, sampler: Sampler, ray: Ray, active=None,
+                   medium_idx=None):
+    """Like sample() but also returns the number of rays traced (the bench
+    metric denominator — counts every masked-lane ray_intersect actually
+    issued, including NEE transmittance walks)."""
+    final = _trace_full(scene, sampler, ray, active, medium_idx)
+    return final.result, final.valid_ray, final.sampler, final.n_rays

@@ -23,6 +23,7 @@ from ..core.bbox import ray_intersect_aabb
 from ..core.math import INVALID_T
 from ..core.transform import Transform
 from ..core.types import pytree_dataclass
+from ..core.gather import table_gather as tg
 from ..render.texture import spectrum_eval
 from ..textures.volumes import volume_eval
 
@@ -45,8 +46,8 @@ class MediumInteraction:
 
 
 def _spec(scene, spec_idx, wavelengths):
-    return spectrum_eval(scene.spectra, scene.spec_kind[spec_idx],
-                         scene.spec_slot[spec_idx],
+    return spectrum_eval(scene.spectra, tg(scene.spec_kind, spec_idx),
+                         tg(scene.spec_slot, spec_idx),
                          scene.config.spectrum_kinds, wavelengths,
                          scene.config.variant.n_channels)
 
@@ -56,8 +57,8 @@ def medium_intersect_bounds(scene, medium_idx, ray, active):
     cfg = scene.config
     if not cfg.medium_kinds:  # medium-free scene: no valid segments
         return jnp.zeros(ray.mint.shape, bool), ray.mint, ray.maxt
-    kind = scene.medium_kind[medium_idx]
-    slot = scene.medium_slot[medium_idx]
+    kind = tg(scene.medium_kind, medium_idx)
+    slot = tg(scene.medium_slot, medium_idx)
     mint = jnp.broadcast_to(ray.mint, ray.mint.shape)
     maxt = jnp.broadcast_to(ray.maxt, ray.maxt.shape)
     ok = jnp.ones(ray.mint.shape, bool)
@@ -67,7 +68,7 @@ def medium_intersect_bounds(scene, medium_idx, ray, active):
             continue  # infinite extent: keep ray bounds
         if kname == "heterogeneous":
             p = scene.media["heterogeneous"]
-            w2l = Transform(m=p["w2l_m"][slot], inv_t=p["w2l_it"][slot])
+            w2l = Transform(m=tg(p["w2l_m"], slot), inv_t=tg(p["w2l_it"], slot))
             o_l = w2l.transform_affine_point(ray.o)
             d_l = w2l.transform_vector(ray.d)
             d_rcp = 1.0 / jnp.where(jnp.abs(d_l) < 1e-12,
@@ -87,16 +88,16 @@ def medium_combined_extinction(scene, medium_idx, p, wavelengths):
     out = jnp.ones(medium_idx.shape + (nc,))
     if not cfg.medium_kinds:
         return out
-    kind = scene.medium_kind[medium_idx]
-    slot = scene.medium_slot[medium_idx]
+    kind = tg(scene.medium_kind, medium_idx)
+    slot = tg(scene.medium_slot, medium_idx)
     for k, kname in enumerate(cfg.medium_kinds):
         m = kind == k
         params = scene.media[kname]
         if kname == "homogeneous":
-            v = _spec(scene, params["sigma_t"][slot], wavelengths) \
-                * params["scale"][slot][..., None]
+            v = _spec(scene, tg(params["sigma_t"], slot), wavelengths) \
+                * tg(params["scale"], slot)[..., None]
         elif kname == "heterogeneous":
-            v = jnp.broadcast_to(params["majorant"][slot][..., None],
+            v = jnp.broadcast_to(tg(params["majorant"], slot)[..., None],
                                  medium_idx.shape + (nc,))
         else:
             raise ValueError(kname)
@@ -113,19 +114,19 @@ def medium_scattering_coefficients(scene, medium_idx, p, wavelengths):
     majorant = medium_combined_extinction(scene, medium_idx, p, wavelengths)
     if not cfg.medium_kinds:
         return sigma_s, majorant, sigma_t
-    kind = scene.medium_kind[medium_idx]
-    slot = scene.medium_slot[medium_idx]
+    kind = tg(scene.medium_kind, medium_idx)
+    slot = tg(scene.medium_slot, medium_idx)
     for k, kname in enumerate(cfg.medium_kinds):
         m = kind == k
         params = scene.media[kname]
         if kname == "homogeneous":
-            st = _spec(scene, params["sigma_t"][slot], wavelengths) \
-                * params["scale"][slot][..., None]
-            al = _spec(scene, params["albedo"][slot], wavelengths)
+            st = _spec(scene, tg(params["sigma_t"], slot), wavelengths) \
+                * tg(params["scale"], slot)[..., None]
+            al = _spec(scene, tg(params["albedo"], slot), wavelengths)
         elif kname == "heterogeneous":
-            st = volume_eval(scene, params["sigma_t_vol"][slot], p, wavelengths) \
-                * params["scale"][slot][..., None]
-            al = volume_eval(scene, params["albedo_vol"][slot], p, wavelengths)
+            st = volume_eval(scene, tg(params["sigma_t_vol"], slot), p, wavelengths) \
+                * tg(params["scale"], slot)[..., None]
+            al = volume_eval(scene, tg(params["albedo_vol"], slot), p, wavelengths)
         else:
             raise ValueError(kname)
         sigma_t = jnp.where(m[..., None], st, sigma_t)
@@ -136,7 +137,7 @@ def medium_scattering_coefficients(scene, medium_idx, p, wavelengths):
 
 def medium_is_homogeneous(scene, medium_idx):
     cfg = scene.config
-    kind = scene.medium_kind[medium_idx]
+    kind = tg(scene.medium_kind, medium_idx)
     out = jnp.zeros(medium_idx.shape, bool)
     for k, kname in enumerate(cfg.medium_kinds):
         if kname == "homogeneous":

@@ -19,6 +19,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..core.frame import Frame
+from ..core.gather import table_gather as tg
 from ..core.math import dot, safe_sqrt
 
 INV_FOUR_PI = 1.0 / (4.0 * jnp.pi)
@@ -57,7 +58,7 @@ def _sample_cos_theta(kind, params, slot, s1):
     if kind == "isotropic":
         return 1.0 - 2.0 * s1
     if kind == "hg":
-        g = params["g"][slot]
+        g = tg(params["g"], slot)
         safe_g = jnp.where(jnp.abs(g) < 1e-4, 1e-4, g)
         sqr_term = (1.0 - g * g) / (1.0 - g + 2.0 * g * s1)
         ct = (1.0 + g * g - sqr_term * sqr_term) / (2.0 * safe_g)
@@ -104,15 +105,15 @@ def phase_eval(scene, phase_idx, wi, wo, active=True):
     out = jnp.zeros(ct.shape)
     if not cfg.phase_kinds:  # medium-free scene
         return out
-    kind = scene.phase_kind[phase_idx]
-    slot = scene.phase_slot[phase_idx]
+    kind = tg(scene.phase_kind, phase_idx)
+    slot = tg(scene.phase_slot, phase_idx)
     for k, kname in enumerate(cfg.phase_kinds):
         m = kind == k
         params = scene.phases[kname]
         if kname == "isotropic":
             v = jnp.full(ct.shape, INV_FOUR_PI)
         elif kname == "hg":
-            v = _hg(ct, params["g"][slot])
+            v = _hg(ct, tg(params["g"], slot))
         elif kname == "rayleigh":
             v = _rayleigh(ct)
         elif kname == "tabphase":
@@ -131,8 +132,8 @@ def phase_sample(scene, phase_idx, ray_d, s1, s2, active=True):
     if not cfg.phase_kinds:  # medium-free scene: degenerate sample
         wo = jnp.broadcast_to(ray_d, s2.shape[:-1] + (3,))
         return wo, jnp.zeros(s1.shape)
-    kind = scene.phase_kind[phase_idx]
-    slot = scene.phase_slot[phase_idx]
+    kind = tg(scene.phase_kind, phase_idx)
+    slot = tg(scene.phase_slot, phase_idx)
     for k, kname in enumerate(cfg.phase_kinds):
         m = kind == k
         params = scene.phases[kname]

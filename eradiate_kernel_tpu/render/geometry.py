@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.frame import Frame
+from ..core.gather import select_along_axis, table_gather as tg
 from ..core.math import INVALID_T, cross, dot, normalize, safe_sqrt, sqr
 from ..core.ray import Ray
 from ..core.transform import Transform
@@ -146,10 +147,11 @@ def _intersect_meshes(geo: Geometry, ray: Ray):
     valid &= (t >= ray.mint[..., None]) & (t <= ray.maxt[..., None])
     t = jnp.where(valid, t, jnp.inf)
     best = jnp.argmin(t, axis=-1)
-    tb = jnp.take_along_axis(t, best[..., None], axis=-1)[..., 0]
-    ub = jnp.take_along_axis(u, best[..., None], axis=-1)[..., 0]
-    vb = jnp.take_along_axis(vv, best[..., None], axis=-1)[..., 0]
-    return tb, jnp.stack([ub, vb], -1), best.astype(jnp.int32), geo.face_shape[best]
+    tb = jnp.min(t, axis=-1)
+    ub = select_along_axis(u, best)
+    vb = select_along_axis(vv, best)
+    return tb, jnp.stack([ub, vb], -1), best.astype(jnp.int32), \
+        tg(geo.face_shape, best)
 
 
 def _sphere_roots(center, radius, o, d):
@@ -179,8 +181,9 @@ def _intersect_spheres(geo: Geometry, ray: Ray):
                   jnp.where((far >= mint) & (far <= maxt), far, jnp.inf))
     t = jnp.where(valid, t, jnp.inf)
     best = jnp.argmin(t, axis=-1)
-    tb = jnp.take_along_axis(t, best[..., None], -1)[..., 0]
-    return tb, jnp.zeros(tb.shape + (2,), tb.dtype), best.astype(jnp.int32), geo.sph_shape[best]
+    tb = jnp.min(t, axis=-1)
+    return tb, jnp.zeros(tb.shape + (2,), tb.dtype), best.astype(jnp.int32), \
+        tg(geo.sph_shape, best)
 
 
 def _plane_hit_local(to_world: Transform, ray: Ray):
@@ -201,10 +204,11 @@ def _intersect_rects(geo: Geometry, ray: Ray):
     valid = ok & inside & (t >= ray.mint[..., None]) & (t <= ray.maxt[..., None])
     t = jnp.where(valid, t, jnp.inf)
     best = jnp.argmin(t, axis=-1)
-    tb = jnp.take_along_axis(t, best[..., None], -1)[..., 0]
-    pb = jnp.take_along_axis(p, best[..., None, None], -2)[..., 0, :]
-    uv = 0.5 * (pb[..., :2] + 1.0)
-    return tb, uv, best.astype(jnp.int32), geo.rect_shape[best]
+    tb = jnp.min(t, axis=-1)
+    pb = jnp.stack([select_along_axis(p[..., 0], best),
+                    select_along_axis(p[..., 1], best)], -1)
+    uv = 0.5 * (pb + 1.0)
+    return tb, uv, best.astype(jnp.int32), tg(geo.rect_shape, best)
 
 
 def _intersect_disks(geo: Geometry, ray: Ray):
@@ -213,8 +217,9 @@ def _intersect_disks(geo: Geometry, ray: Ray):
     valid = ok & (r2 <= 1.0) & (t >= ray.mint[..., None]) & (t <= ray.maxt[..., None])
     t = jnp.where(valid, t, jnp.inf)
     best = jnp.argmin(t, axis=-1)
-    tb = jnp.take_along_axis(t, best[..., None], -1)[..., 0]
-    pb = jnp.take_along_axis(p, best[..., None, None], -2)[..., 0, :]
+    tb = jnp.min(t, axis=-1)
+    pb = jnp.stack([select_along_axis(p[..., 0], best),
+                    select_along_axis(p[..., 1], best)], -1)
     r = safe_sqrt(sqr(pb[..., 0]) + sqr(pb[..., 1]))
     phi = jnp.arctan2(pb[..., 1], pb[..., 0])
     phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
@@ -246,8 +251,9 @@ def _intersect_cylinders(geo: Geometry, ray: Ray):
     v1 = ok & (t1 >= mint) & (t1 <= maxt) & (z1 >= 0) & (z1 <= L)
     t = jnp.where(v0, t0, jnp.where(v1, t1, jnp.inf))
     best = jnp.argmin(t, axis=-1)
-    tb = jnp.take_along_axis(t, best[..., None], -1)[..., 0]
-    return tb, jnp.zeros(tb.shape + (2,), tb.dtype), best.astype(jnp.int32), geo.cyl_shape[best]
+    tb = jnp.min(t, axis=-1)
+    return tb, jnp.zeros(tb.shape + (2,), tb.dtype), best.astype(jnp.int32), \
+        tg(geo.cyl_shape, best)
 
 
 # =============================================================================
@@ -340,7 +346,7 @@ def compute_surface_interaction(geo: Geometry, ray: Ray,
     batch = ray.o.shape[:-1]
     valid = pi.is_valid
     shape_idx = jnp.maximum(pi.shape_index, 0)
-    family = geo.shape_family[shape_idx]
+    family = tg(geo.shape_family, shape_idx)
 
     # clamp the detached hit distance before ANY differentiable use: inf on
     # missed lanes would make 0-cotangent chains NaN in reverse mode
@@ -360,27 +366,27 @@ def compute_surface_interaction(geo: Geometry, ray: Ray,
 
     if geo.faces.shape[0] > 0:
         m = (family == FAMILY_MESH) & valid
-        f = geo.faces[pi.prim_index]                       # (..., 3)
-        v0 = geo.vertices[f[..., 0]]
-        v1 = geo.vertices[f[..., 1]]
-        v2 = geo.vertices[f[..., 2]]
+        f = tg(geo.faces, pi.prim_index)                   # (..., 3)
+        v0 = tg(geo.vertices, f[..., 0])
+        v1 = tg(geo.vertices, f[..., 1])
+        v2 = tg(geo.vertices, f[..., 2])
         # differentiable re-intersection
         tm, u, v, _ok = moller_trumbore(ray.o, ray.d, v0, v1, v2)
         w = 1.0 - u - v
         pm = v0 * w[..., None] + v1 * u[..., None] + v2 * v[..., None]
         ng = normalize(cross(v1 - v0, v2 - v0))
-        vn0 = geo.normals[f[..., 0]]
-        vn1 = geo.normals[f[..., 1]]
-        vn2 = geo.normals[f[..., 2]]
+        vn0 = tg(geo.normals, f[..., 0])
+        vn1 = tg(geo.normals, f[..., 1])
+        vn2 = tg(geo.normals, f[..., 2])
         has_vn = (jnp.sum(sqr(vn0), -1) > 1e-12)
         # double-where: normalize(0) is NaN and its VJP poisons the ray
         # cotangents even on masked lanes — feed ng where normals are absent
         vn_interp = vn0 * w[..., None] + vn1 * u[..., None] + vn2 * v[..., None]
         ns = normalize(jnp.where(has_vn[..., None], vn_interp, ng))
         ns = sel(has_vn, ns, ng)
-        uv0 = geo.uvs[f[..., 0]]
-        uv1 = geo.uvs[f[..., 1]]
-        uv2 = geo.uvs[f[..., 2]]
+        uv0 = tg(geo.uvs, f[..., 0])
+        uv1 = tg(geo.uvs, f[..., 1])
+        uv2 = tg(geo.uvs, f[..., 2])
         uvm = uv0 * w[..., None] + uv1 * u[..., None] + uv2 * v[..., None]
         t = sel(m, tm, t)
         p = sel(m, pm, p)
@@ -392,9 +398,9 @@ def compute_surface_interaction(geo: Geometry, ray: Ray,
 
     if geo.sph_center.shape[0] > 0:
         m = (family == FAMILY_SPHERE) & valid
-        c = geo.sph_center[pi.prim_index]
-        r = geo.sph_radius[pi.prim_index]
-        flip = geo.sph_flip[pi.prim_index]
+        c = tg(geo.sph_center, pi.prim_index)
+        r = tg(geo.sph_radius, pi.prim_index)
+        flip = tg(geo.sph_flip, pi.prim_index)
         _v, near, far = _sphere_roots(c, r, ray.o, ray.d)
         use_far = jnp.abs(pit - far) < jnp.abs(pit - near)
         ts = jnp.where(jax.lax.stop_gradient(use_far), far, near)
@@ -418,7 +424,7 @@ def compute_surface_interaction(geo: Geometry, ray: Ray,
 
     if geo.rect_shape.shape[0] > 0:
         m = (family == FAMILY_RECT) & valid
-        tw = jax.tree_util.tree_map(lambda a: a[pi.prim_index], geo.rect_to_world)
+        tw = jax.tree_util.tree_map(lambda a: tg(a, pi.prim_index), geo.rect_to_world)
         inv = tw.inverse()
         o_l = inv.transform_affine_point(ray.o)
         d_l = inv.transform_vector(ray.d)
@@ -441,7 +447,7 @@ def compute_surface_interaction(geo: Geometry, ray: Ray,
 
     if geo.disk_shape.shape[0] > 0:
         m = (family == FAMILY_DISK) & valid
-        tw = jax.tree_util.tree_map(lambda a: a[pi.prim_index], geo.disk_to_world)
+        tw = jax.tree_util.tree_map(lambda a: tg(a, pi.prim_index), geo.disk_to_world)
         inv = tw.inverse()
         o_l = inv.transform_affine_point(ray.o)
         d_l = inv.transform_vector(ray.d)
@@ -463,7 +469,7 @@ def compute_surface_interaction(geo: Geometry, ray: Ray,
 
     if geo.cyl_shape.shape[0] > 0:
         m = (family == FAMILY_CYLINDER) & valid
-        tw = jax.tree_util.tree_map(lambda a: a[pi.prim_index], geo.cyl_to_world)
+        tw = jax.tree_util.tree_map(lambda a: tg(a, pi.prim_index), geo.cyl_to_world)
         inv = tw.inverse()
         tc = pit
         p_l = inv.transform_affine_point(ray.at(tc))
@@ -471,7 +477,7 @@ def compute_surface_interaction(geo: Geometry, ray: Ray,
         nc = normalize(tw.transform_normal(n_l))
         phi = jnp.arctan2(p_l[..., 1], p_l[..., 0])
         phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
-        L = geo.cyl_length[pi.prim_index]
+        L = tg(geo.cyl_length, pi.prim_index)
         uvc = jnp.stack([phi / (2 * jnp.pi), p_l[..., 2] / jnp.maximum(L, 1e-9)], -1)
         pc = ray.at(tc)
         t = sel(m, tc, t)

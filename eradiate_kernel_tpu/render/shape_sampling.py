@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import warp
+from ..core.gather import table_gather as tg
 from ..core.math import normalize
 from ..core.transform import Transform
 from .geometry import (FAMILY_DISK, FAMILY_MESH, FAMILY_RECT, FAMILY_SPHERE,
@@ -24,7 +25,7 @@ def sample_position(scene, shape_idx, s1, s2, active=True):
     """shape_idx: (...,) i32; s1: (...,) face-pick sample; s2: (..., 2).
     Returns PositionSample with area-measure pdf = 1/shape_area."""
     geo: Geometry = scene.geo
-    family = geo.shape_family[shape_idx]
+    family = tg(geo.shape_family, shape_idx)
     batch = shape_idx.shape
     p = jnp.zeros(batch + (3,))
     n = jnp.zeros(batch + (3,)).at[..., 2].set(1.0)
@@ -37,8 +38,8 @@ def sample_position(scene, shape_idx, s1, s2, active=True):
 
     if geo.faces.shape[0] > 0:
         m = family == FAMILY_MESH
-        off = scene.shape_face_offset[shape_idx]
-        cnt = jnp.maximum(scene.shape_face_count[shape_idx], 1)
+        off = tg(scene.shape_face_offset, shape_idx)
+        cnt = jnp.maximum(tg(scene.shape_face_count, shape_idx), 1)
         C = scene.face_area_cumsum  # (F,) strictly increasing
         lo = jnp.where(off > 0, C[jnp.maximum(off - 1, 0)], 0.0)
         hi = C[off + cnt - 1]
@@ -86,10 +87,10 @@ def sample_position(scene, shape_idx, s1, s2, active=True):
         nd = normalize(tw.transform_normal(jnp.zeros_like(pl).at[..., 2].set(1.0)))
         p, n, uv = sel(m, pd, p), sel(m, nd, n), sel(m, s2, uv)
 
-    pdf = 1.0 / jnp.maximum(scene.shape_area[shape_idx], 1e-20)
+    pdf = 1.0 / jnp.maximum(tg(scene.shape_area, shape_idx), 1e-20)
     return PositionSample(p=p, n=n, uv=uv, pdf=pdf,
                           delta=jnp.zeros(batch, bool))
 
 
 def pdf_position(scene, shape_idx):
-    return 1.0 / jnp.maximum(scene.shape_area[shape_idx], 1e-20)
+    return 1.0 / jnp.maximum(tg(scene.shape_area, shape_idx), 1e-20)

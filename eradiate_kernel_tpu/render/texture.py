@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import spectrum as sp
+from ..core.gather import table_gather as tg
 
 
 # =============================================================================
@@ -50,7 +51,7 @@ def spectrum_eval(spectra: dict, spec_kind, spec_slot, kinds: tuple,
     """
     if "baked" in kinds and len(kinds) == 1:
         vals = spectra["baked"]["value"]
-        return vals[spec_slot]
+        return tg(vals, spec_slot)
 
     out_w = wavelengths.shape[-1]
     out = jnp.zeros(spec_kind.shape + (out_w,))
@@ -58,15 +59,15 @@ def spectrum_eval(spectra: dict, spec_kind, spec_slot, kinds: tuple,
         m = (spec_kind == k)
         p = spectra[kind]
         if kind == "baked":
-            v = jnp.broadcast_to(p["value"][spec_slot], out.shape)
+            v = jnp.broadcast_to(tg(p["value"], spec_slot), out.shape)
         elif kind == "uniform":
-            v = jnp.broadcast_to(p["value"][spec_slot][..., None], out.shape)
+            v = jnp.broadcast_to(tg(p["value"], spec_slot)[..., None], out.shape)
         elif kind == "regular":
-            lo = p["lo"][spec_slot][..., None]
-            hi = p["hi"][spec_slot][..., None]
-            vals = p["values"][spec_slot]  # (..., K)
+            lo = tg(p["lo"], spec_slot)[..., None]
+            hi = tg(p["hi"], spec_slot)[..., None]
+            vals = tg(p["values"], spec_slot)  # (..., K)
             K = vals.shape[-1]
-            cnt = p["count"][spec_slot][..., None]
+            cnt = tg(p["count"], spec_slot)[..., None]
             t = (wavelengths - lo) / jnp.maximum(hi - lo, 1e-9) * (cnt - 1)
             i0 = jnp.clip(t.astype(jnp.int32), 0, K - 2)
             i0 = jnp.minimum(i0, jnp.maximum(cnt - 2, 0))
@@ -77,10 +78,10 @@ def spectrum_eval(spectra: dict, spec_kind, spec_slot, kinds: tuple,
             inside = (wavelengths >= lo) & (wavelengths <= hi)
             v = jnp.where(inside, v, 0.0)
         elif kind == "irregular":
-            nodes = p["nodes"][spec_slot]   # (..., K)
-            vals = p["values"][spec_slot]
+            nodes = tg(p["nodes"], spec_slot)   # (..., K)
+            vals = tg(p["values"], spec_slot)
             K = vals.shape[-1]
-            cnt = p["count"][spec_slot][..., None]
+            cnt = tg(p["count"], spec_slot)[..., None]
             idx = jnp.clip(
                 jnp.sum((wavelengths[..., None, :] >= nodes[..., :, None]).astype(jnp.int32),
                         axis=-2) - 1, 0, K - 2)
@@ -95,14 +96,14 @@ def spectrum_eval(spectra: dict, spec_kind, spec_slot, kinds: tuple,
             inside = (wavelengths >= nodes[..., :1]) & (wavelengths <= last)
             v = jnp.where(inside, v, 0.0)
         elif kind == "srgb":
-            coeff = p["coeff"][spec_slot]  # (..., 3) sigmoid-polynomial coeffs
+            coeff = tg(p["coeff"], spec_slot)  # (..., 3) sigmoid-polynomial coeffs
             v = srgb_model_eval(coeff, wavelengths)
         elif kind == "blackbody":
-            T = p["temperature"][spec_slot][..., None]
-            s = p["scale"][spec_slot][..., None]
+            T = tg(p["temperature"], spec_slot)[..., None]
+            s = tg(p["scale"], spec_slot)[..., None]
             v = sp.blackbody_radiance(wavelengths, T) * s
         elif kind == "d65":
-            s = p["scale"][spec_slot][..., None]
+            s = tg(p["scale"], spec_slot)[..., None]
             v = d65_approx(wavelengths) * s
         else:
             raise ValueError(f"unknown spectrum kind {kind}")
@@ -143,8 +144,8 @@ def scene_spectrum_eval(scene, spec_idx, wavelengths):
     """Evaluate a spectrum index directly (no texture indirection) — used for
     non-spatially-varying quantities like conductor eta/k."""
     cfg = scene.config
-    return spectrum_eval(scene.spectra, scene.spec_kind[spec_idx],
-                         scene.spec_slot[spec_idx], cfg.spectrum_kinds,
+    return spectrum_eval(scene.spectra, tg(scene.spec_kind, spec_idx),
+                         tg(scene.spec_slot, spec_idx), cfg.spectrum_kinds,
                          wavelengths, cfg.variant.n_channels)
 
 
@@ -152,31 +153,32 @@ def texture_eval(scene, tex_index, si_uv, wavelengths, active=True):
     """Evaluate texture objects per lane -> (..., nc)."""
     cfg = scene.config
     kinds = cfg.texture_kinds
-    tex_kind = scene.tex_kind[tex_index]
-    tex_slot = scene.tex_slot[tex_index]
+    tex_kind = tg(scene.tex_kind, tex_index)
+    tex_slot = tg(scene.tex_slot, tex_index)
     nc = wavelengths.shape[-1] if cfg.variant.is_spectral else cfg.variant.n_channels
     out = jnp.zeros(tex_kind.shape + (nc,))
 
     def spec_eval(spec_idx):
-        return spectrum_eval(scene.spectra, scene.spec_kind[spec_idx],
-                             scene.spec_slot[spec_idx], cfg.spectrum_kinds,
+        return spectrum_eval(scene.spectra, tg(scene.spec_kind, spec_idx),
+                             tg(scene.spec_slot, spec_idx),
+                             cfg.spectrum_kinds,
                              wavelengths, cfg.variant.n_channels)
 
     for k, kind in enumerate(kinds):
         m = (tex_kind == k)
         p = scene.textures[kind]
         if kind == "constant":
-            v = spec_eval(p["spec"][tex_slot])
+            v = spec_eval(tg(p["spec"], tex_slot))
         elif kind == "checkerboard":
             iu = jnp.floor(si_uv[..., 0] * 2.0).astype(jnp.int32)
             iv = jnp.floor(si_uv[..., 1] * 2.0).astype(jnp.int32)
             odd = ((iu + iv) & 1) == 1
-            v0 = spec_eval(p["spec0"][tex_slot])
-            v1 = spec_eval(p["spec1"][tex_slot])
+            v0 = spec_eval(tg(p["spec0"], tex_slot))
+            v1 = spec_eval(tg(p["spec1"], tex_slot))
             v = jnp.where(odd[..., None], v1, v0)
         elif kind == "bitmap":
             data = scene.bitmap_data  # (n_bitmaps, H, W, 3)
-            img = p["image"][tex_slot]  # index into bitmap_data
+            img = tg(p["image"], tex_slot)  # index into bitmap_data
             H, W = data.shape[1], data.shape[2]
             u = jnp.clip(si_uv[..., 0], 0.0, 1.0 - 1e-6) * (W - 1)
             v_ = jnp.clip(si_uv[..., 1], 0.0, 1.0 - 1e-6) * (H - 1)

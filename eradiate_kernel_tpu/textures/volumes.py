@@ -13,6 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..core.gather import table_gather as tg
 from ..core.transform import Transform
 
 
@@ -20,23 +21,23 @@ def volume_eval(scene, vol_idx, p, wavelengths, active=True):
     """Evaluate volume objects per lane at world position p -> (..., nc)."""
     cfg = scene.config
     kinds = cfg.volume_kinds
-    vkind = scene.vol_kind[vol_idx]
-    vslot = scene.vol_slot[vol_idx]
+    vkind = tg(scene.vol_kind, vol_idx)
+    vslot = tg(scene.vol_slot, vol_idx)
     nc = wavelengths.shape[-1] if cfg.variant.is_spectral else cfg.variant.n_channels
     out = jnp.zeros(vkind.shape + (nc,))
     for k, kind in enumerate(kinds):
         m = vkind == k
         params = scene.volumes[kind]
         if kind == "constvolume":
-            v = params["value"][vslot]
+            v = tg(params["value"], vslot)
             if v.shape[-1] == 1:
                 v = jnp.broadcast_to(v, v.shape[:-1] + (nc,))
             elif v.shape[-1] != nc:
                 v = jnp.broadcast_to(jnp.mean(v, -1, keepdims=True),
                                      v.shape[:-1] + (nc,))
         elif kind == "gridvolume":
-            tw = Transform(m=params["w2l_m"][vslot],
-                           inv_t=params["w2l_it"][vslot])
+            tw = Transform(m=tg(params["w2l_m"], vslot),
+                           inv_t=tg(params["w2l_it"], vslot))
             pl = tw.transform_affine_point(p)  # local in [0,1]^3
             grid = params["grid"]  # (n, D, H, W, C)
             D, H, W, C = grid.shape[1:]
@@ -53,9 +54,15 @@ def volume_eval(scene, vol_idx, p, wavelengths, active=True):
             y1 = jnp.minimum(y0 + 1, H - 1)
             z1 = jnp.minimum(z0 + 1, D - 1)
             s = vslot
+            # flat one-hot taps: 4-D advanced-indexing gathers are ~10-20x
+            # slower on TPU than a one-hot select over the flattened grid
+            flat = grid.reshape(-1, C)
 
             def g(zi, yi, xi):
-                return grid[s, zi, yi, xi]
+                idx = ((s * D + zi) * H + yi) * W + xi
+                return tg(flat, idx,
+                          max_rows=max(512, 0 if flat.shape[0] > 4096
+                                       else flat.shape[0]))
 
             c = (g(z0, y0, x0) * (1 - fx) * (1 - fy) * (1 - fz)
                  + g(z0, y0, x1) * fx * (1 - fy) * (1 - fz)
@@ -83,15 +90,15 @@ def volume_eval(scene, vol_idx, p, wavelengths, active=True):
 def volume_max(scene, vol_idx):
     """Per-lane maximum value of the volume (majorant source, grid3d.cpp:88)."""
     kinds = scene.config.volume_kinds
-    vkind = scene.vol_kind[vol_idx]
-    vslot = scene.vol_slot[vol_idx]
+    vkind = tg(scene.vol_kind, vol_idx)
+    vslot = tg(scene.vol_slot, vol_idx)
     out = jnp.zeros(vkind.shape)
     for k, kind in enumerate(kinds):
         m = vkind == k
         params = scene.volumes[kind]
         if kind == "constvolume":
-            v = jnp.max(params["value"][vslot], axis=-1)
+            v = jnp.max(tg(params["value"], vslot), axis=-1)
         else:
-            v = params["vmax"][vslot]
+            v = tg(params["vmax"], vslot)
         out = jnp.where(m, v, out)
     return out

@@ -81,3 +81,71 @@ def furnace(albedo=0.5, radiance=1.0, width=16, height=16, spp=64,
                    "bsdf": {"type": "diffuse", "reflectance": albedo}},
         "env": {"type": "constant", "radiance": radiance},
     }
+
+
+def atmosphere(width=64, height=64, spp=16, max_depth=16, grid_res=16,
+               tau=0.36, albedo=0.9, surface_reflectance=0.3,
+               sun_direction=(0.3, 0.0, -0.94), sensor="perspective"):
+    """Plane-parallel Rayleigh atmosphere over a Lambertian ground — the
+    north-star Eradiate workload (BASELINE.md configs[3]-like): gridvolume
+    sigma_t with an exponential profile, Rayleigh phase, directional sun,
+    ratio-tracked transmittance.
+
+    The atmosphere occupies x,y in [0,1]*40-ish horizontally (scaled grid
+    frame) and z in [0, 1]; the vertical optical depth is ``tau``.
+    """
+    import numpy as np
+
+    z = (np.arange(grid_res) + 0.5) / grid_res
+    profile = np.exp(-z / 0.25)
+    profile *= tau / (profile.mean() * 1.0)  # unit slab height
+    sigma = np.broadcast_to(profile[:, None, None],
+                            (grid_res, 4, 4)).astype(np.float32)
+
+    if sensor == "distant":
+        sensor_dict = {
+            "type": "distant", "direction": [0, 0, -1],
+            "target": [0.5, 0.5, 0.0],
+            "film": {"width": 1, "height": 1, "rfilter": {"type": "box"}},
+            "sampler": {"type": "independent", "sample_count": spp},
+        }
+    else:
+        sensor_dict = {
+            "type": "perspective", "fov": 60.0,
+            "to_world": {"type": "look_at", "origin": [0.5, 0.5, 3.0],
+                         "target": [0.5, 0.5, 0.0], "up": [0, 1, 0]},
+            "film": {"width": width, "height": height,
+                     "rfilter": {"type": "box"}},
+            "sampler": {"type": "independent", "sample_count": spp},
+        }
+
+    return {
+        "type": "scene",
+        "integrator": {"type": "volpath", "max_depth": max_depth},
+        "sensor": sensor_dict,
+        "surface": {
+            "type": "rectangle",
+            "to_world": [{"type": "scale", "value": 20.0},
+                         {"type": "translate", "value": [0.5, 0.5, 0.0]}],
+            "bsdf": {"type": "rpv", "rho_0": surface_reflectance,
+                     "g": -0.1, "k": 0.7},
+        },
+        "atmo": {
+            "type": "cube",
+            "to_world": [{"type": "scale", "value": [20.0, 20.0, 0.5]},
+                         {"type": "translate", "value": [0.5, 0.5, 0.5]}],
+            "bsdf": {"type": "null"},
+            "interior": {
+                "type": "heterogeneous",
+                "sigma_t": {"type": "gridvolume", "data": sigma,
+                            "to_world": [{"type": "scale",
+                                          "value": [40.0, 40.0, 1.0]},
+                                         {"type": "translate",
+                                          "value": [-19.5, -19.5, 0.0]}]},
+                "albedo": albedo,
+                "phase": {"type": "rayleigh"},
+            },
+        },
+        "sun": {"type": "directional",
+                "direction": list(sun_direction), "irradiance": 1.0},
+    }
