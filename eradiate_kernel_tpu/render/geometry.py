@@ -37,6 +37,7 @@ FAMILY_SPHERE = 1
 FAMILY_RECT = 2
 FAMILY_DISK = 3
 FAMILY_CYLINDER = 4
+FAMILY_CONE = 5
 
 
 @pytree_dataclass
@@ -71,6 +72,12 @@ class Geometry:
     cyl_radius: jnp.ndarray   # (C,)
     cyl_shape: jnp.ndarray    # (C,) i32
 
+    # cones: base radius at z=0, apex at z=length in local (cone.cpp)
+    cone_to_world: Transform  # (K, 4, 4)
+    cone_length: jnp.ndarray  # (K,)
+    cone_radius: jnp.ndarray  # (K,)
+    cone_shape: jnp.ndarray   # (K,) i32
+
     # per-shape family table
     shape_family: jnp.ndarray  # (n_shapes,) i32
 
@@ -103,6 +110,8 @@ def empty_geometry(n_shapes=0):
         rect_to_world=ident, rect_shape=zi(0),
         disk_to_world=ident, disk_shape=zi(0),
         cyl_to_world=ident, cyl_length=z(0), cyl_radius=z(0), cyl_shape=zi(0),
+        cone_to_world=ident, cone_length=z(0), cone_radius=z(0),
+        cone_shape=zi(0),
         shape_family=zi(n_shapes),
         tiles_v0=z(0, 128, 3), tiles_e1=z(0, 128, 3), tiles_e2=z(0, 128, 3),
         tiles_prim=zi(0, 128), tiles_shape=zi(0, 128),
@@ -256,6 +265,48 @@ def _intersect_cylinders(geo: Geometry, ray: Ray):
         tg(geo.cyl_shape, best)
 
 
+def _cone_coeffs(geo: Geometry, o, d):
+    """Quadratic coefficients for the canonical cone x^2+y^2 = (r(1-z/L))^2
+    (cone.cpp) given local-frame rays; returns (a, b, c, slope r/L)."""
+    r = geo.cone_radius
+    L = geo.cone_length
+    k = r / jnp.maximum(L, 1e-9)
+    c0 = r - k * o[..., 2]
+    c1 = -k * d[..., 2]
+    a = sqr(d[..., 0]) + sqr(d[..., 1]) - sqr(c1)
+    b = 2.0 * (o[..., 0] * d[..., 0] + o[..., 1] * d[..., 1]) - 2.0 * c0 * c1
+    c = sqr(o[..., 0]) + sqr(o[..., 1]) - sqr(c0)
+    return a, b, c, k
+
+
+def _intersect_cones(geo: Geometry, ray: Ray):
+    inv = geo.cone_to_world.inverse()
+    o = inv.transform_affine_point(ray.o[..., None, :])  # (N, K, 3)
+    d = inv.transform_vector(ray.d[..., None, :])
+    a, b, c, _k = _cone_coeffs(geo, o, d)
+    disc = sqr(b) - 4.0 * a * c
+    ok = disc >= 0
+    sq = safe_sqrt(disc)
+    a_s = jnp.where(jnp.abs(a) < 1e-20, 1e-20, a)
+    q = -0.5 * (b + jnp.where(b >= 0, sq, -sq))
+    r0 = q / a_s
+    r1 = c / jnp.where(jnp.abs(q) < 1e-20, 1e-20, q)
+    t0 = jnp.minimum(r0, r1)
+    t1 = jnp.maximum(r0, r1)
+    z0 = o[..., 2] + d[..., 2] * t0
+    z1 = o[..., 2] + d[..., 2] * t1
+    L = geo.cone_length
+    mint = ray.mint[..., None]
+    maxt = ray.maxt[..., None]
+    v0 = ok & (t0 >= mint) & (t0 <= maxt) & (z0 >= 0) & (z0 <= L)
+    v1 = ok & (t1 >= mint) & (t1 <= maxt) & (z1 >= 0) & (z1 <= L)
+    t = jnp.where(v0, t0, jnp.where(v1, t1, jnp.inf))
+    best = jnp.argmin(t, axis=-1)
+    tb = jnp.min(t, axis=-1)
+    return tb, jnp.zeros(tb.shape + (2,), tb.dtype), best.astype(jnp.int32), \
+        tg(geo.cone_shape, best)
+
+
 # =============================================================================
 # Combined preliminary intersection (the accelerator oracle)
 # =============================================================================
@@ -323,6 +374,8 @@ def ray_intersect_preliminary(geo: Geometry, ray: Ray) -> PreliminaryIntersectio
         merge(_intersect_disks(geo, ray))
     if geo.cyl_shape.shape[0] > 0:
         merge(_intersect_cylinders(geo, ray))
+    if geo.cone_shape.shape[0] > 0:
+        merge(_intersect_cones(geo, ray))
 
     shape = jnp.where(jnp.isfinite(t), shape, -1)
     return PreliminaryIntersection(t=t, prim_uv=uv, prim_index=prim, shape_index=shape)
@@ -489,6 +542,34 @@ def compute_surface_interaction(geo: Geometry, ray: Ray,
                                             jnp.zeros_like(phi)], -1))
         dp_du = sel(m, du, dp_du)
         dp_dv = sel(m, cross(nc, du), dp_dv)
+
+    if geo.cone_shape.shape[0] > 0:
+        m = (family == FAMILY_CONE) & valid
+        tw = jax.tree_util.tree_map(lambda a: tg(a, pi.prim_index),
+                                    geo.cone_to_world)
+        inv = tw.inverse()
+        tc = pit
+        p_l = inv.transform_affine_point(ray.at(tc))
+        r = tg(geo.cone_radius, pi.prim_index)
+        L = tg(geo.cone_length, pi.prim_index)
+        k = r / jnp.maximum(L, 1e-9)
+        rho = safe_sqrt(sqr(p_l[..., 0]) + sqr(p_l[..., 1]))
+        n_l = jnp.stack([p_l[..., 0], p_l[..., 1], k * rho], -1)
+        nc_ = normalize(tw.transform_normal(n_l))
+        phi = jnp.arctan2(p_l[..., 1], p_l[..., 0])
+        phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+        uvk = jnp.stack([phi / (2 * jnp.pi),
+                         p_l[..., 2] / jnp.maximum(L, 1e-9)], -1)
+        pk = ray.at(tc)
+        t = sel(m, tc, t)
+        p = sel(m, pk, p)
+        n = sel(m, nc_, n)
+        sh_n = sel(m, nc_, sh_n)
+        uv = sel(m, uvk, uv)
+        du = tw.transform_vector(jnp.stack([-jnp.sin(phi), jnp.cos(phi),
+                                            jnp.zeros_like(phi)], -1))
+        dp_du = sel(m, du, dp_du)
+        dp_dv = sel(m, cross(nc_, du), dp_dv)
 
     # orient the *geometric* normal to the hemisphere of -ray.d? No: the
     # reference keeps geometric normals as authored; BSDF sidedness uses

@@ -105,6 +105,12 @@ def spectrum_eval(spectra: dict, spec_kind, spec_slot, kinds: tuple,
         elif kind == "d65":
             s = tg(p["scale"], spec_slot)[..., None]
             v = d65_approx(wavelengths) * s
+        elif kind == "srgb_d65":
+            coeff = tg(p["coeff"], spec_slot)
+            s = tg(p["scale"], spec_slot)[..., None]
+            v = srgb_model_eval(coeff, wavelengths) * d65_approx(wavelengths) * s
+        elif kind == "discrete":
+            v = jnp.zeros_like(wavelengths)  # line spectrum: eval = 0 a.s.
         else:
             raise ValueError(f"unknown spectrum kind {kind}")
         out = jnp.where(m[..., None], v, out)

@@ -15,12 +15,13 @@ import jax.numpy as jnp
 from ..core import spectrum as sp
 from ..core.transform import Transform, as_transform
 from ..core.types import Variant
-from ..render.geometry import (FAMILY_CYLINDER, FAMILY_DISK, FAMILY_MESH,
-                               FAMILY_RECT, FAMILY_SPHERE, Geometry)
+from ..render.geometry import (FAMILY_CONE, FAMILY_CYLINDER, FAMILY_DISK,
+                               FAMILY_MESH, FAMILY_RECT, FAMILY_SPHERE,
+                               Geometry)
 from .scene import IntegratorConfig, Scene, SceneConfig
 
-_SHAPE_TYPES = ("rectangle", "disk", "sphere", "cylinder", "cube", "mesh",
-                "obj", "ply")
+_SHAPE_TYPES = ("rectangle", "disk", "sphere", "cylinder", "cone", "cube",
+                "mesh", "obj", "ply", "serialized", "instance")
 _EMITTER_SCENE_TYPES = ("constant", "point", "directional", "spot",
                         "projector", "envmap")
 _SENSOR_TYPES = ("perspective", "thinlens", "radiancemeter", "mradiancemeter",
@@ -47,6 +48,17 @@ def _build_srf(spec, params):
         src = np.asarray(spec["values"], np.float64)
         nodes = np.linspace(wav[0], wav[-1], K)
         vals = np.interp(nodes, wav, src)
+    elif t == "discrete":
+        # exact line sampling (nbins.cpp companion, discrete.cpp pmf):
+        # hero wavelengths land exactly on the lines, weight = sum of line
+        # weights (the pmf cancels)
+        wav = np.asarray(spec["wavelengths"], np.float64)
+        w = np.asarray(spec.get("values", np.ones_like(wav)), np.float64)
+        cdf = np.concatenate([[0.0], np.cumsum(w)]) / w.sum()
+        params["srf_lines"] = jnp.asarray(wav, jnp.float32)
+        params["srf_line_cdf"] = jnp.asarray(cdf, jnp.float32)
+        params["srf_integral"] = jnp.asarray(float(w.sum()), jnp.float32)
+        return
     else:
         raise ValueError(f"unsupported srf spectrum type {t!r}")
     # piecewise-constant cell masses -> exact linear CDF inversion
@@ -189,6 +201,7 @@ class SceneBuilder:
         self.rects = []     # transforms
         self.disks = []
         self.cyls = []      # (transform, length, radius)
+        self.cones = []     # (transform, length, radius)
         self.shape_rows = []  # dicts
         self.env_emitter = -1
 
@@ -346,11 +359,19 @@ class SceneBuilder:
         if isinstance(value, (list, tuple, np.ndarray)):
             arr = np.asarray(value, np.float32)
             if spectral:
-                # rgb triple in spectral mode: flat-luminance srgb placeholder
-                lum = float(sp.luminance(jnp.asarray(arr)))
+                # proper spectral upsampling: per-value sigmoid-polynomial
+                # fit (utils/rgb2spec.py — the rgb2spec table analog)
+                from ..utils.rgb2spec import fit_srgb_coeff
+                coeff = np.asarray(
+                    fit_srgb_coeff(float(arr[0]), float(arr[1]),
+                                   float(arr[2])), np.float32)
                 if emitter:
-                    return self.add_spectrum_row("uniform", {"value": np.float32(lum)})
-                return self.add_spectrum_row("srgb", {"coeff": _srgb_const_coeff(lum)})
+                    # emitters modulate D65 like the reference's srgb_d65
+                    lum = float(sp.luminance(jnp.asarray(arr)))
+                    return self.add_spectrum_row("srgb_d65", {
+                        "coeff": coeff,
+                        "scale": np.float32(max(lum, 1e-6))})
+                return self.add_spectrum_row("srgb", {"coeff": coeff})
             return baked(arr)
 
         assert isinstance(value, dict), f"bad spectrum value {value!r}"
@@ -401,7 +422,34 @@ class SceneBuilder:
                     jnp.asarray(lam, jnp.float32), T)) * scale, True))
         if t == "srgb":
             arr = np.asarray(value["value"], np.float32)
-            return self.spectrum(arr, emitter)
+            return self.spectrum(arr, emitter=False)
+        if t == "srgb_d65":
+            arr = np.asarray(value["value"], np.float32)
+            if spectral:
+                from ..utils.rgb2spec import fit_srgb_coeff
+                coeff = np.asarray(fit_srgb_coeff(*map(float, arr)),
+                                   np.float32)
+                lum = float(sp.luminance(jnp.asarray(arr)))
+                return self.add_spectrum_row("srgb_d65", {
+                    "coeff": coeff,
+                    "scale": np.float32(value.get("scale", max(lum, 1e-6)))})
+            return baked(arr * np.asarray(
+                _cie_rgb_of_spectrum(
+                    lambda lam: np.asarray(
+                        __import__("eradiate_kernel_tpu.render.texture",
+                                   fromlist=["d65_approx"]).d65_approx(
+                            jnp.asarray(lam, jnp.float32))), True)))
+        if t == "discrete":
+            # line spectrum (discrete.cpp:39-84): meaningful only through
+            # sampling (sensor srf / nbins); eval is zero a.s.
+            wav = np.asarray(value["wavelengths"], np.float32)
+            vals = np.asarray(value.get("values", np.ones_like(wav)),
+                              np.float32)
+            if spectral:
+                return self.add_spectrum_row("discrete", {
+                    "wavelengths": wav, "values": vals,
+                    "count": np.int32(len(wav))})
+            return baked([float(vals.sum())] * 3)
         raise ValueError(f"unknown spectrum type {t!r}")
 
     # --- texture coercion ------------------------------------------------------
@@ -477,6 +525,14 @@ class SceneBuilder:
         area = float(2 * np.pi * radius * length) * scale
         self.cyls.append((to_world, np.float32(length), np.float32(radius)))
         return self._new_shape(FAMILY_CYLINDER, len(self.cyls) - 1, area)
+
+    def add_cone(self, to_world: Transform, length, radius):
+        m = np.asarray(to_world.m)
+        scale = float(np.linalg.norm(m[:3, 0]))
+        slant = float(np.hypot(radius, length))
+        area = float(np.pi * radius * slant) * scale
+        self.cones.append((to_world, np.float32(length), np.float32(radius)))
+        return self._new_shape(FAMILY_CONE, len(self.cones) - 1, area)
 
     # --- finalize -----------------------------------------------------------------
     def finalize(self, sensor_kind, sensor_params, film_cfg, integrator_cfg,
@@ -598,6 +654,12 @@ class SceneBuilder:
             cyl_shape=jnp.asarray(np.asarray(
                 [i for i, r in enumerate(self.shape_rows)
                  if r["family"] == FAMILY_CYLINDER], np.int32)),
+            cone_to_world=tf_stack([c[0] for c in self.cones]),
+            cone_length=jnp.asarray(np.asarray([c[1] for c in self.cones], np.float32)),
+            cone_radius=jnp.asarray(np.asarray([c[2] for c in self.cones], np.float32)),
+            cone_shape=jnp.asarray(np.asarray(
+                [i for i, r in enumerate(self.shape_rows)
+                 if r["family"] == FAMILY_CONE], np.int32)),
             shape_family=jnp.asarray(np.asarray(
                 [r["family"] for r in self.shape_rows], np.int32)))
 
@@ -808,16 +870,43 @@ _CUBE_F = np.array(
 def _build_shape(builder: SceneBuilder, d):
     t = d["type"]
     tw = as_transform(d.get("to_world"))
+    if t == "instance":
+        # two-level instancing (shapegroup.h:6-62, shapes/instance.cpp:53-77)
+        # realized by FLATTENING: each instance re-emits the group's shapes
+        # with the composed transform — trace-time uniform SoA pools instead
+        # of a nested accel; memory trades for zero-indirection traversal
+        ref = d.get("shapegroup")
+        if isinstance(ref, dict) and ref.get("type") == "ref":
+            kind, children = builder.named[ref["id"]]
+            assert kind == "shapegroup"
+        else:
+            children = [v for v in d.values()
+                        if isinstance(v, dict) and v.get("type") in
+                        _SHAPE_TYPES and v.get("type") != "instance"]
+        idx = -1
+        for child in children:
+            child = dict(child)
+            child_tw = as_transform(child.get("to_world"))
+            child["to_world"] = tw @ child_tw
+            idx = _build_shape(builder, child)
+        return idx
     if t == "rectangle":
         idx = builder.add_rectangle(tw)
     elif t == "disk":
         idx = builder.add_disk(tw)
     elif t == "sphere":
-        idx = builder.add_sphere(d.get("center", [0, 0, 0]),
-                                 d.get("radius", 1.0),
+        # apply to_world to the analytic parameterization (sphere.cpp:88-99:
+        # uniform scale extracted from the transform)
+        m = np.asarray(tw.m)
+        center = m[:3, :3] @ np.asarray(d.get("center", [0, 0, 0]),
+                                        np.float32) + m[:3, 3]
+        scale = float(np.cbrt(abs(np.linalg.det(m[:3, :3]))))
+        idx = builder.add_sphere(center, float(d.get("radius", 1.0)) * scale,
                                  d.get("flip_normals", False))
     elif t == "cylinder":
         idx = builder.add_cylinder(tw, d.get("length", 1.0), d.get("radius", 1.0))
+    elif t == "cone":
+        idx = builder.add_cone(tw, d.get("length", 1.0), d.get("radius", 1.0))
     elif t == "cube":
         m = np.asarray(tw.m)
         verts = _CUBE_V @ m[:3, :3].T + m[:3, 3]
@@ -842,6 +931,17 @@ def _build_shape(builder: SceneBuilder, d):
         m = np.asarray(tw.m)
         verts = verts @ m[:3, :3].T + m[:3, 3]
         idx = builder.add_mesh(verts, faces)
+    elif t == "serialized":
+        from ..utils.meshio import load_serialized
+
+        verts, faces, normals, uvs = load_serialized(
+            d["filename"], int(d.get("shape_index", 0)))
+        m = np.asarray(tw.m)
+        verts = verts @ m[:3, :3].T + m[:3, 3]
+        if normals is not None:
+            inv_t = np.linalg.inv(m[:3, :3]).T
+            normals = normals @ inv_t.T
+        idx = builder.add_mesh(verts, faces, normals, uvs)
     else:
         raise ValueError(f"unknown shape type {t!r}")
 
@@ -888,6 +988,12 @@ def load_dict(d: dict, variant: Variant | None = None) -> Scene:
         if key == "type" or not isinstance(val, dict):
             continue
         t = val.get("type")
+        if t == "shapegroup":
+            b.named[key] = ("shapegroup",
+                            [v for v in val.values()
+                             if isinstance(v, dict)
+                             and v.get("type") in _SHAPE_TYPES])
+            continue
         if t in _SHAPE_TYPES:
             idx = _build_shape(b, val)
             b.named[key] = ("shape", idx)
@@ -938,6 +1044,8 @@ def load_dict(d: dict, variant: Variant | None = None) -> Scene:
             b.named[key] = ("medium", b.medium(val))
         elif t in bsdf_pkg.REGISTRY or t == "twosided":
             pass  # handled in pass 1
+        elif t == "shapegroup":
+            pass  # handled above
         else:
             raise ValueError(f"unhandled scene entry {key!r} of type {t!r}")
 

@@ -41,11 +41,26 @@ def _sample_srf(params, s):
     return lam, jnp.broadcast_to(integral, lam.shape)
 
 
+def _sample_srf_lines(params, s):
+    """Discrete-line srf: hero wavelengths land exactly on the lines
+    (discrete.cpp pmf sampling); constant weight = sum of line weights."""
+    lines = params["srf_lines"]
+    cdf = params["srf_line_cdf"]
+    integral = params["srf_integral"]
+    ws = sp.sample_shifted(s)
+    idx = jnp.clip(jnp.searchsorted(cdf, ws, side="right") - 1,
+                   0, lines.shape[0] - 1)
+    lam = lines[idx]
+    return lam, jnp.broadcast_to(integral, lam.shape)
+
+
 def _wavelengths(scene, sampler, batch, params=None):
     cfg = scene.config
     sampler, s_wavelength = sampler.next_1d()
     if cfg.variant.is_spectral:
-        if params is not None and "srf_nodes" in params:
+        if params is not None and "srf_lines" in params:
+            wl, weight = _sample_srf_lines(params, s_wavelength)
+        elif params is not None and "srf_nodes" in params:
             wl, weight = _sample_srf(params, s_wavelength)
         else:
             wl, weight = sp.sample_wavelength(s_wavelength)

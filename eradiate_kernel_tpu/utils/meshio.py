@@ -124,3 +124,62 @@ def write_ply(filename, vertices, faces):
             fh.write(f"{v[0]} {v[1]} {v[2]}\n")
         for f in faces:
             fh.write(f"3 {f[0]} {f[1]} {f[2]}\n")
+
+
+def load_serialized(path, shape_index=0):
+    """Mitsuba .serialized mesh loader (reference: src/shapes/serialized.cpp).
+
+    Format: uint16 magic 0x041C, uint16 version, zlib-compressed stream of
+    [uint32 flags, name (v>=3, cstring), uint64 n_verts, uint64 n_faces,
+     positions, normals?, texcoords?, colors?, faces]; a footer holds
+    uint64 offsets per sub-mesh + uint32 count. Returns
+    (verts, faces, normals|None, uvs|None).
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    HAS_NORMALS = 0x0001
+    HAS_TEXCOORDS = 0x0002
+    HAS_COLORS = 0x0008
+    SINGLE_PRECISION = 0x1000
+    DOUBLE_PRECISION = 0x2000
+
+    with open(path, "rb") as f:
+        data = f.read()
+    magic, version = struct.unpack_from("<HH", data, 0)
+    assert magic == 0x041C, f"not a .serialized file: magic {magic:#x}"
+    # footer: [uint64 offsets...] uint32 mesh_count
+    (count,) = struct.unpack_from("<I", data, len(data) - 4)
+    offsets = struct.unpack_from(
+        "<" + "Q" * count, data, len(data) - 4 - 8 * count)
+    assert 0 <= shape_index < count, (shape_index, count)
+    start = offsets[shape_index] + 4  # skip per-mesh magic+version
+    raw = zlib.decompress(data[start:])
+
+    pos = 0
+    (flags,) = struct.unpack_from("<I", raw, pos)
+    pos += 4
+    if version >= 3:  # null-terminated utf-8 name
+        end = raw.index(b"\x00", pos)
+        pos = end + 1
+    n_verts, n_faces = struct.unpack_from("<QQ", raw, pos)
+    pos += 16
+    dt = np.float64 if flags & DOUBLE_PRECISION else np.float32
+    isize = np.dtype(dt).itemsize
+
+    def take(n):
+        nonlocal pos
+        out = np.frombuffer(raw, dt, n, pos)
+        pos += n * isize
+        return out.astype(np.float32)
+
+    verts = take(3 * n_verts).reshape(-1, 3)
+    normals = take(3 * n_verts).reshape(-1, 3) if flags & HAS_NORMALS else None
+    uvs = take(2 * n_verts).reshape(-1, 2) if flags & HAS_TEXCOORDS else None
+    if flags & HAS_COLORS:
+        take(3 * n_verts)
+    faces = np.frombuffer(raw, np.uint32, 3 * n_faces, pos) \
+        .astype(np.int32).reshape(-1, 3)
+    return verts, faces, normals, uvs
