@@ -19,10 +19,10 @@ import jax.numpy as jnp
 
 from ..core.gather import table_gather as tg
 
-from . import (bilambertian, blendbsdf, bumpmap, common, conductor,
-               dielectric, diffuse, mask, normalmap, null, plastic,
-               roughconductor, roughdielectric, roughplastic, rpv,
-               thindielectric)
+from . import (bilambertian, blendbsdf, bumpmap, circular, common,
+               conductor, dielectric, diffuse, mask, normalmap, null,
+               plastic, polarizer, retarder, roughconductor,
+               roughdielectric, roughplastic, rpv, thindielectric)
 from .common import BSDFSample, zero_bsdf_sample
 
 REGISTRY = {
@@ -41,7 +41,14 @@ REGISTRY = {
     "blendbsdf": blendbsdf,
     "normalmap": normalmap,
     "bumpmap": bumpmap,
+    "polarizer": polarizer,
+    "retarder": retarder,
+    "circular": circular,
 }
+
+POLARIZED_ELEMENT_KINDS = tuple(
+    k for k, v in REGISTRY.items()
+    if getattr(v, "IS_POLARIZED_ELEMENT", False))
 
 WRAPPER_KINDS = tuple(k for k, v in REGISTRY.items()
                       if getattr(v, "IS_WRAPPER", False))

@@ -1,0 +1,177 @@
+"""Mueller/Stokes calculus (counterpart of include/mitsuba/render/mueller.h).
+
+Stokes vectors are (..., 4) arrays [S0=intensity, S1=0/90 linear, S2=+-45
+linear, S3=circular]; Mueller matrices are (..., 4, 4). The reference's
+convention: Stokes bases are defined w.r.t. a propagation direction and a
+horizontal axis; ``rotate_stokes_basis`` re-expresses a vector in a rotated
+basis, and ``rotated_element`` conjugates an optical element.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .math import normalize
+
+
+def depolarizer(value=1.0):
+    """Mueller matrix that scales intensity and kills polarization
+    (mueller.h depolarizer)."""
+    value = jnp.asarray(value)
+    m = jnp.zeros(value.shape + (4, 4))
+    return m.at[..., 0, 0].set(value)
+
+
+def absorber(value):
+    """Ideal absorber: uniform attenuation (mueller.h absorber)."""
+    value = jnp.asarray(value)
+    return jnp.eye(4) * value[..., None, None]
+
+
+def linear_polarizer(value=1.0):
+    """Ideal linear polarizer along the horizontal axis
+    (mueller.h linear_polarizer); ``value`` is the peak transmittance."""
+    value = jnp.asarray(value)
+    a = 0.5 * value
+    m = jnp.zeros(value.shape + (4, 4))
+    m = m.at[..., 0, 0].set(a).at[..., 0, 1].set(a)
+    m = m.at[..., 1, 0].set(a).at[..., 1, 1].set(a)
+    return m
+
+
+def linear_retarder(phase):
+    """Linear retarder with fast axis horizontal and given phase delay
+    (mueller.h linear_retarder); phase = pi -> half-wave plate."""
+    phase = jnp.asarray(phase)
+    c = jnp.cos(phase)
+    s = jnp.sin(phase)
+    m = jnp.zeros(phase.shape + (4, 4))
+    m = m.at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0)
+    m = m.at[..., 2, 2].set(c).at[..., 3, 3].set(c)
+    m = m.at[..., 2, 3].set(s).at[..., 3, 2].set(-s)
+    return m
+
+
+def right_circular_polarizer():
+    """mueller.h right_circular_polarizer."""
+    m = jnp.zeros((4, 4))
+    m = m.at[0, 0].set(0.5).at[0, 3].set(0.5)
+    m = m.at[3, 0].set(0.5).at[3, 3].set(0.5)
+    return m
+
+
+def left_circular_polarizer():
+    m = jnp.zeros((4, 4))
+    m = m.at[0, 0].set(0.5).at[0, 3].set(-0.5)
+    m = m.at[3, 0].set(-0.5).at[3, 3].set(0.5)
+    return m
+
+
+def rotator(theta):
+    """Rotation of the Stokes frame by angle theta (mueller.h rotator)."""
+    theta = jnp.asarray(theta)
+    c = jnp.cos(2.0 * theta)
+    s = jnp.sin(2.0 * theta)
+    m = jnp.zeros(theta.shape + (4, 4))
+    m = m.at[..., 0, 0].set(1.0).at[..., 3, 3].set(1.0)
+    m = m.at[..., 1, 1].set(c).at[..., 1, 2].set(s)
+    m = m.at[..., 2, 1].set(-s).at[..., 2, 2].set(c)
+    return m
+
+
+def rotated_element(theta, m):
+    """Conjugate an element by basis rotations: R(theta) M R(-theta)
+    (mueller.h rotated_element)."""
+    return rotator(theta) @ m @ rotator(-theta)
+
+
+def specular_reflection(cos_theta_i, eta_c_real, eta_c_imag=None):
+    """Mueller matrix of specular reflection off a (possibly conducting)
+    interface (mueller.h specular_reflection), unpolarized-Fresnel split
+    into s/p amplitudes.
+
+    cos_theta_i: (...,) >= 0; eta: real (+ optional imaginary) relative IOR.
+    """
+    ci = jnp.clip(jnp.asarray(cos_theta_i), 1e-6, 1.0)
+    si2 = 1.0 - ci * ci
+    if eta_c_imag is None:
+        eta_c_imag = jnp.zeros_like(jnp.asarray(eta_c_real))
+    er = jnp.asarray(eta_c_real)
+    ei = jnp.asarray(eta_c_imag)
+    # complex arithmetic via explicit re/im (complex64 avoided in kernels)
+    e2_r = er * er - ei * ei
+    e2_i = 2 * er * ei
+    # ct = sqrt(eta^2 - sin^2) (complex)
+    a_r = e2_r - si2
+    a_i = e2_i
+    mod = jnp.sqrt(jnp.sqrt(a_r * a_r + a_i * a_i))
+    arg = 0.5 * jnp.arctan2(a_i, a_r)
+    ct_r = mod * jnp.cos(arg)
+    ct_i = mod * jnp.sin(arg)
+
+    def cdiv(ar, ai, br, bi):
+        d = br * br + bi * bi
+        return (ar * br + ai * bi) / d, (ai * br - ar * bi) / d
+
+    # r_s = (ci - ct) / (ci + ct);  r_p = (eta^2 ci - ct) / (eta^2 ci + ct)
+    rs_r, rs_i = cdiv(ci - ct_r, -ct_i, ci + ct_r, ct_i)
+    rp_r, rp_i = cdiv(e2_r * ci - ct_r, e2_i * ci - ct_i,
+                      e2_r * ci + ct_r, e2_i * ci + ct_i)
+    Rs = rs_r * rs_r + rs_i * rs_i
+    Rp = rp_r * rp_r + rp_i * rp_i
+    # relative phase between s and p
+    cos_delta = (rs_r * rp_r + rs_i * rp_i) / jnp.maximum(
+        jnp.sqrt(Rs * Rp), 1e-20)
+    sin_delta = (rs_i * rp_r - rs_r * rp_i) / jnp.maximum(
+        jnp.sqrt(Rs * Rp), 1e-20)
+    a = 0.5 * (Rs + Rp)
+    b = 0.5 * (Rs - Rp)
+    c = jnp.sqrt(Rs * Rp) * cos_delta
+    s = jnp.sqrt(Rs * Rp) * sin_delta
+    m = jnp.zeros(ci.shape + (4, 4))
+    m = m.at[..., 0, 0].set(a).at[..., 1, 1].set(a)
+    m = m.at[..., 0, 1].set(b).at[..., 1, 0].set(b)
+    m = m.at[..., 2, 2].set(c).at[..., 3, 3].set(c)
+    m = m.at[..., 2, 3].set(s).at[..., 3, 2].set(-s)
+    return m
+
+
+def specular_transmission(cos_theta_i, eta):
+    """Mueller matrix of specular transmission through a dielectric
+    (mueller.h specular_transmission); total internal reflection -> zero."""
+    ci = jnp.clip(jnp.asarray(cos_theta_i), 1e-6, 1.0)
+    eta = jnp.asarray(eta)
+    si2 = 1.0 - ci * ci
+    ct2 = 1.0 - si2 / (eta * eta)
+    valid = ct2 > 0
+    ct = jnp.sqrt(jnp.maximum(ct2, 1e-12))
+    ts = 2.0 * ci / (ci + eta * ct)
+    tp = 2.0 * ci / (eta * ci + ct)
+    factor = eta * ct / ci  # radiance/irradiance geometry factor
+    Ts = ts * ts * factor
+    Tp = tp * tp * factor
+    a = 0.5 * (Ts + Tp)
+    b = 0.5 * (Ts - Tp)
+    c = jnp.sqrt(Ts * Tp)
+    m = jnp.zeros(ci.shape + (4, 4))
+    m = m.at[..., 0, 0].set(a).at[..., 1, 1].set(a)
+    m = m.at[..., 0, 1].set(b).at[..., 1, 0].set(b)
+    m = m.at[..., 2, 2].set(c).at[..., 3, 3].set(c)
+    return jnp.where(valid[..., None, None], m, 0.0)
+
+
+def stokes_basis(d):
+    """Canonical horizontal basis vector perpendicular to propagation d
+    (mueller.h stokes_basis): any stable perpendicular."""
+    from .math import coordinate_system
+    s, _t = coordinate_system(d)
+    return s
+
+
+def rotate_stokes_basis(d, basis_current, basis_target):
+    """Mueller rotator re-expressing Stokes vectors from basis_current to
+    basis_target, both perpendicular to d (mueller.h rotate_stokes_basis)."""
+    x = jnp.sum(basis_current * basis_target, axis=-1)
+    y = jnp.sum(jnp.cross(basis_current, basis_target) * d, axis=-1)
+    theta = jnp.arctan2(y, x)
+    return rotator(theta)

@@ -16,7 +16,7 @@ from ..core import spectrum as sp
 from ..core.rng import Sampler
 from .. import sensors
 from ..films import N_BASE_CHANNELS, develop, film_put
-from . import aov, depth, direct, moment, path, volpath, volpathmis
+from . import aov, depth, direct, moment, path, stokes, volpath, volpathmis
 from .bins import bins, nbins
 
 REGISTRY = {
@@ -27,6 +27,7 @@ REGISTRY = {
     "volpathmis": volpathmis,
     "aov": aov,
     "moment": moment,
+    "stokes": stokes,
     "bins": bins,
     "nbins": nbins,
 }

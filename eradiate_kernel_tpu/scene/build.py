@@ -1017,10 +1017,10 @@ def load_dict(d: dict, variant: Variant | None = None) -> Scene:
             if "medium" in val:
                 b.sensor_medium = b.medium(val["medium"])
         elif t in ("path", "direct", "depth", "volpath", "volpathmis",
-                   "aov", "moment", "bins", "nbins"):
+                   "aov", "moment", "bins", "nbins", "stokes"):
             props = val
             extra = []
-            if t in ("aov", "moment", "bins", "nbins"):
+            if t in ("aov", "moment", "bins", "nbins", "stokes"):
                 # wrapper integrators: pull the nested child's own settings
                 children = [v for v in val.values()
                             if isinstance(v, dict) and v.get("type") in

@@ -1,0 +1,114 @@
+"""Polarization tests: Mueller closed forms, Malus' law through the stokes
+integrator, wave plates (analog of the reference's polarization test suite)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from eradiate_kernel_tpu.core import mueller as mu
+from eradiate_kernel_tpu import integrators
+from eradiate_kernel_tpu.scene import load_dict
+
+
+def test_polarizer_on_unpolarized():
+    s = jnp.asarray([1.0, 0, 0, 0])
+    out = np.asarray(mu.linear_polarizer(1.0) @ s)
+    assert np.allclose(out, [0.5, 0.5, 0, 0])
+
+
+def test_malus_matrices():
+    """Two polarizers at relative angle theta: I = I0/2 cos^2(theta)."""
+    s = jnp.asarray([1.0, 0, 0, 0])
+    for theta in (0.0, np.pi / 6, np.pi / 4, np.pi / 3, np.pi / 2):
+        m2 = mu.rotated_element(jnp.asarray(theta), mu.linear_polarizer(1.0))
+        out = np.asarray(m2 @ (mu.linear_polarizer(1.0) @ s))
+        assert out[0] == pytest.approx(0.5 * np.cos(theta) ** 2, abs=1e-6), theta
+
+
+def test_quarter_wave_plate_makes_circular():
+    """Linear @45deg through a quarter-wave plate -> circular light."""
+    s_lin45 = jnp.asarray([1.0, 0, 1.0, 0])
+    qwp = mu.linear_retarder(jnp.asarray(np.pi / 2))
+    out = np.asarray(qwp @ s_lin45)
+    assert abs(out[3]) == pytest.approx(1.0, abs=1e-6)
+    assert out[1] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_specular_reflection_brewster():
+    """At Brewster's angle, reflected light is fully s-polarized."""
+    eta = 1.5
+    brewster = np.arctan(eta)
+    m = np.asarray(mu.specular_reflection(jnp.asarray([np.cos(brewster)]),
+                                          jnp.asarray(eta)))[0]
+    s_out = m @ np.array([1.0, 0, 0, 0])
+    # degree of polarization = |S1|/S0 = 1 at Brewster
+    assert abs(s_out[1]) / s_out[0] == pytest.approx(1.0, abs=1e-4)
+
+
+def _bench_scene(elements, spp=64):
+    """Optical bench: env light -> element stack -> camera, along +z."""
+    d = {
+        "type": "scene",
+        "integrator": {"type": "stokes",
+                       "child": {"type": "path", "max_depth": 2}},
+        "sensor": {"type": "radiancemeter",
+                   "to_world": {"type": "look_at", "origin": [0, 0, -4],
+                                "target": [0, 0, 1], "up": [0, 1, 0]},
+                   "film": {"width": 1, "height": 1,
+                            "rfilter": {"type": "box"}},
+                   "sampler": {"sample_count": spp}},
+        "env": {"type": "constant", "radiance": 1.0},
+    }
+    for i, el in enumerate(elements):
+        el = dict(el)
+        el_z = -3.0 + i  # stack toward the camera
+        d[f"el{i}"] = {"type": "rectangle",
+                       "to_world": {"type": "translate",
+                                    "value": [0, 0, el_z]},
+                       "bsdf": el}
+    return load_dict(d)
+
+
+def test_stokes_single_polarizer():
+    scene = _bench_scene([{"type": "polarizer", "theta": 30.0}])
+    img, aovs = integrators.render(scene, seed=1, return_aovs=True)
+    s0 = float(np.asarray(img)[0, 0, 1])
+    assert s0 == pytest.approx(0.5, abs=0.01)
+    # fully linearly polarized output: sqrt(s1^2+s2^2) = s0
+    s1 = float(aovs["s1"][0, 0])
+    s2 = float(aovs["s2"][0, 0])
+    dop = np.hypot(s1, s2) / s0
+    assert dop == pytest.approx(1.0, abs=0.02), (s1, s2, s0)
+
+
+@pytest.mark.parametrize("theta", [0.0, 30.0, 45.0, 60.0, 90.0])
+def test_stokes_malus_law(theta):
+    """Camera <- polarizer(theta) <- polarizer(0) <- light: Malus' law."""
+    scene = _bench_scene([
+        {"type": "polarizer", "theta": 0.0},      # nearest the light
+        {"type": "polarizer", "theta": theta},    # nearest the camera
+    ])
+    img = np.asarray(integrators.render(scene, seed=1))
+    s0 = float(img[0, 0, 1])
+    expect = 0.5 * np.cos(np.deg2rad(theta)) ** 2
+    assert s0 == pytest.approx(expect, abs=0.02), (theta, s0, expect)
+
+
+def test_stokes_crossed_polarizers_with_qwp():
+    """Crossed polarizers pass nothing; inserting a 45deg quarter-wave plate
+    lets a quarter of the light through (classic demonstration)."""
+    crossed = _bench_scene([
+        {"type": "polarizer", "theta": 0.0},
+        {"type": "polarizer", "theta": 90.0},
+    ])
+    img = np.asarray(integrators.render(crossed, seed=1))
+    assert float(img[0, 0, 1]) == pytest.approx(0.0, abs=0.01)
+
+    with_qwp = _bench_scene([
+        {"type": "polarizer", "theta": 0.0},
+        {"type": "retarder", "theta": 45.0, "delta": 180.0},  # half-wave @45
+        {"type": "polarizer", "theta": 90.0},
+    ])
+    img2 = np.asarray(integrators.render(with_qwp, seed=1))
+    # half-wave plate at 45deg rotates the plane by 90 -> full transmission
+    assert float(img2[0, 0, 1]) == pytest.approx(0.5, abs=0.02)
