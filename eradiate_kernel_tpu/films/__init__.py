@@ -55,13 +55,44 @@ def film_put(image, pos, values, rfilter_kind: str, rfilter_params=None):
     return image
 
 
-def develop(image, mode: str = "rgb"):
-    """Weight-divide and convert (hdrfilm.cpp develop). Returns (H, W, 3)
-    linear sRGB for rgb/spectral modes or (H, W, 1) luminance for mono."""
+def develop(image, mode: str = "rgb", pixel_format: str = "rgb"):
+    """Weight-divide and convert (hdrfilm.cpp develop :97-160).
+
+    pixel_format: 'rgb' (linear sRGB, default), 'rgba' (+alpha from the
+    valid-sample channel), 'xyz', or 'luminance' (Y). Mono variants always
+    return (H, W, 1) luminance."""
     from ..core.spectrum import xyz_to_srgb
 
     w = jnp.maximum(image[..., 4:5], 1e-12)
     xyz = image[..., 0:3] / w
-    if mode == "mono":
+    if mode == "mono" or pixel_format == "luminance":
         return xyz[..., 1:2]
-    return xyz_to_srgb(xyz)
+    if pixel_format == "xyz":
+        return xyz
+    rgb = xyz_to_srgb(xyz)
+    if pixel_format == "rgba":
+        alpha = image[..., 3:4] / w
+        return jnp.concatenate([rgb, alpha], -1)
+    return rgb
+
+
+def save(path: str, image, mode: str = "rgb", pixel_format: str = "rgb",
+         aovs: dict | None = None):
+    """Develop + write to disk (hdrfilm develop-to-file). '.exr' gets the
+    native float codec (+ AOV channels); anything else goes through PNG
+    with the sRGB transfer."""
+    import numpy as np
+
+    from ..utils import bitmap
+
+    img = np.asarray(develop(image, mode, pixel_format))
+    if path.lower().endswith(".exr"):
+        names = {1: ["Y"], 3: ["R", "G", "B"],
+                 4: ["R", "G", "B", "A"]}[img.shape[-1]]
+        if aovs:
+            extra = np.stack([np.asarray(v) for v in aovs.values()], -1)
+            img = np.concatenate([img, extra], -1)
+            names = names + list(aovs.keys())
+        bitmap.write_exr(path, img, names)
+    else:
+        bitmap.write_png(path, img)

@@ -57,14 +57,16 @@ def render_wavefront(scene, lane_offset, n_lanes, seed, spp):
     total wavefront (pad lanes under sharding) are masked out."""
     cfg = scene.config
     H, W = cfg.film_height, cfg.film_width
-    total = H * W * spp
+    cw, ch = cfg.crop_size if cfg.crop_size else (W, H)
+    cx, cy = cfg.crop_offset
+    total = ch * cw * spp
 
     lane = lane_offset + jnp.arange(n_lanes, dtype=jnp.uint32)
     lane_ok = lane < total
     lane = jnp.minimum(lane, total - 1)
     pixel = (lane // spp).astype(jnp.uint32)
-    px = (pixel % W).astype(jnp.float32)
-    py = (pixel // W).astype(jnp.float32)
+    px = (pixel % cw).astype(jnp.float32) + cx
+    py = (pixel // cw).astype(jnp.float32) + cy
 
     sampler = Sampler.seed(seed, lane, kind=cfg.sampler_kind, spp=spp)
     sampler, jitter = sampler.next_2d()
@@ -99,9 +101,10 @@ def render_wavefront(scene, lane_offset, n_lanes, seed, spp):
     ], axis=-1)
     values = jnp.where(lane_ok[..., None], values, 0.0)
 
-    image = jnp.zeros((H, W, N_BASE_CHANNELS + extra))
+    image = jnp.zeros((ch, cw, N_BASE_CHANNELS + extra))
     rp = dict(cfg.rfilter_params)
-    image = film_put(image, pos, values, cfg.rfilter, rp)
+    image = film_put(image, pos - jnp.asarray([cx, cy], jnp.float32),
+                     values, cfg.rfilter, rp)
     return image
 
 
@@ -117,13 +120,14 @@ def render(scene, seed=0, spp=None, samples_per_pass=None, develop_film=True,
     cfg = scene.config
     spp = spp or cfg.spp
     H, W = cfg.film_height, cfg.film_width
-    total = H * W * spp
+    cw, ch = cfg.crop_size if cfg.crop_size else (W, H)
+    total = ch * cw * spp
     if samples_per_pass is None:
         samples_per_pass = min(total, 1 << 22)
     n_passes = -(-total // samples_per_pass)
 
     extra = n_aov(cfg)
-    film = jnp.zeros((H, W, N_BASE_CHANNELS + extra))
+    film = jnp.zeros((ch, cw, N_BASE_CHANNELS + extra))
     run = jax.jit(render_wavefront, static_argnames=("n_lanes", "spp"))
     for p in range(n_passes):
         off = p * samples_per_pass
@@ -132,7 +136,7 @@ def render(scene, seed=0, spp=None, samples_per_pass=None, develop_film=True,
     if not develop_film:
         return film
     mode = "mono" if cfg.variant.is_monochromatic else "rgb"
-    img = develop(film[..., :N_BASE_CHANNELS], mode)
+    img = develop(film[..., :N_BASE_CHANNELS], mode, cfg.pixel_format)
     if not return_aovs:
         return img
     w = jnp.maximum(film[..., 4:5], 1e-12)

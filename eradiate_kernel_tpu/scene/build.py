@@ -708,7 +708,10 @@ class SceneBuilder:
             rfilter_params=tuple(sorted(film_cfg.get("rfilter_params", {}).items())),
             integrator=integrator_cfg, spp=spp,
             sensor_static=getattr(self, "sensor_static", ()),
-            sampler_kind=getattr(self, "sampler_kind", "independent"))
+            sampler_kind=getattr(self, "sampler_kind", "independent"),
+            pixel_format=film_cfg.get("pixel_format", "rgb"),
+            crop_offset=tuple(film_cfg.get("crop_offset", (0, 0))),
+            crop_size=tuple(film_cfg.get("crop_size", ())))
 
         bitmaps = (np.stack(self.bitmaps) if self.bitmaps
                    else np.zeros((1, 1, 1, 3), np.float32))
@@ -1006,6 +1009,13 @@ def load_dict(d: dict, variant: Variant | None = None) -> Scene:
             film = val.get("film", {})
             film_cfg["width"] = int(film.get("width", 64))
             film_cfg["height"] = int(film.get("height", 64))
+            film_cfg["pixel_format"] = str(film.get("pixel_format", "rgb"))
+            film_cfg["crop_offset"] = (int(film.get("crop_offset_x", 0)),
+                                       int(film.get("crop_offset_y", 0)))
+            if "crop_width" in film or "crop_height" in film:
+                film_cfg["crop_size"] = (
+                    int(film.get("crop_width", film_cfg["width"])),
+                    int(film.get("crop_height", film_cfg["height"])))
             rf = film.get("rfilter", {"type": "gaussian"})
             if isinstance(rf, dict):
                 film_cfg["rfilter"] = rf.get("type", "gaussian")

@@ -49,6 +49,11 @@ class SceneConfig:
     sensor_medium: int = -1  # medium the sensor is embedded in
     sensor_static: tuple = ()  # hashable ((key, value), ...) sensor statics
     sampler_kind: str = "independent"
+    # hdrfilm options (hdrfilm.cpp): output pixel format + crop window
+    pixel_format: str = "rgb"          # rgb | rgba | xyz | luminance
+    crop_offset: tuple = (0, 0)        # (x, y) within the full film
+    crop_size: tuple = ()              # () = full film
+
 
 
 @pytree_dataclass(static_fields=("config",))

@@ -58,3 +58,42 @@ def test_ztest_atmosphere(tmp_path):
     ok, frac, _ = ztest.check_scene(d, str(tmp_path), "atmo",
                                     spp=48, ref_spp=192)
     assert ok, f"only {frac:.4f} of pixels passed"
+
+
+def test_film_crop_and_formats(tmp_path):
+    """Crop window renders the matching sub-image; rgba/xyz/luminance
+    formats develop correctly; save() writes EXR with AOVs."""
+    from eradiate_kernel_tpu import integrators
+    from eradiate_kernel_tpu.scene import load_dict
+
+    # crop renumbers the wavefront lanes, so sample streams differ — the
+    # crop must match the full render in expectation (tight spp tolerance)
+    full = cornell_box(width=16, height=16, spp=256, max_depth=2)
+    ref = np.asarray(integrators.render(load_dict(full), seed=3))
+
+    crop = cornell_box(width=16, height=16, spp=256, max_depth=2)
+    crop["sensor"]["film"].update(crop_offset_x=4, crop_offset_y=6,
+                                  crop_width=8, crop_height=7)
+    img = np.asarray(integrators.render(load_dict(crop), seed=4))
+    assert img.shape[:2] == (7, 8)
+    assert np.abs(img - ref[6:13, 4:12]).mean() < 0.01
+
+    rgba = cornell_box(width=8, height=8, spp=8, max_depth=2)
+    rgba["sensor"]["film"]["pixel_format"] = "rgba"
+    out = np.asarray(integrators.render(load_dict(rgba), seed=1))
+    assert out.shape[-1] == 4
+    assert out[..., 3].max() <= 1.0 + 1e-5
+
+    lum = cornell_box(width=8, height=8, spp=8, max_depth=2)
+    lum["sensor"]["film"]["pixel_format"] = "luminance"
+    out_l = np.asarray(integrators.render(load_dict(lum), seed=1))
+    assert out_l.shape[-1] == 1
+
+    from eradiate_kernel_tpu import films
+    from eradiate_kernel_tpu.utils.bitmap import read_exr
+    scene = load_dict(cornell_box(width=8, height=8, spp=8, max_depth=2))
+    film = integrators.render(scene, seed=1, develop_film=False)
+    p = str(tmp_path / "out.exr")
+    films.save(p, film, aovs={"depth": np.zeros((8, 8), np.float32)})
+    img2, names = read_exr(p)
+    assert "depth" in names and img2.shape == (8, 8, 4)
