@@ -287,6 +287,21 @@ class SceneBuilder:
                 "w2l_m": np.asarray(w2l.m, np.float32),
                 "w2l_it": np.asarray(w2l.inv_t, np.float32),
                 "vmax": np.float32(data.max())})
+        if t == "gridvolume_spectral":
+            # [ERADIATE] wavelength-indexed volume (gridvolume_spectral.cpp):
+            # data (D, H, W, S) sampled at S wavelengths on a regular grid
+            data = np.asarray(v["data"], np.float32)
+            assert data.ndim == 4, "gridvolume_spectral wants (D, H, W, S)"
+            from ..core.transform import as_transform
+            tw = as_transform(v.get("to_world"))
+            w2l = tw.inverse()
+            return self.add_volume_row("gridvolume_spectral", {
+                "grid": data,
+                "wl_lo": np.float32(v.get("lambda_min", 360.0)),
+                "wl_hi": np.float32(v.get("lambda_max", 830.0)),
+                "w2l_m": np.asarray(w2l.m, np.float32),
+                "w2l_it": np.asarray(w2l.inv_t, np.float32),
+                "vmax": np.float32(data.max())})
         raise ValueError(f"unknown volume type {t!r}")
 
     def medium(self, d):
@@ -312,11 +327,11 @@ class SceneBuilder:
             # majorant = scale * max sigma_t (heterogeneous.cpp:29)
             kind, slot = self.volume_table[st_vol]
             rows = self.volume_rows[kind][slot]
-            vmax = float(rows["vmax"]) if kind == "gridvolume" \
+            vmax = float(rows["vmax"]) if "vmax" in rows \
                 else float(np.max(rows["value"]))
             # medium bounds = the sigma_t grid's bbox; constvolume -> unit cube
             # unless explicit to_world was provided on the grid
-            if kind == "gridvolume":
+            if kind in ("gridvolume", "gridvolume_spectral"):
                 w2l_m, w2l_it = rows["w2l_m"], rows["w2l_it"]
             else:
                 from ..core.transform import as_transform

@@ -97,3 +97,71 @@ def test_film_crop_and_formats(tmp_path):
     films.save(p, film, aovs={"depth": np.zeros((8, 8), np.float32)})
     img2, names = read_exr(p)
     assert "depth" in names and img2.shape == (8, 8, 4)
+
+
+def test_gridvolume_spectral():
+    """Wavelength-indexed volume: chromatic transmittance through a slab in
+    spectral mode matches the analytic per-wavelength extinction."""
+    import jax.numpy as jnp
+    from eradiate_kernel_tpu.core.types import Variant
+    from eradiate_kernel_tpu.scene import load_dict
+    from eradiate_kernel_tpu import integrators, sensors
+    from eradiate_kernel_tpu.core.rng import Sampler
+    from eradiate_kernel_tpu.integrators import volpath
+
+    S = 8
+    wl_nodes = np.linspace(360.0, 830.0, S)
+    sigma_of_wl = 0.2 + 1.8 * (wl_nodes - 360.0) / 470.0  # ramp in lambda
+    data = np.broadcast_to(sigma_of_wl, (2, 2, 2, S)).astype(np.float32)
+    scene = load_dict({
+        "type": "scene",
+        "integrator": {"type": "volpath", "max_depth": 16},
+        "sensor": {"type": "radiancemeter",
+                   "to_world": {"type": "look_at", "origin": [0.5, 0.5, -3],
+                                "target": [0.5, 0.5, 1], "up": [0, 1, 0]},
+                   "film": {"width": 1, "height": 1,
+                            "rfilter": {"type": "box"}},
+                   "sampler": {"sample_count": 16}},
+        "slab": {"type": "cube", "bsdf": {"type": "null"},
+                 "interior": {"type": "heterogeneous",
+                              "sigma_t": {"type": "gridvolume_spectral",
+                                          "data": data,
+                                          "lambda_min": 360.0,
+                                          "lambda_max": 830.0},
+                              "albedo": 0.0}},
+        "env": {"type": "constant", "radiance": 1.0},
+    }, Variant("spectral"))
+    n = 1 << 15
+    smp = Sampler.seed(3, jnp.arange(n, dtype=jnp.uint32))
+    smp, _ = smp.next_2d()
+    ray, w, smp = sensors.sample_ray(scene, smp, jnp.full((n, 2), 0.5),
+                                     jnp.zeros(n))
+    spec, valid, _ = volpath.sample(scene, smp, ray)
+    wl = np.asarray(ray.wavelengths).ravel()
+    got = np.asarray(spec).ravel()
+    sigma = np.interp(wl, wl_nodes, sigma_of_wl)
+    expect = np.exp(-sigma)  # unit slab thickness
+    # bin by wavelength and compare means (heavy-tailed ratio estimator)
+    for lo, hi in [(360, 500), (500, 650), (650, 830)]:
+        m = (wl >= lo) & (wl < hi)
+        assert got[m].mean() == pytest.approx(expect[m].mean(), rel=0.1), \
+            (lo, hi, got[m].mean(), expect[m].mean())
+
+
+def test_runtime_controller_and_progress(tmp_path, capsys):
+    from eradiate_kernel_tpu.scene import load_dict
+    from eradiate_kernel_tpu.utils import runtime
+
+    scene = load_dict(cornell_box(width=8, height=8, spp=64, max_depth=2))
+    ctl = runtime.RenderController(timeout=None)
+    img = runtime.render(scene, seed=1, samples_per_pass=1024,
+                         controller=ctl)
+    assert np.asarray(img).shape == (8, 8, 3)
+    assert ctl.partial is not None
+
+    # cancellation after the first pass: partial film still develops
+    ctl2 = runtime.RenderController()
+    ctl2.cancel()
+    img2 = runtime.render(scene, seed=1, samples_per_pass=1024,
+                          controller=ctl2, develop_film=False)
+    assert float(np.asarray(img2).sum()) == 0.0  # stopped before any pass
