@@ -24,7 +24,9 @@ def build(props, builder):
 
 def _refl(scene, params, slot, si, active):
     return texture_eval(scene, _tg(params["reflectance"], slot), si.uv,
-                        si.wavelengths, active)
+                        si.wavelengths, active,
+                        si_extra={"prim_index": si.prim_index,
+                                  "prim_uv": si.prim_uv})
 
 
 def sample(scene, params, slot, si, s1, s2, active, mode=common.RADIANCE):

@@ -249,7 +249,8 @@ def _pseudo_si(p, n, wavelengths, time):
     batch = p.shape[:-1]
     return SurfaceInteraction(
         t=jnp.zeros(batch), p=p, n=n, sh_frame=Frame.from_normal(n),
-        uv=jnp.zeros(batch + (2,)), dp_du=jnp.zeros_like(p),
+        uv=jnp.zeros(batch + (2,)), prim_uv=jnp.zeros(batch + (2,)),
+        dp_du=jnp.zeros_like(p),
         dp_dv=jnp.zeros_like(p), wi=jnp.zeros_like(p).at[..., 2].set(1.0),
         wavelengths=wavelengths, time=time,
         prim_index=jnp.zeros(batch, jnp.int32),

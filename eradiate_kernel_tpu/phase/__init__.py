@@ -112,6 +112,36 @@ def phase_eval(scene, phase_idx, wi, wo, active=True):
         params = scene.phases[kname]
         if kname == "isotropic":
             v = jnp.full(ct.shape, INV_FOUR_PI)
+        elif kname == "blendphase":
+            # weighted mix (blendphase.cpp): eval = lerp of the children;
+            # restricted sweep (children cannot be blendphase themselves)
+            w = tg(params["weight"], slot)
+
+            def _eval_child(child_idx):
+                ck = tg(scene.phase_kind, child_idx)
+                cs = tg(scene.phase_slot, child_idx)
+                out_c = jnp.zeros(ct.shape)
+                for k2, kn2 in enumerate(cfg.phase_kinds):
+                    if kn2 == "blendphase":
+                        continue
+                    m2 = ck == k2
+                    p2 = scene.phases[kn2]
+                    if kn2 == "isotropic":
+                        v2 = jnp.full(ct.shape, INV_FOUR_PI)
+                    elif kn2 == "hg":
+                        v2 = _hg(ct, tg(p2["g"], cs))
+                    elif kn2 == "rayleigh":
+                        v2 = _rayleigh(ct)
+                    elif kn2 == "tabphase":
+                        v2 = _tab_eval(p2, cs, -ct)
+                    else:
+                        raise ValueError(kn2)
+                    out_c = jnp.where(m2, v2, out_c)
+                return out_c
+
+            v0 = _eval_child(tg(params["phase0"], slot))
+            v1 = _eval_child(tg(params["phase1"], slot))
+            v = (1.0 - w) * v0 + w * v1
         elif kname == "hg":
             v = _hg(ct, tg(params["g"], slot))
         elif kname == "rayleigh":
@@ -137,7 +167,28 @@ def phase_sample(scene, phase_idx, ray_d, s1, s2, active=True):
     for k, kname in enumerate(cfg.phase_kinds):
         m = kind == k
         params = scene.phases[kname]
-        ct = jnp.where(m, _sample_cos_theta(kname, params, slot, s1), ct)
+        if kname == "blendphase":
+            # mixture sampling: pick a child by weight, renormalize s1;
+            # pdf (below) evaluates the mixture -> consistent estimator
+            w = tg(params["weight"], slot)
+            pick1 = s1 < w
+            s1r = jnp.where(pick1, s1 / jnp.maximum(w, 1e-12),
+                            (s1 - w) / jnp.maximum(1.0 - w, 1e-12))
+            child = jnp.where(pick1, tg(params["phase1"], slot),
+                              tg(params["phase0"], slot))
+            child_kind = tg(scene.phase_kind, child)
+            child_slot = tg(scene.phase_slot, child)
+            ct_b = jnp.zeros_like(s1)
+            for k2, kname2 in enumerate(cfg.phase_kinds):
+                if kname2 == "blendphase":
+                    continue
+                m2 = child_kind == k2
+                ct_b = jnp.where(
+                    m2, _sample_cos_theta(kname2, scene.phases[kname2],
+                                          child_slot, s1r), ct_b)
+            ct = jnp.where(m, ct_b, ct)
+        else:
+            ct = jnp.where(m, _sample_cos_theta(kname, params, slot, s1), ct)
     st = safe_sqrt(1.0 - ct * ct)
     phi = 2.0 * jnp.pi * s2[..., 1]
     wo_local = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], -1)

@@ -577,7 +577,8 @@ def compute_surface_interaction(geo: Geometry, ray: Ray,
     sh_frame = Frame.from_normal(sh_n)
     wi = sh_frame.to_local(-ray.d)
     return SurfaceInteraction(
-        t=t, p=p, n=n, sh_frame=sh_frame, uv=uv, dp_du=dp_du, dp_dv=dp_dv,
+        t=t, p=p, n=n, sh_frame=sh_frame, uv=uv, prim_uv=pi.prim_uv,
+        dp_du=dp_du, dp_dv=dp_dv,
         wi=wi, wavelengths=ray.wavelengths, time=ray.time,
         prim_index=pi.prim_index, shape_index=pi.shape_index)
 

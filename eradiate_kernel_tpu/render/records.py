@@ -40,6 +40,7 @@ class SurfaceInteraction:
     n: jnp.ndarray            # (..., 3) geometric normal
     sh_frame: Frame           # shading frame (n may be interpolated)
     uv: jnp.ndarray           # (..., 2)
+    prim_uv: jnp.ndarray      # (..., 2) barycentric/parametric coords
     dp_du: jnp.ndarray        # (..., 3)
     dp_dv: jnp.ndarray        # (..., 3)
     wi: jnp.ndarray           # (..., 3) incident dir, local shading frame
@@ -99,7 +100,8 @@ def invalid_si(batch_shape, n_wavelengths, dtype=jnp.float32):
         t=jnp.full(batch_shape, INVALID_T, dtype), p=z3, n=up,
         sh_frame=Frame(s=jnp.zeros_like(z3).at[..., 0].set(1.0),
                        t=jnp.zeros_like(z3).at[..., 1].set(1.0), n=up),
-        uv=jnp.zeros(batch_shape + (2,), dtype), dp_du=z3, dp_dv=z3,
+        uv=jnp.zeros(batch_shape + (2,), dtype),
+        prim_uv=jnp.zeros(batch_shape + (2,), dtype), dp_du=z3, dp_dv=z3,
         wi=up, wavelengths=jnp.zeros(batch_shape + (n_wavelengths,), dtype),
         time=z, prim_index=jnp.zeros(batch_shape, jnp.int32),
         shape_index=jnp.full(batch_shape, -1, jnp.int32))

@@ -155,8 +155,10 @@ def scene_spectrum_eval(scene, spec_idx, wavelengths):
                          wavelengths, cfg.variant.n_channels)
 
 
-def texture_eval(scene, tex_index, si_uv, wavelengths, active=True):
-    """Evaluate texture objects per lane -> (..., nc)."""
+def texture_eval(scene, tex_index, si_uv, wavelengths, active=True,
+                 si_extra=None):
+    """Evaluate texture objects per lane -> (..., nc). ``si_extra``:
+    optional dict with 'prim_index'/'prim_uv' for mesh-attribute lookups."""
     cfg = scene.config
     kinds = cfg.texture_kinds
     tex_kind = tg(scene.tex_kind, tex_index)
@@ -208,6 +210,32 @@ def texture_eval(scene, tex_index, si_uv, wavelengths, active=True):
                 v = jnp.mean(rgb, axis=-1, keepdims=True)
             else:
                 v = rgb
+        elif kind == "mesh_attribute":
+            # barycentric interpolation of per-vertex data
+            # (mesh_attribute.cpp; mesh.h attribute system)
+            geo = scene.geo
+            attr = tg(p["attr"], tex_slot)
+            f = tg(geo.faces, si_extra["prim_index"]) \
+                if si_extra is not None else None
+            if f is None:
+                v = jnp.zeros(tex_kind.shape + (nc,))
+            else:
+                data = scene.mesh_attr_data  # (A, V, 3)
+                u_ = si_extra["prim_uv"][..., 0]
+                v_ = si_extra["prim_uv"][..., 1]
+                w_ = 1.0 - u_ - v_
+                a0 = data[attr, f[..., 0]]
+                a1 = data[attr, f[..., 1]]
+                a2 = data[attr, f[..., 2]]
+                rgb = (a0 * w_[..., None] + a1 * u_[..., None]
+                       + a2 * v_[..., None]) * tg(p["scale"], tex_slot)[..., None]
+                if cfg.variant.is_monochromatic:
+                    v = jnp.mean(rgb, -1, keepdims=True)
+                elif cfg.variant.is_spectral:
+                    v = jnp.broadcast_to(jnp.mean(rgb, -1, keepdims=True),
+                                         rgb.shape[:-1] + (nc,))
+                else:
+                    v = rgb
         else:
             raise ValueError(f"unknown texture kind {kind}")
         out = jnp.where(m[..., None], v, out)

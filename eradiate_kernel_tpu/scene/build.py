@@ -191,6 +191,8 @@ class SceneBuilder:
         self.phase_table = []
         self.named = {}
         self.bitmaps = []
+        self.mesh_attr_names = []   # attribute name per slot
+        self.mesh_attr_chunks = {}  # name -> list of (v_offset, (V_i, C))
         # geometry
         self.vertices = []
         self.normals = []
@@ -248,6 +250,15 @@ class SceneBuilder:
             return self.add_phase_row("hg", {"g": np.float32(d.get("g", 0.8))})
         if t == "rayleigh":
             return self.add_phase_row("rayleigh", {"_pad": np.float32(0)})
+        if t == "blendphase":
+            children = [v for v in d.values()
+                        if isinstance(v, dict) and "type" in v]
+            assert len(children) == 2, "blendphase needs two nested phases"
+            p0 = self.phase(children[0])
+            p1 = self.phase(children[1])
+            return self.add_phase_row("blendphase", {
+                "weight": np.float32(d.get("weight", 0.5)),
+                "phase0": np.int32(p0), "phase1": np.int32(p1)})
         if t == "tabphase":
             values = np.asarray(d["values"], np.float64)
             nodes = np.asarray(d.get("nodes",
@@ -469,6 +480,13 @@ class SceneBuilder:
 
     # --- texture coercion ------------------------------------------------------
     def texture(self, value, emitter=False):
+        if isinstance(value, dict) and value.get("type") == "mesh_attribute":
+            name = value["name"]
+            if name not in self.mesh_attr_names:
+                self.mesh_attr_names.append(name)
+            return self.add_texture_row("mesh_attribute", {
+                "attr": np.int32(self.mesh_attr_names.index(name)),
+                "scale": np.float32(value.get("scale", 1.0))})
         if isinstance(value, dict) and value.get("type") == "checkerboard":
             s0 = self.spectrum(value.get("color0", 0.4), emitter)
             s1 = self.spectrum(value.get("color1", 0.2), emitter)
@@ -495,10 +513,20 @@ class SceneBuilder:
             face_offset=face_offset, face_count=face_count))
         return len(self.shape_rows) - 1
 
-    def add_mesh(self, verts, faces, normals=None, uvs=None):
+    def add_mesh(self, verts, faces, normals=None, uvs=None,
+                 attributes=None):
         verts = np.asarray(verts, np.float32)
         faces = np.asarray(faces, np.int32)
         v_off = sum(len(v) for v in self.vertices)
+        for name, arr in (attributes or {}).items():
+            arr = np.atleast_2d(np.asarray(arr, np.float32))
+            if arr.shape[0] != len(verts):
+                arr = arr.T
+            assert arr.shape[0] == len(verts), \
+                f"attribute {name!r} length != vertex count"
+            self.mesh_attr_chunks.setdefault(name, []).append((v_off, arr))
+            if name not in self.mesh_attr_names:
+                self.mesh_attr_names.append(name)
         f_off = sum(len(f) for f in self.faces)
         self.vertices.append(verts)
         self.normals.append(np.zeros_like(verts) if normals is None
@@ -731,6 +759,19 @@ class SceneBuilder:
         bitmaps = (np.stack(self.bitmaps) if self.bitmaps
                    else np.zeros((1, 1, 1, 3), np.float32))
 
+        # per-vertex attribute pools (mesh_attribute texture)
+        if self.mesh_attr_names:
+            attr_data = np.zeros((len(self.mesh_attr_names), max(len(V), 1),
+                                  3), np.float32)
+            for a, name in enumerate(self.mesh_attr_names):
+                for off, arr in self.mesh_attr_chunks.get(name, []):
+                    c = min(arr.shape[1], 3)
+                    attr_data[a, off:off + len(arr), :c] = arr[:, :c]
+                    if c == 1:
+                        attr_data[a, off:off + len(arr), 1:3] = arr[:, :1]
+        else:
+            attr_data = np.zeros((1, 1, 3), np.float32)
+
         return Scene(
             geo=geo,
             shape_bsdf=row("bsdf"), shape_emitter=row("emitter"),
@@ -761,6 +802,7 @@ class SceneBuilder:
             volumes=stack_rows(self.volume_rows),
             vol_kind=vol_kind_arr, vol_slot=vol_slot_arr,
             bitmap_data=jnp.asarray(bitmaps),
+            mesh_attr_data=jnp.asarray(attr_data),
             sensor=sensor_params,
             bsphere_center=jnp.asarray(center),
             bsphere_radius=jnp.asarray(np.float32(max(radius, 1e-3))),
@@ -931,7 +973,8 @@ def _build_shape(builder: SceneBuilder, d):
         idx = builder.add_mesh(verts, _CUBE_F)
     elif t == "mesh":
         idx = builder.add_mesh(d["vertices"], d["faces"],
-                               d.get("normals"), d.get("uvs"))
+                               d.get("normals"), d.get("uvs"),
+                               d.get("attributes"))
     elif t == "obj":
         from ..utils.meshio import load_obj
 

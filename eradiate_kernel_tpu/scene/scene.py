@@ -103,6 +103,7 @@ class Scene:
     vol_slot: jnp.ndarray
 
     bitmap_data: jnp.ndarray  # (n_bitmaps, H, W, 3)
+    mesh_attr_data: jnp.ndarray  # (n_attrs, V, 3) per-vertex attributes
 
     sensor: Any  # dict of sensor params
 

@@ -306,6 +306,7 @@ def BSDFAdapter(bsdf_dict, wi=(0.3, -0.2, 0.9), variant=None):
             n=jnp.zeros((n, 3)).at[:, 2].set(1.0),
             sh_frame=Frame.from_normal(jnp.zeros((n, 3)).at[:, 2].set(1.0)),
             uv=jnp.full((n, 2), 0.5),
+            prim_uv=jnp.zeros((n, 2)),
             dp_du=jnp.zeros((n, 3)).at[:, 0].set(1.0),
             dp_dv=jnp.zeros((n, 3)).at[:, 1].set(1.0),
             wi=jnp.broadcast_to(jnp.asarray(wi, jnp.float32), (n, 3)),

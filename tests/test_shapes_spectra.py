@@ -156,3 +156,28 @@ def test_discrete_srf_lines():
     frac = (wl == 550.0).mean()
     assert frac == pytest.approx(0.5, abs=0.03)
     assert np.allclose(np.asarray(w), 4.0)  # sum of line weights
+
+
+def test_mesh_attribute_texture():
+    """Per-vertex color attribute interpolated across a triangle
+    (mesh_attribute.cpp analog)."""
+    verts = [[-2, -1, 0], [2, -1, 0], [0, 2, 0]]
+    faces = [[0, 2, 1]]  # wound toward the camera at -z
+    colors = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    scene = load_dict({
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 2},
+        "sensor": cam(w=16, spp=32),
+        "tri": {"type": "mesh", "vertices": verts, "faces": faces,
+                "attributes": {"vertex_color": colors},
+                "bsdf": {"type": "diffuse",
+                         "reflectance": {"type": "mesh_attribute",
+                                         "name": "vertex_color"}}},
+        "env": {"type": "constant", "radiance": 1.0},
+    })
+    img = np.asarray(integrators.render(scene, seed=1))
+    # corners of the triangle are dominated by their vertex color
+    bottom_left = img[12, 4]
+    top_center = img[3, 8]
+    assert bottom_left[0] > bottom_left[2] * 2, bottom_left   # red-ish
+    assert top_center[2] > top_center[0] * 2, top_center      # blue-ish

@@ -167,3 +167,16 @@ def test_volpathmis_matches_volpath_scattering():
     a = np.asarray(integrators.render(sc("volpath"), seed=2))[0, 0]
     b = np.asarray(integrators.render(sc("volpathmis"), seed=3))[0, 0]
     assert np.allclose(a, b, rtol=0.03), (a, b)
+
+
+def test_blendphase_chi2():
+    """blendphase(isotropic, hg): sample/pdf consistency via chi2."""
+    from eradiate_kernel_tpu.utils.chi2 import (ChiSquareTest,
+                                                PhaseFunctionAdapter,
+                                                SphericalDomain)
+    sample_func, pdf_func = PhaseFunctionAdapter(
+        {"type": "blendphase", "weight": 0.3,
+         "a": {"type": "isotropic"}, "b": {"type": "hg", "g": 0.6}})
+    test = ChiSquareTest(SphericalDomain(), sample_func, pdf_func,
+                         sample_count=200_000, res=41, ires=9)
+    assert test.run(significance_level=0.01), "\n".join(test.messages)
