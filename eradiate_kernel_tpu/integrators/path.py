@@ -162,7 +162,12 @@ def _trace(scene, sampler: Sampler, ray: Ray, active=None):
         # under shard_map's varying-axis tracking.
         return body(s), None
 
-    final, _ = jax.lax.scan(scan_body, state, None, length=max_depth)
+    # rematerialized backward: recompute each bounce from the counter-based
+    # RNG keys instead of storing per-bounce residuals — the memory property
+    # of the reference's path-replay backprop (SURVEY §5.9) realized with
+    # jax.checkpoint (per-bounce state is a pure function of its keys)
+    final, _ = jax.lax.scan(jax.checkpoint(scan_body), state, None,
+                            length=max_depth)
     return final, valid_ray
 
 

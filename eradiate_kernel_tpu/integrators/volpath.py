@@ -714,7 +714,8 @@ def _trace_full(scene, sampler: Sampler, ray: Ray, active=None,
             final = body(final)
             _DEBUG_STATES.append(final)
     else:
-        final, _ = jax.lax.scan(scan_body, state, None,
+        # path-replay-style memory: recompute bounces in the backward pass
+        final, _ = jax.lax.scan(jax.checkpoint(scan_body), state, None,
                                 length=max_iterations)
     return final
 
