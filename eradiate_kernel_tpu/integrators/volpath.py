@@ -67,6 +67,14 @@ def _is_medium_transition(scene, si):
     return (_tg(scene.shape_interior, sh) >= 0) | (_tg(scene.shape_exterior, sh) >= 0)
 
 
+def _all_emitters_delta(cfg) -> bool:
+    """Static: no emitter can be hit by a sampled ray (delta positions /
+    directions only, no environment) -> evaluate_direct_light is dead code."""
+    delta_kinds = {"point", "directional", "spot", "projector"}
+    return (cfg.env_emitter < 0
+            and all(k in delta_kinds for k in cfg.emitter_kinds))
+
+
 def _eval_null_transmission(scene, si, ray, active):
     """BSDF::eval_null_transmission — only 'null' BSDFs pass light through
     (bsdf.h:408; null.cpp). Returns (..., nc)."""
@@ -560,17 +568,10 @@ def _trace_full(scene, sampler: Sampler, ray: Ray, active=None,
 
         throughput = _probe("tp_after_scatter", throughput)
         phase_idx = _medium_phase(scene, s.medium_idx)
-
-        # medium NEE
-        emitted, ds_m, smp, nr_w = _sample_emitter(
-            scene, mi.p, -ray.d, jnp.ones_like(act_scatter), ray.wavelengths,
-            ray.time, s.medium_idx, s.channel, smp, act_scatter, nee_steps)
-        n_rays = n_rays + nr_w
-        phase_val = phase.phase_eval(scene, phase_idx, -ray.d, ds_m.d, act_scatter)
-        emitted = _probe("medium_nee_emitted", emitted)
-        result = result + jnp.where(
-            act_scatter[..., None],
-            throughput * phase_val[..., None] * emitted, 0.0)
+        # medium-NEE context (the walk itself is merged with the surface NEE
+        # below — the lane sets are disjoint, so one bounded walk serves both)
+        nee_medium_p = mi.p
+        nee_medium_d_in = ray.d  # pre-phase-sample direction for phase_eval
 
         # phase sampling
         smp, xi_p1 = smp.next_1d()
@@ -615,13 +616,24 @@ def _trace_full(scene, sampler: Sampler, ray: Ray, active=None,
         flags = _tg(scene.bsdf_flags, bsdf_idx)
         is_smooth = (flags & bsdf_flags.Smooth) != 0
 
-        # surface NEE
+        # merged NEE: one transmittance walk serves the (disjoint) medium
+        # and surface lane sets
         active_e = active_surface & is_smooth & (depth + 1 < max_depth) & \
             (scene.config.n_emitters > 0)
+        nee_ref_p = jnp.where(act_scatter[..., None], nee_medium_p, si.p)
+        nee_ref_n = jnp.where(act_scatter[..., None], -nee_medium_d_in, si.n)
+        nee_active = act_scatter | active_e
         emitted_s, ds_s, smp, nr_s = _sample_emitter(
-            scene, si.p, si.n, jnp.zeros_like(active_e), ray.wavelengths,
-            ray.time, s.medium_idx, s.channel, smp, active_e, nee_steps)
+            scene, nee_ref_p, nee_ref_n, act_scatter, ray.wavelengths,
+            ray.time, s.medium_idx, s.channel, smp, nee_active, nee_steps)
         n_rays = n_rays + nr_s
+        # medium lanes: phase x emitted
+        phase_val = phase.phase_eval(scene, phase_idx, -nee_medium_d_in,
+                                     ds_s.d, act_scatter)
+        emitted_m = _probe("medium_nee_emitted", emitted_s)
+        result = result + jnp.where(
+            act_scatter[..., None],
+            throughput * phase_val[..., None] * emitted_m, 0.0)
         wo_local = si.to_local(ds_s.d)
         bsdf_val, bsdf_pdf = bsdfs.bsdf_eval_pdf(scene, bsdf_idx, si, wo_local,
                                                  active_e)
