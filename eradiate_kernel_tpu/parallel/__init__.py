@@ -98,3 +98,21 @@ def render_sharded(scene, mesh: Mesh, seed=0, spp=None, develop_film=True,
         mode = "mono" if cfg.variant.is_monochromatic else "rgb"
         return develop(film, mode)
     return film
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Multi-host initialization (jax.distributed.initialize wrapper).
+
+    On a multi-host TPU slice, call this once per host before building the
+    mesh; ``make_mesh(jax.devices())`` then spans the full slice and
+    ``render_sharded`` shards the wavefront over every chip, with the film
+    psum riding ICI within the slice (SURVEY §5.8). Single-host runs skip
+    this entirely."""
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)

@@ -103,6 +103,38 @@ class Optimizer:
         self.params[k] = jnp.asarray(v, self.params[k].dtype) \
             .reshape(self.params[k].shape)
 
+    # --- checkpointing (orbax-style pytrees; npz on disk) ---------------------
+    def state_dict(self):
+        import numpy as np
+        out = {f"param:{k}": np.asarray(v) for k, v in self.params.items()}
+        for k, v in self.state.items():
+            leaves = v if isinstance(v, tuple) else (v,)
+            for i, leaf in enumerate(leaves):
+                out[f"state:{k}:{i}"] = np.asarray(leaf)
+        out["t"] = np.asarray(getattr(self, "t", 0))
+        return out
+
+    def save(self, path: str):
+        """Checkpoint to .npz (render-loop resume, SURVEY §5.4)."""
+        import numpy as np
+        np.savez(path, **self.state_dict())
+
+    def load(self, path: str):
+        import numpy as np
+        data = np.load(path)
+        for k in list(self.params):
+            self.params[k] = jnp.asarray(data[f"param:{k}"])
+        for k in list(self.state):
+            v = self.state[k]
+            if isinstance(v, tuple):
+                self.state[k] = tuple(
+                    jnp.asarray(data[f"state:{k}:{i}"])
+                    for i in range(len(v)))
+            else:
+                self.state[k] = jnp.asarray(data[f"state:{k}:0"])
+        if "t" in data:
+            self.t = int(data["t"])
+
 
 class SGD(Optimizer):
     """SGD with optional momentum (autodiff.py SGD)."""
