@@ -21,7 +21,7 @@ from ..core.gather import table_gather as tg
 
 from . import (bilambertian, blendbsdf, bumpmap, circular, common,
                conductor, dielectric, diffuse, mask, normalmap, null,
-               plastic, polarizer, retarder, roughconductor,
+               plastic, polarizer, pplastic, retarder, roughconductor,
                roughdielectric, roughplastic, rpv, thindielectric)
 from .common import BSDFSample, zero_bsdf_sample
 
@@ -37,6 +37,7 @@ REGISTRY = {
     "thindielectric": thindielectric,
     "plastic": plastic,
     "roughplastic": roughplastic,
+    "pplastic": pplastic,
     "mask": mask,
     "blendbsdf": blendbsdf,
     "normalmap": normalmap,

@@ -175,3 +175,18 @@ def rotate_stokes_basis(d, basis_current, basis_target):
     y = jnp.sum(jnp.cross(basis_current, basis_target) * d, axis=-1)
     theta = jnp.arctan2(y, x)
     return rotator(theta)
+
+
+def rotate_mueller_basis(m, in_d, in_basis_current, in_basis_target,
+                         out_d, out_basis_current, out_basis_target):
+    """Re-express a Mueller matrix under new incident/outgoing Stokes frames
+    (mueller.h rotate_mueller_basis:324-334): R_out @ M @ R_in^T."""
+    r_in = rotate_stokes_basis(in_d, in_basis_current, in_basis_target)
+    r_out = rotate_stokes_basis(out_d, out_basis_current, out_basis_target)
+    return r_out @ m @ jnp.swapaxes(r_in, -1, -2)
+
+
+def rotate_mueller_basis_collinear(m, d, basis_current, basis_target):
+    """Same-frame variant (mueller.h:363-369): R @ M @ R^T."""
+    r = rotate_stokes_basis(d, basis_current, basis_target)
+    return r @ m @ jnp.swapaxes(r, -1, -2)

@@ -144,7 +144,7 @@ def as_transform(t) -> Transform:
         return t
     if isinstance(t, dict):
         kind = t["type"]
-        if kind == "look_at":
+        if kind in ("look_at", "lookat"):
             return Transform.look_at(t.get("origin", [0, 0, 0]),
                                      t.get("target", [0, 0, 1]),
                                      t.get("up", [0, 1, 0]))

@@ -185,3 +185,84 @@ def test_conductor_material_presets():
                       spp=64, depth=8), seed=1))
     c = img[3:5, 3:5].mean(axis=(0, 1))
     assert c[0] > c[2] * 1.5, c
+
+
+# --- pplastic (pplastic.cpp) -------------------------------------------------
+
+def test_chi2_pplastic():
+    run_bsdf_chi2({"type": "pplastic", "alpha": 0.3,
+                   "diffuse_reflectance": 0.4}, cos_bounds=(0.0, 1.0))
+
+
+def test_chi2_pplastic_ggx_smoothish():
+    run_bsdf_chi2({"type": "pplastic", "alpha": 0.12,
+                   "distribution": "ggx", "diffuse_reflectance": 0.05},
+                  cos_bounds=(0.0, 1.0), ires=17)
+
+
+def _pplastic_scene_si(bsdf_dict, wi):
+    from eradiate_kernel_tpu.core.frame import Frame
+    from eradiate_kernel_tpu.core.types import Variant
+    from eradiate_kernel_tpu.render.records import SurfaceInteraction
+    scene = load_dict({
+        "type": "scene",
+        "sensor": {"type": "perspective", "film": {"width": 2, "height": 2}},
+        "rect": {"type": "rectangle", "bsdf": bsdf_dict},
+    }, Variant("rgb"))
+    wi = jnp.asarray(wi, jnp.float32)
+    wi = wi / jnp.linalg.norm(wi, axis=-1, keepdims=True)
+    n = wi.shape[0]
+    z = jnp.zeros(n)
+    si = SurfaceInteraction(
+        t=jnp.ones(n), p=jnp.zeros((n, 3)),
+        n=jnp.zeros((n, 3)).at[:, 2].set(1.0),
+        sh_frame=Frame.from_normal(jnp.zeros((n, 3)).at[:, 2].set(1.0)),
+        uv=jnp.full((n, 2), 0.5), prim_uv=jnp.zeros((n, 2)),
+        dp_du=jnp.zeros((n, 3)).at[:, 0].set(1.0),
+        dp_dv=jnp.zeros((n, 3)).at[:, 1].set(1.0),
+        wi=wi, wavelengths=jnp.zeros((n, 0)),
+        time=z, prim_index=jnp.zeros(n, jnp.int32),
+        shape_index=jnp.zeros(n, jnp.int32))
+    return scene, si
+
+
+def test_pplastic_eval_components():
+    """Diffuse-only pplastic follows (1-F_i)(1-F_o) rho/pi cos_o exactly
+    (pplastic.cpp:319-329: no internal-scattering normalization)."""
+    from eradiate_kernel_tpu.bsdfs import bsdf_eval_pdf
+    from eradiate_kernel_tpu.render import fresnel as fr
+
+    wi = jnp.asarray([[0.0, 0.6, 0.8]])
+    scene, si = _pplastic_scene_si({"type": "pplastic", "alpha": 0.2,
+                                    "diffuse_reflectance": 0.6,
+                                    "specular_reflectance": 0.0}, wi)
+    wo = jnp.asarray([[0.5, 0.0, np.sqrt(0.75)]])
+    val, _pdf = bsdf_eval_pdf(scene, jnp.zeros(1, jnp.int32), si, wo,
+                              jnp.ones(1, bool))
+    eta = 1.49 / 1.000277
+    f_i = float(fr.fresnel(wi[..., 2], eta)[0][0])
+    f_o = float(fr.fresnel(wo[..., 2], eta)[0][0])
+    expect = (1 - f_i) * (1 - f_o) * 0.6 / np.pi * float(wo[0, 2])
+    assert np.allclose(np.asarray(val)[0], expect, rtol=1e-4)
+
+
+def test_pplastic_mueller_m00_matches_unpolarized():
+    """The (0,0) element of the polarized BSDF equals the unpolarized eval
+    — basis rotations leave M00 invariant and the unpolarized Fresnel
+    factors are the s/p averages (pplastic.cpp eval, both branches)."""
+    from eradiate_kernel_tpu.bsdfs import bsdf_eval_pdf, pplastic
+
+    wi = jnp.asarray([[0.2, -0.3, 0.93], [0.0, 0.0, 1.0]])
+    scene, si = _pplastic_scene_si({"type": "pplastic", "alpha": 0.25,
+                                    "diffuse_reflectance": 0.3}, wi)
+    wo = jnp.asarray([[-0.4, 0.1, 0.91], [0.1, 0.2, 0.97]])
+    wo = wo / jnp.linalg.norm(wo, axis=-1, keepdims=True)
+    act = jnp.ones(2, bool)
+    val, _ = bsdf_eval_pdf(scene, jnp.zeros(2, jnp.int32), si, wo, act)
+    m = pplastic.eval_mueller(scene, scene.bsdfs["pplastic"],
+                              jnp.zeros(2, jnp.int32), si, wo, act)
+    assert np.allclose(np.asarray(m[..., 0, 0]), np.asarray(val),
+                       rtol=2e-3, atol=1e-6)
+    # physical realizability: |M00| bounds every other element
+    m00 = np.asarray(m[..., 0, 0])[..., None, None]
+    assert (np.abs(np.asarray(m)) <= m00 + 1e-5).all()
