@@ -176,6 +176,7 @@ class SceneBuilder:
         self.spectra = {}   # kind -> list of row dicts
         self.textures = {}
         self.bsdf_rows = {}
+        self.bsdf_static = {}  # kind -> list of per-slot hashable metadata
         self.emitter_rows = {}
         self.media_rows = {}
         self.phase_rows = {}
@@ -222,6 +223,11 @@ class SceneBuilder:
         return self._add(self.textures, self.tex_table, kind, row)
 
     def add_bsdf_row(self, kind, row, flags):
+        # "_static" carries hashable trace-time metadata (table resolutions
+        # etc.) into SceneConfig.bsdf_static instead of the array registries
+        static = row.pop("_static", None)
+        if static is not None:
+            self.bsdf_static.setdefault(kind, []).append(static)
         idx = self._add(self.bsdf_rows, self.bsdf_table, kind, row)
         self.bsdf_flag_list.append(flags)
         return idx
@@ -587,10 +593,15 @@ class SceneBuilder:
                 params = {}
                 for key in keys:
                     vals = [np.asarray(r[key]) for r in rows]
-                    # pad variable-length arrays (regular/irregular spectra)
+                    # pad variable-shape arrays in every dim (regular/
+                    # irregular spectra lengths, measured-BSDF grids); true
+                    # sizes live in the rows or in config.bsdf_static
                     if vals[0].ndim >= 1 and len({v.shape for v in vals}) > 1:
-                        K = max(v.shape[0] for v in vals)
-                        vals = [np.pad(v, [(0, K - v.shape[0])] + [(0, 0)] * (v.ndim - 1))
+                        dims = max(v.ndim for v in vals)
+                        tgt = tuple(max(v.shape[d] for v in vals)
+                                    for d in range(dims))
+                        vals = [np.pad(v, [(0, tgt[d] - v.shape[d])
+                                           for d in range(dims)])
                                 for v in vals]
                     params[key] = jnp.asarray(np.stack(vals))
                 out[kind] = params
@@ -754,7 +765,9 @@ class SceneBuilder:
             sampler_kind=getattr(self, "sampler_kind", "independent"),
             pixel_format=film_cfg.get("pixel_format", "rgb"),
             crop_offset=tuple(film_cfg.get("crop_offset", (0, 0))),
-            crop_size=tuple(film_cfg.get("crop_size", ())))
+            crop_size=tuple(film_cfg.get("crop_size", ())),
+            bsdf_static=tuple(sorted((k, tuple(v))
+                                     for k, v in self.bsdf_static.items())))
 
         bitmaps = (np.stack(self.bitmaps) if self.bitmaps
                    else np.zeros((1, 1, 1, 3), np.float32))

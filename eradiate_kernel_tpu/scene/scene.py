@@ -53,6 +53,10 @@ class SceneConfig:
     pixel_format: str = "rgb"          # rgb | rgba | xyz | luminance
     crop_offset: tuple = (0, 0)        # (x, y) within the full film
     crop_size: tuple = ()              # () = full film
+    # trace-time-static per-slot plugin metadata (kind, (slot0, slot1, ...))
+    # — table resolutions etc. that must stay Python values under jit
+    # (used by data-driven plugins like the measured BSDF)
+    bsdf_static: tuple = ()
 
 
 
