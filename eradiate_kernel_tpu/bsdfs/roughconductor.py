@@ -124,3 +124,56 @@ def eval_pdf(scene, params, slot, si, wo, active, mode=common.RADIANCE):
     # note: D G F / (4 cos_i cos_o) * cos_o = D G F / (4 cos_i)
     return (jnp.where(act[..., None], value, 0.0),
             jnp.where(act, pdf, 0.0))
+
+
+def eval_mueller(scene, params, slot, si, wo, active, mode=common.RADIANCE):
+    """Polarized microfacet eval (roughconductor.cpp:315-340): the smooth
+    eval with the scalar conductor Fresnel replaced by the complex-Fresnel
+    Mueller matrix about the half vector, rotated from the s/p frame of the
+    microfacet reflection into the implicit Stokes bases of (-wo, wi).
+    Returns the per-channel (..., nc, 4, 4) stack (value incl. cos_o)."""
+    from ..core import mueller as mu
+    from ..core.math import normalize
+
+    two = _tg(params["twosided"], slot)
+    wi, flip = common.twosided_frame(two, si.wi)
+    wo = jnp.where(flip[..., None], common.flip_z(wo), wo)
+    cos_i = wi[..., 2]
+    cos_o = wo[..., 2]
+    act = active & (cos_i > 0.0) & (cos_o > 0.0)
+    au = _tg(params["alpha_u"], slot)
+    av = _tg(params["alpha_v"], slot)
+    h = normalize(wi + wo)
+
+    def per_dist(ty):
+        d = mf.eval_d(ty, h, au, av)
+        g = mf.g_smith(ty, wi, wo, h, au, av)
+        return (d * g / jnp.maximum(4.0 * cos_i, 1e-12),)
+
+    (val_nof,) = _dist_sweep(params, slot, per_dist)
+
+    eta = scene_spectrum_eval(scene, _tg(params["eta"], slot), si.wavelengths)
+    kk = scene_spectrum_eval(scene, _tg(params["k"], slot), si.wavelengths)
+    refl = texture_eval(scene, _tg(params["specular_reflectance"], slot),
+                        si.uv, si.wavelengths, act)
+
+    wo_hat = wo if mode == common.RADIANCE else wi
+    wi_hat = wi if mode == common.RADIANCE else wo
+    f_m = mu.specular_reflection(jnp.sum(wo_hat * h, -1)[..., None], eta, kk)
+
+    def safe_basis(v, d):
+        n2 = jnp.sum(v * v, -1, keepdims=True)
+        ok = n2 > 1e-14
+        v = jnp.where(ok, v, 1.0)
+        v = v / jnp.sqrt(jnp.where(ok, jnp.sum(v * v, -1, keepdims=True), 1.0))
+        return jnp.where(ok, v, mu.stokes_basis(d))
+
+    s_in = safe_basis(jnp.cross(h, -wo_hat), -wo_hat)
+    s_out = safe_basis(jnp.cross(h, wi_hat), wi_hat)
+    f_m = mu.rotate_mueller_basis(
+        f_m, -wo_hat[..., None, :], s_in[..., None, :],
+        mu.stokes_basis(-wo_hat)[..., None, :],
+        wi_hat[..., None, :], s_out[..., None, :],
+        mu.stokes_basis(wi_hat)[..., None, :])
+    out = (refl * val_nof[..., None])[..., None, None] * f_m
+    return jnp.where(act[..., None, None, None], out, 0.0)

@@ -93,11 +93,14 @@ def specular_reflection(cos_theta_i, eta_c_real, eta_c_imag=None):
     cos_theta_i: (...,) >= 0; eta: real (+ optional imaginary) relative IOR.
     """
     ci = jnp.clip(jnp.asarray(cos_theta_i), 1e-6, 1.0)
-    si2 = 1.0 - ci * ci
     if eta_c_imag is None:
         eta_c_imag = jnp.zeros_like(jnp.asarray(eta_c_real))
     er = jnp.asarray(eta_c_real)
     ei = jnp.asarray(eta_c_imag)
+    # broadcast up-front: cos often carries a keepdim-1 channel axis while
+    # eta is per-channel (conductor spectra)
+    ci, er, ei = jnp.broadcast_arrays(ci, er, ei)
+    si2 = 1.0 - ci * ci
     # complex arithmetic via explicit re/im (complex64 avoided in kernels)
     e2_r = er * er - ei * ei
     e2_i = 2 * er * ei
@@ -190,3 +193,26 @@ def rotate_mueller_basis_collinear(m, d, basis_current, basis_target):
     """Same-frame variant (mueller.h:363-369): R @ M @ R^T."""
     r = rotate_stokes_basis(d, basis_current, basis_target)
     return r @ m @ jnp.swapaxes(r, -1, -2)
+
+
+def to_world_mueller(sh_frame, m, in_forward_local, out_forward_local):
+    """Re-express a Mueller matrix given on local-frame directions in the
+    implicit world-space Stokes bases (interaction.h:275-296
+    to_world_mueller): after this, matrices from consecutive path vertices
+    compose by plain matmul.
+
+    m: (..., nc, 4, 4) per-channel stack (or (..., 4, 4));
+    in/out_forward_local: (..., 3) light-propagation directions in the
+    shading frame.
+    """
+    in_w = sh_frame.to_world(in_forward_local)
+    out_w = sh_frame.to_world(out_forward_local)
+    in_cur = sh_frame.to_world(stokes_basis(in_forward_local))
+    out_cur = sh_frame.to_world(stokes_basis(out_forward_local))
+    if m.ndim == in_w.ndim + 2:  # extra channel axis between batch and 4x4
+        exp = lambda v: v[..., None, :]
+    else:
+        exp = lambda v: v
+    return rotate_mueller_basis(
+        m, exp(in_w), exp(in_cur), exp(stokes_basis(in_w)),
+        exp(out_w), exp(out_cur), exp(stokes_basis(out_w)))

@@ -112,3 +112,104 @@ def test_stokes_crossed_polarizers_with_qwp():
     img2 = np.asarray(integrators.render(with_qwp, seed=1))
     # half-wave plate at 45deg rotates the plane by 90 -> full transmission
     assert float(img2[0, 0, 1]) == pytest.approx(0.5, abs=0.02)
+
+
+def test_stokes_conductor_reflection_polarizes():
+    """A single specular metallic reflection partially polarizes unpolarized
+    light (conductor.cpp:242-264 Fresnel Mueller path through the polarized
+    transport). Geometry: camera looks +z at a 45deg-tilted mirror that
+    reflects the view toward an area light off to one side."""
+    from eradiate_kernel_tpu.scene import load_dict
+
+    scene = load_dict({
+        "type": "scene",
+        "integrator": {"type": "stokes",
+                       "child": {"type": "path", "max_depth": 3}},
+        "sensor": {"type": "radiancemeter",
+                   "to_world": {"type": "look_at", "origin": [0, 0, -4],
+                                "target": [0, 0, 1], "up": [0, 1, 0]},
+                   "film": {"width": 1, "height": 1,
+                            "rfilter": {"type": "box"}},
+                   "sampler": {"sample_count": 32}},
+        # mirror tilted 45 degrees about x: reflects +z view into +y
+        "mirror": {"type": "rectangle",
+                   "to_world": {"type": "look_at", "origin": [0, 0, 0],
+                                "target": [0, 1, -1], "up": [0, 1, 1]},
+                   "bsdf": {"type": "conductor", "material": "au"}},
+        "light": {"type": "rectangle",
+                  "to_world": {"type": "look_at", "origin": [0, 40, 0],
+                               "target": [0, 0, 0], "up": [1, 0, 0]},
+                  "emitter": {"type": "area", "radiance": 10.0}},
+    })
+    img, aovs = integrators.render(scene, seed=3, return_aovs=True)
+    s0 = float(np.asarray(img)[0, 0, 1])
+    s1 = float(aovs["s1"][0, 0])
+    s2 = float(aovs["s2"][0, 0])
+    s3 = float(aovs["s3"][0, 0])
+    assert s0 > 1e-3, s0
+    dop = np.sqrt(s1 * s1 + s2 * s2 + s3 * s3) / s0
+    # gold at 45deg incidence: clearly partial polarization, not full
+    assert 0.02 < dop < 0.9, (dop, s0, s1, s2, s3)
+    # physical: |S_i| <= S0
+    assert max(abs(s1), abs(s2), abs(s3)) <= s0 * (1 + 1e-4)
+
+
+def test_stokes_diffuse_depolarizes():
+    """Diffuse scattering fully depolarizes: polarizer -> diffuse wall ->
+    camera yields DOP ~ 0 even though the illumination is polarized."""
+    from eradiate_kernel_tpu.scene import load_dict
+
+    scene = load_dict({
+        "type": "scene",
+        "integrator": {"type": "stokes",
+                       "child": {"type": "path", "max_depth": 3}},
+        "sensor": {"type": "radiancemeter",
+                   "to_world": {"type": "look_at", "origin": [0, 0, -4],
+                                "target": [0, 0, 1], "up": [0, 1, 0]},
+                   "film": {"width": 1, "height": 1,
+                            "rfilter": {"type": "box"}},
+                   "sampler": {"sample_count": 64}},
+        "env": {"type": "constant", "radiance": 1.0},
+        "wall": {"type": "rectangle",
+                 "to_world": {"type": "look_at", "origin": [0, 0, 1],
+                              "target": [0, 0, -4], "up": [0, 1, 0]},
+                 "bsdf": {"type": "diffuse", "reflectance": 0.8}},
+    })
+    img, aovs = integrators.render(scene, seed=5, return_aovs=True)
+    s0 = float(np.asarray(img)[0, 0, 1])
+    dop = np.hypot(float(aovs["s1"][0, 0]), float(aovs["s2"][0, 0])) / s0
+    assert s0 > 0.1
+    assert dop < 0.02, dop
+
+
+def test_stokes_glass_reflection_highly_polarized():
+    """45deg specular reflection off smooth glass: Rs/Rp = 0.092/0.0085 for
+    eta=1.5 -> DOP ~ 0.83 (dielectric.cpp:250-307 Mueller path)."""
+    from eradiate_kernel_tpu.scene import load_dict
+
+    scene = load_dict({
+        "type": "scene",
+        "integrator": {"type": "stokes",
+                       "child": {"type": "path", "max_depth": 3}},
+        "sensor": {"type": "radiancemeter",
+                   "to_world": {"type": "look_at", "origin": [0, 0, -4],
+                                "target": [0, 0, 1], "up": [0, 1, 0]},
+                   "film": {"width": 1, "height": 1,
+                            "rfilter": {"type": "box"}},
+                   "sampler": {"sample_count": 32}},
+        "glass": {"type": "rectangle",
+                  "to_world": {"type": "look_at", "origin": [0, 0, 0],
+                               "target": [0, 1, -1], "up": [0, 1, 1]},
+                  "bsdf": {"type": "dielectric"}},
+        "light": {"type": "rectangle",
+                  "to_world": {"type": "look_at", "origin": [0, 40, 0],
+                               "target": [0, 0, 0], "up": [1, 0, 0]},
+                  "emitter": {"type": "area", "radiance": 10.0}},
+    })
+    img, aovs = integrators.render(scene, seed=7, return_aovs=True)
+    s0 = float(np.asarray(img)[0, 0, 1])
+    s1 = float(aovs["s1"][0, 0])
+    s2 = float(aovs["s2"][0, 0])
+    assert s0 > 1e-4, s0
+    dop = np.hypot(s1, s2) / s0
+    assert 0.6 < dop <= 1.001, (dop, s0, s1, s2)
