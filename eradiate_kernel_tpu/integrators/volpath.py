@@ -164,10 +164,15 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
         smp, xi = smp.next_1d()
         mi = media.sample_interaction(scene, med, ray, xi, channel, active_medium)
 
-        intersect = s.needs_intersection & active_medium
-        si = _merge_si(ray_intersect(scene.geo, ray), s.si, intersect)
-        needs_intersection = s.needs_intersection & ~active_medium
-        n_rays = s.n_rays + jnp.sum(intersect)
+        # ONE intersection per step serves both the medium and the surface
+        # lane sets: they are disjoint, and ray state at this point is
+        # identical for both (the per-set sites of the reference's
+        # while-loops, volpath.cpp:286/330, collapse on a masked wavefront
+        # where every lane pays for every intersect site that executes)
+        do_isect = s.needs_intersection & (active_medium | active_surface)
+        si = _merge_si(ray_intersect(scene.geo, ray), s.si, do_isect)
+        needs_intersection = s.needs_intersection & ~do_isect
+        n_rays = s.n_rays + jnp.sum(do_isect)
 
         mi = mi.replace(t=jnp.where(active_medium & (si.t < mi.t), INVALID_T, mi.t))
 
@@ -207,11 +212,7 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
         transmittance = jnp.where(active_medium[..., None],
                                   transmittance * mi.sigma_n, transmittance)
 
-        # surface interactions
-        intersect2 = active_surface & needs_intersection
-        si = _merge_si(ray_intersect(scene.geo, ray), si, intersect2)
-        needs_intersection = needs_intersection & ~intersect2
-        n_rays = n_rays + jnp.sum(intersect2)
+        # surface interactions (si already fresh from the merged intersect)
         active_surface = active_surface | escaped_medium
         total_dist = jnp.where(active_surface, total_dist + si.t, total_dist)
 
@@ -314,9 +315,11 @@ def _evaluate_direct_light(scene, ref_p, ray, si_ray, medium_idx, channel,
         med = jnp.maximum(s.medium_idx, 0)
         smp, xi = smp.next_1d()
         mi = media.sample_interaction(scene, med, ray, xi, channel, active_medium)
-        intersect = s.needs_intersection & active_medium
-        si = _merge_si(ray_intersect(scene.geo, ray), s.si, intersect)
-        n_rays = s.n_rays + jnp.sum(intersect)
+        # merged medium+surface intersection (disjoint lane sets, same ray —
+        # see _sample_emitter)
+        do_isect = s.needs_intersection & (active_medium | active_surface)
+        si = _merge_si(ray_intersect(scene.geo, ray), s.si, do_isect)
+        n_rays = s.n_rays + jnp.sum(do_isect)
 
         mi = mi.replace(t=jnp.where(active_medium & (si.t < mi.t), INVALID_T, mi.t))
         tr, ff_pdf = media.eval_tr_and_pdf(mi, si.t)
@@ -328,7 +331,7 @@ def _evaluate_direct_light(scene, ref_p, ray, si_ray, medium_idx, channel,
         transmittance = jnp.where(active_medium[..., None],
                                   s.transmittance * ratio, s.transmittance)
 
-        needs_intersection = s.needs_intersection & ~active_medium
+        needs_intersection = s.needs_intersection & ~do_isect
         escaped_medium = active_medium & ~mi.is_valid
         active_medium = active_medium & mi.is_valid
 
@@ -339,10 +342,6 @@ def _evaluate_direct_light(scene, ref_p, ray, si_ray, medium_idx, channel,
         transmittance = jnp.where(active_medium[..., None],
                                   transmittance * mi.sigma_n, transmittance)
 
-        intersect2 = active_surface & needs_intersection
-        si = _merge_si(ray_intersect(scene.geo, ray), si, intersect2)
-        needs_intersection = needs_intersection & ~intersect2
-        n_rays = n_rays + jnp.sum(intersect2)
         active_surface = active_surface | escaped_medium
 
         # emitter hit? (area on valid si, env on escape)
@@ -507,10 +506,18 @@ def _trace_full(scene, sampler: Sampler, ray: Ray, active=None,
         smp, xi_m = smp.next_1d()
         mi = media.sample_interaction(scene, med, ray, xi_m, s.channel,
                                       active_medium)
-        intersect = s.needs_intersection & active_medium
-        si = _merge_si(ray_intersect(scene.geo, ray), si, intersect)
-        n_rays = s.n_rays + jnp.sum(intersect)
-        needs_intersection = s.needs_intersection & ~active_medium
+        # ONE intersection serves both medium and surface lanes: the sets
+        # are disjoint and the ray is identical for both at this point (the
+        # later phase-sampling only rewrites medium-lane rays)
+        do_isect = s.needs_intersection & (active_medium | active_surface)
+        si_fresh = ray_intersect(scene.geo, ray)
+        si_fresh = si_fresh.replace(p=_probe("sifresh_p", si_fresh.p),
+                                    t=_probe("sifresh_t", si_fresh.t),
+                                    n=_probe("sifresh_n", si_fresh.n),
+                                    wi=_probe("sifresh_wi", si_fresh.wi))
+        si = _merge_si(si_fresh, si, do_isect)
+        n_rays = s.n_rays + jnp.sum(do_isect)
+        needs_intersection = s.needs_intersection & ~do_isect
         mi = mi.replace(t=jnp.where(active_medium & (si.t < mi.t), INVALID_T, mi.t))
 
         tr, ff_pdf = media.eval_tr_and_pdf(mi, si.t)
@@ -590,16 +597,9 @@ def _trace_full(scene, sampler: Sampler, ray: Ray, active=None,
         ray = ray.replace(d=_probe("ray_d_mid", ray.d),
                           o=_probe("ray_o_mid", ray.o))
 
-        # --- surface interactions (volpath.cpp:180-252) -----------------------
+        # --- surface interactions (volpath.cpp:180-252; si is fresh from the
+        # merged intersect above) ----------------------------------------------
         active_surface = active_surface | escaped_medium
-        intersect2 = active_surface & needs_intersection
-        si_fresh = ray_intersect(scene.geo, ray)
-        si_fresh = si_fresh.replace(p=_probe("sifresh_p", si_fresh.p),
-                                    t=_probe("sifresh_t", si_fresh.t),
-                                    n=_probe("sifresh_n", si_fresh.n),
-                                    wi=_probe("sifresh_wi", si_fresh.wi))
-        si = _merge_si(si_fresh, si, intersect2)
-        needs_intersection = needs_intersection & ~intersect2
 
         # emitter hits on specular chains only
         em_idx = _tg(scene.shape_emitter, jnp.maximum(si.shape_index, 0))
