@@ -15,6 +15,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
+# The env var alone is not enough when a sitecustomize pre-imports jax with a
+# hardware plugin forced (the env value is cached at that first import, before
+# this file runs). config.update still wins as long as no backend has been
+# initialized yet — which is guaranteed here since conftest runs first.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 
