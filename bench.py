@@ -22,44 +22,34 @@ import jax.numpy as jnp
 
 
 def main():
-    from eradiate_kernel_tpu import sensors
-    from eradiate_kernel_tpu.core.rng import Sampler
-    from eradiate_kernel_tpu.integrators import volpath
+    from eradiate_kernel_tpu import integrators
     from eradiate_kernel_tpu.scene import load_dict
     from eradiate_kernel_tpu.utils.scenes import atmosphere
 
     W = H = 256
     spp = 8
     scene = load_dict(atmosphere(width=W, height=H, spp=spp, max_depth=12))
-    # one pass = 128k lanes (the full wavefront is split into passes, the
-    # reference's samples_per_pass memory knob — integrator.cpp:59-65)
-    n_lanes = 1 << 19
+    # regenerating wavefront: the 512k-sample workload streams through a
+    # smaller resident lane pool; terminated paths are harvested and their
+    # lanes refilled immediately, so every bounce runs near full occupancy
+    # (integrators.render_wavefront_regen). n_lanes is the memory knob (the
+    # reference's samples_per_pass, integrator.cpp:59-65).
+    # swept on v5e: 16k lanes peak (256k: 1.5, 64k: 3.5, 32k: 3.95,
+    # 16k: 4.03, 8k: 3.7 Mrays/s) — small pools keep refill occupancy high
+    n_lanes = int(os.environ.get("BENCH_LANES", 1 << 14))
 
-    def run(scene, seed, offset):
-        lane = offset + jnp.arange(n_lanes, dtype=jnp.uint32)
-        sampler = Sampler.seed(seed, lane)
-        sampler, jitter = sampler.next_2d()
-        pixel = lane // spp
-        pos = jnp.stack([(pixel % W).astype(jnp.float32),
-                         (pixel // W).astype(jnp.float32)], -1) + jitter
-        pos_film = pos / jnp.asarray([W, H], jnp.float32)
-        ray, _w, sampler = sensors.sample_ray(scene, sampler, pos_film,
-                                              jnp.zeros(n_lanes))
-        spec, valid, _s, n_rays = volpath.sample_counted(scene, sampler, ray)
-        return jnp.sum(spec), n_rays
-
-    fn = jax.jit(run)
-    total, n_rays = fn(scene, jnp.uint32(0), jnp.uint32(0))  # warmup
-    total.block_until_ready()
+    fn = jax.jit(integrators.render_wavefront_regen,
+                 static_argnames=("n_lanes", "spp"))
+    film, n_rays = fn(scene, n_lanes, jnp.uint32(0), spp)  # warmup
+    film.block_until_ready()
 
     iters = 4
     t0 = time.perf_counter()
     rays = 0.0
     for i in range(iters):
-        total, n_rays = fn(scene, jnp.uint32(i + 1),
-                           jnp.uint32(i * n_lanes))
+        film, n_rays = fn(scene, n_lanes, jnp.uint32(i + 1), spp)
         rays += float(n_rays)
-    total.block_until_ready()
+    film.block_until_ready()
     dt = time.perf_counter() - t0
 
     mrays_per_s = rays / dt / 1e6

@@ -108,8 +108,138 @@ def render_wavefront(scene, lane_offset, n_lanes, seed, spp):
     return image
 
 
+
+def _lane_values(cfg, spec, valid, wavelengths, n_extra=0):
+    """XYZ+A+W film row per lane (integrator.cpp:233-288 AOV layout)."""
+    if cfg.variant.is_spectral:
+        xyz = sp.spectrum_to_xyz(spec, wavelengths)
+    elif cfg.variant.is_monochromatic:
+        xyz = jnp.repeat(spec, 3, axis=-1)
+    else:
+        xyz = sp.srgb_to_xyz(spec)
+    n = spec.shape[0]
+    return jnp.concatenate([
+        xyz, jnp.where(valid, 1.0, 0.0)[..., None], jnp.ones((n, 1)),
+        jnp.zeros((n, n_extra))], axis=-1)
+
+
+def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
+                           total=None):
+    """Regenerating wavefront render: lanes whose path terminates are
+    harvested into the film and immediately refilled with the next unstarted
+    camera sample, so occupancy stays near 100% regardless of path-length
+    variance.
+
+    This is the TPU answer to the reference's work distribution — the CPU
+    spiral-block queue (integrator.cpp:99-139) and the gpu wavefront's
+    ``none(active)`` early-outs both keep cores busy; a fixed-trip masked
+    scan does not (SURVEY 5.7: "compaction + refill from a queue"). Runs as
+    a ``lax.while_loop`` so it is primal-only; differentiable renders use
+    ``render_wavefront``'s fixed-trip scan instead.
+
+    Returns ``(film, n_rays)`` where film is the (ch, cw, C) partial film
+    over samples [sample_offset, sample_offset+total) and n_rays counts
+    every masked ray_intersect actually issued.
+    """
+    cfg = scene.config
+    assert cfg.integrator.kind == "volpath", "regen driver: volpath only"
+    assert n_aov(cfg) == 0, "regen driver does not support AOV integrators"
+    H, W = cfg.film_height, cfg.film_width
+    cw, ch = cfg.crop_size if cfg.crop_size else (W, H)
+    cx, cy = cfg.crop_offset
+    if total is None:
+        total = ch * cw * spp
+    total = jnp.uint32(sample_offset + total)
+    nc = cfg.variant.n_channels if not cfg.variant.is_spectral else 4
+    max_iterations, _nee, _md, _rr = volpath._knobs(scene)
+
+    def fresh_lanes(refill, new_idx):
+        """Exactly render_wavefront's per-sample stream: seed -> jitter ->
+        sensor ray -> integrator init (so regen and non-regen renders of the
+        same seed are sample-for-sample identical)."""
+        lane = jnp.where(refill, new_idx, 0).astype(jnp.uint32)
+        smp = Sampler.seed(seed, lane, kind=cfg.sampler_kind, spp=spp)
+        smp, jitter = smp.next_2d()
+        pixel = (lane // jnp.uint32(spp)).astype(jnp.uint32)
+        px = (pixel % cw).astype(jnp.float32) + cx
+        py = (pixel // cw).astype(jnp.float32) + cy
+        pos = jnp.stack([px, py], -1) + jitter
+        pos_film = pos / jnp.asarray([W, H], jnp.float32)
+        ray, rw, smp = sensors.sample_ray(scene, smp, pos_film,
+                                          jnp.zeros(n_lanes))
+        vp = volpath._init_state(scene, smp, ray, refill)
+        return vp, pos, rw
+
+    vp0, pos0, rw0 = fresh_lanes(jnp.zeros(n_lanes, bool),
+                                 jnp.zeros(n_lanes, jnp.uint32))
+    rp = dict(cfg.rfilter_params)
+    image0 = jnp.zeros((ch, cw, N_BASE_CHANNELS))
+    state0 = (vp0, pos0, rw0, jnp.zeros(n_lanes, bool),
+              jnp.zeros(n_lanes, jnp.int32), jnp.uint32(sample_offset),
+              image0, jnp.zeros(()), jnp.int32(0))
+
+    def merge_lanes(fresh, old, mask):
+        return jax.tree_util.tree_map(
+            lambda a, b: b if a.ndim < mask.ndim else jnp.where(
+                mask.reshape(mask.shape + (1,) * (a.ndim - mask.ndim)), a, b),
+            fresh, old)
+
+    def cond(st):
+        vp, pos, rw, occupied, its, next_sample, image, rays, it = st
+        cap = jnp.int32(20 * max_iterations * (1 + (ch * cw * spp) // n_lanes))
+        return ((next_sample < total) | jnp.any(occupied)) & (it < cap)
+
+    def body(st):
+        vp, pos, rw, occupied, its, next_sample, image, rays, it = st
+
+        # 1. harvest lanes whose path finished since the last visit
+        finished = occupied & ~vp.active
+
+        def _harvest():
+            spec = vp.result * rw
+            values = _lane_values(cfg, spec, vp.valid_ray,
+                                  vp.ray.wavelengths)
+            values = jnp.where(finished[..., None], values, 0.0)
+            return film_put(image, pos - jnp.asarray([cx, cy], jnp.float32),
+                            values, cfg.rfilter, rp)
+
+        image = jax.lax.cond(jnp.any(finished), _harvest, lambda: image)
+        occupied = occupied & vp.active
+
+        # 2. refill dead lanes with the next unstarted samples
+        dead = ~occupied
+        rank = jnp.cumsum(dead.astype(jnp.uint32)) - dead.astype(jnp.uint32)
+        new_idx = next_sample + rank
+        refill = dead & (new_idx < total)
+
+        def _refill():
+            fresh_vp, fresh_pos, fresh_rw = fresh_lanes(refill, new_idx)
+            return (merge_lanes(fresh_vp, vp, refill),
+                    jnp.where(refill[..., None], fresh_pos, pos),
+                    jnp.where(refill[..., None], fresh_rw, rw))
+
+        vp, pos, rw = jax.lax.cond(jnp.any(refill), _refill,
+                                   lambda: (vp, pos, rw))
+        occupied = occupied | refill
+        its = jnp.where(refill, 0, its)
+        next_sample = next_sample + jnp.sum(refill, dtype=jnp.uint32)
+
+        # 3. one bounce over the whole (nearly full) wavefront
+        vp = vp.replace(active=vp.active & occupied, n_rays=jnp.zeros(()))
+        vp = volpath._bounce(scene, vp, nee_steps=_nee, max_depth=_md,
+                             rr_depth=_rr)
+        rays = rays + vp.n_rays
+        its = its + 1
+        # per-lane iteration cap (the scan-trip cap of _trace_full)
+        vp = vp.replace(active=vp.active & (its < max_iterations))
+        return (vp, pos, rw, occupied, its, next_sample, image, rays, it + 1)
+
+    final = jax.lax.while_loop(cond, body, state0)
+    return final[6], final[7]
+
+
 def render(scene, seed=0, spp=None, samples_per_pass=None, develop_film=True,
-           return_aovs=False):
+           return_aovs=False, regen=False):
     """Full render: multi-pass wavefront accumulation (integrator.cpp:59-65).
 
     Returns the developed image (H, W, 3|1); with ``return_aovs=True`` also a
@@ -127,12 +257,17 @@ def render(scene, seed=0, spp=None, samples_per_pass=None, develop_film=True,
     n_passes = -(-total // samples_per_pass)
 
     extra = n_aov(cfg)
-    film = jnp.zeros((ch, cw, N_BASE_CHANNELS + extra))
-    run = jax.jit(render_wavefront, static_argnames=("n_lanes", "spp"))
-    for p in range(n_passes):
-        off = p * samples_per_pass
-        n = min(samples_per_pass, total - off)
-        film = film + run(scene, jnp.uint32(off), n, seed, spp)
+    if regen and cfg.integrator.kind == "volpath" and extra == 0:
+        run = jax.jit(render_wavefront_regen,
+                      static_argnames=("n_lanes", "spp"))
+        film, _ = run(scene, min(total, samples_per_pass), seed, spp)
+    else:
+        film = jnp.zeros((ch, cw, N_BASE_CHANNELS + extra))
+        run = jax.jit(render_wavefront, static_argnames=("n_lanes", "spp"))
+        for p in range(n_passes):
+            off = p * samples_per_pass
+            n = min(samples_per_pass, total - off)
+            film = film + run(scene, jnp.uint32(off), n, seed, spp)
     if not develop_film:
         return film
     mode = "mono" if cfg.variant.is_monochromatic else "rgb"

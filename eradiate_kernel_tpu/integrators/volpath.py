@@ -48,6 +48,28 @@ def _merge_si(si_new, si_old, mask):
         si_new, si_old)
 
 
+def _cond_any(mask, fn, fallback):
+    """Run ``fn()`` only if any lane of ``mask`` is live, else return
+    ``fallback`` (same pytree structure). XLA lowers a scalar-predicate cond
+    to a real branch on TPU, so an all-dead site costs one reduction instead
+    of the full wavefront — the wavefront analog of the reference's
+    ``none(active)`` early-outs (volpath.cpp while-loop guards). Every
+    consumer of the result is masked by a subset of ``mask``, so the
+    fallback values never reach the estimate. Stays reverse-differentiable
+    (unlike a while_loop early exit)."""
+    return jax.lax.cond(jnp.any(mask), fn, lambda: fallback)
+
+
+def _invalid_mi(batch, nc):
+    """MediumInteraction fallback for skipped medium-sampling sites: invalid
+    (t = INVALID_T) with zero coefficients (all consumers are masked)."""
+    z = jnp.zeros(batch + (nc,))
+    return media.MediumInteraction(
+        t=jnp.full(batch, INVALID_T), p=jnp.zeros(batch + (3,)),
+        mint=jnp.zeros(batch), sigma_s=z, sigma_n=z, sigma_t=z,
+        combined_extinction=z)
+
+
 def _medium_phase(scene, medium_idx):
     if scene.medium_phase.shape[0] == 0:  # medium-free scene
         return jnp.zeros(medium_idx.shape, jnp.int32)
@@ -162,7 +184,11 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
 
         med = jnp.maximum(s.medium_idx, 0)
         smp, xi = smp.next_1d()
-        mi = media.sample_interaction(scene, med, ray, xi, channel, active_medium)
+        mi = _cond_any(
+            active_medium,
+            lambda: media.sample_interaction(scene, med, ray, xi, channel,
+                                             active_medium),
+            _invalid_mi(batch, nc))
 
         # ONE intersection per step serves both the medium and the surface
         # lane sets: they are disjoint, and ray state at this point is
@@ -170,7 +196,10 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
         # while-loops, volpath.cpp:286/330, collapse on a masked wavefront
         # where every lane pays for every intersect site that executes)
         do_isect = s.needs_intersection & (active_medium | active_surface)
-        si = _merge_si(ray_intersect(scene.geo, ray), s.si, do_isect)
+        si = _cond_any(
+            do_isect,
+            lambda: _merge_si(ray_intersect(scene.geo, ray), s.si, do_isect),
+            s.si)
         needs_intersection = s.needs_intersection & ~do_isect
         n_rays = s.n_rays + jnp.sum(do_isect)
 
@@ -314,11 +343,18 @@ def _evaluate_direct_light(scene, ref_p, ray, si_ray, medium_idx, channel,
 
         med = jnp.maximum(s.medium_idx, 0)
         smp, xi = smp.next_1d()
-        mi = media.sample_interaction(scene, med, ray, xi, channel, active_medium)
+        mi = _cond_any(
+            active_medium,
+            lambda: media.sample_interaction(scene, med, ray, xi, channel,
+                                             active_medium),
+            _invalid_mi(batch, nc))
         # merged medium+surface intersection (disjoint lane sets, same ray —
         # see _sample_emitter)
         do_isect = s.needs_intersection & (active_medium | active_surface)
-        si = _merge_si(ray_intersect(scene.geo, ray), s.si, do_isect)
+        si = _cond_any(
+            do_isect,
+            lambda: _merge_si(ray_intersect(scene.geo, ray), s.si, do_isect),
+            s.si)
         n_rays = s.n_rays + jnp.sum(do_isect)
 
         mi = mi.replace(t=jnp.where(active_medium & (si.t < mi.t), INVALID_T, mi.t))
@@ -349,13 +385,18 @@ def _evaluate_direct_light(scene, ref_p, ray, si_ray, medium_idx, channel,
         hit_area = active_surface & si.is_valid & (em_idx >= 0)
         hit_env = active_surface & ~si.is_valid & (scene.config.env_emitter >= 0)
         emitter_hit = hit_area | hit_env
-        e_area = emitters.eval_emitter_hit(scene, si, hit_area)
-        e_env = emitters.eval_environment(scene, ray, ~si.is_valid, hit_env)
-        emitter_val = jnp.where(emitter_hit[..., None],
-                                transmittance * (e_area + e_env), s.emitter_val)
-        epdf = emitters.pdf_emitter_direction(scene, ref_p, si, ~si.is_valid,
-                                              emitter_hit, d=ray.d)
-        emitter_pdf = jnp.where(emitter_hit, epdf, s.emitter_pdf)
+
+        def _emitter_block():
+            e_area = emitters.eval_emitter_hit(scene, si, hit_area)
+            e_env = emitters.eval_environment(scene, ray, ~si.is_valid, hit_env)
+            e_val = jnp.where(emitter_hit[..., None],
+                              transmittance * (e_area + e_env), s.emitter_val)
+            epdf = emitters.pdf_emitter_direction(
+                scene, ref_p, si, ~si.is_valid, emitter_hit, d=ray.d)
+            return e_val, jnp.where(emitter_hit, epdf, s.emitter_pdf)
+
+        emitter_val, emitter_pdf = _cond_any(
+            emitter_hit, _emitter_block, (s.emitter_val, s.emitter_pdf))
         active = active & ~emitter_hit
         active_surface = active_surface & active
         active_medium = active_medium & active
@@ -436,9 +477,300 @@ def _probe(name, x):
     return _id(x)
 
 
-def _trace_full(scene, sampler: Sampler, ray: Ray, active=None,
-                medium_idx=None):
+def _bounce(scene, s: _VolPathState, *, nee_steps, max_depth, rr_depth):
+    """One masked wavefront bounce (the loop body of volpath.cpp:38-258).
+    Module-level so both the fixed-trip tracer (_trace_full) and the
+    regenerating wavefront driver can drive it."""
+    batch = s.ray.o.shape[:-1]
+    nc = s.throughput.shape[-1]
+    smp = s.sampler
+    active = s.active & jnp.any(s.throughput != 0.0, -1)
+    ray = s.ray
+    si = s.si
+    result = s.result
+
+    # --- russian roulette (volpath.cpp:79-87) ----------------------------
+    q = jnp.minimum(jnp.max(s.throughput, -1) * s.eta ** 2, 0.95)
+    q = jax.lax.stop_gradient(jnp.maximum(q, 1e-6))
+    perform_rr = s.depth > rr_depth
+    smp, xi_rr = smp.next_1d()
+    active = active & ((xi_rr < q) | ~perform_rr)
+    throughput = jnp.where(perform_rr[..., None], s.throughput / q[..., None],
+                           s.throughput)
+
+    active_medium = active & (s.medium_idx >= 0)
+    active_surface = active & ~active_medium
+
+    # --- medium sampling (volpath.cpp:105-151) ---------------------------
+    med = jnp.maximum(s.medium_idx, 0)
+    smp, xi_m = smp.next_1d()
+    mi = _cond_any(
+        active_medium,
+        lambda: media.sample_interaction(scene, med, ray, xi_m, s.channel,
+                                         active_medium),
+        _invalid_mi(batch, nc))
+    # ONE intersection serves both medium and surface lanes: the sets
+    # are disjoint and the ray is identical for both at this point (the
+    # later phase-sampling only rewrites medium-lane rays)
+    do_isect = s.needs_intersection & (active_medium | active_surface)
+    si = _cond_any(
+        do_isect,
+        lambda: _merge_si(ray_intersect(scene.geo, ray), si, do_isect),
+        si)
+    n_rays = s.n_rays + jnp.sum(do_isect)
+    needs_intersection = s.needs_intersection & ~do_isect
+    mi = mi.replace(t=jnp.where(active_medium & (si.t < mi.t), INVALID_T, mi.t))
+
+    tr, ff_pdf = media.eval_tr_and_pdf(mi, si.t)
+    tr_pdf = _index_ch(ff_pdf, s.channel)
+    ok_pdf = tr_pdf > 1e-15  # pdf^2 appears in the division VJP: keep it representable
+    den = jnp.where(ok_pdf, tr_pdf, 1.0)[..., None]
+    ratio = _probe("ratio", jnp.where(ok_pdf[..., None], tr / den, 0.0))
+    throughput = jnp.where(active_medium[..., None], throughput * ratio,
+                           throughput)
+    throughput = _probe("tp_after_ratio", throughput)
+
+    escaped_medium = active_medium & ~mi.is_valid
+    active_medium = active_medium & mi.is_valid
+
+    # null vs real collision — detached classification probability
+    smp, xi_n = smp.next_1d()
+    p_real = jax.lax.stop_gradient(
+        _index_ch(mi.sigma_t, s.channel)
+        / jnp.maximum(_index_ch(mi.combined_extinction, s.channel), 1e-30))
+    null_scatter = xi_n >= p_real
+    act_null = null_scatter & active_medium
+    act_scatter = ~null_scatter & active_medium
+
+    sn_ch = _index_ch(mi.sigma_n, s.channel)
+    sn_den = jax.lax.stop_gradient(
+        jnp.where(act_null & (sn_ch > 1e-15), sn_ch, 1.0))[..., None]
+    throughput = jnp.where(
+        (act_null & (sn_ch > 1e-15))[..., None],
+        throughput * mi.sigma_n
+        * _index_ch(mi.combined_extinction, s.channel)[..., None]
+        / sn_den,
+        throughput)
+    depth = s.depth + act_scatter.astype(jnp.int32)
+    active = active & (depth < max_depth)
+    act_scatter = act_scatter & active
+
+    # null: advance (volpath.cpp:128-144)
+    ray = ray.replace(
+        o=jnp.where(act_null[..., None], mi.p, ray.o),
+        mint=jnp.where(act_null, 0.0, ray.mint))
+    si = si.replace(t=jnp.where(act_null, si.t - mi.t, si.t))
+
+    # real scatter (volpath.cpp:146-175)
+    st_ch = _index_ch(mi.sigma_t, s.channel)
+    st_den = jax.lax.stop_gradient(
+        jnp.where(act_scatter & (st_ch > 1e-15), st_ch, 1.0))[..., None]
+    throughput = jnp.where(
+        (act_scatter & (st_ch > 1e-15))[..., None],
+        throughput * mi.sigma_s
+        * _index_ch(mi.combined_extinction, s.channel)[..., None]
+        / st_den,
+        throughput)
+    valid_ray = s.valid_ray | act_scatter
+    specular_chain = s.specular_chain & ~act_scatter
+
+    throughput = _probe("tp_after_scatter", throughput)
+    phase_idx = _medium_phase(scene, s.medium_idx)
+    # medium-NEE context (the walk itself is merged with the surface NEE
+    # below — the lane sets are disjoint, so one bounded walk serves both)
+    nee_medium_p = mi.p
+    nee_medium_d_in = ray.d  # pre-phase-sample direction for phase_eval
+
+    # phase sampling
+    smp, xi_p1 = smp.next_1d()
+    smp, xi_p2 = smp.next_2d()
+    wo_m, _ppdf = _cond_any(
+        act_scatter,
+        lambda: phase.phase_sample(scene, phase_idx, ray.d, xi_p1, xi_p2,
+                                   act_scatter),
+        (ray.d, jnp.zeros(batch)))
+    wo_m = _probe("wo_m", wo_m)
+    scale = 1.0 + jnp.max(jnp.abs(mi.p), -1)
+    ray = Ray(
+        o=jnp.where(act_scatter[..., None], mi.p, ray.o),
+        d=jnp.where(act_scatter[..., None], wo_m, ray.d),
+        mint=jnp.where(act_scatter, 0.0, ray.mint),
+        maxt=jnp.where(act_scatter, INVALID_T, ray.maxt),
+        time=ray.time, wavelengths=ray.wavelengths)
+    needs_intersection = needs_intersection | act_scatter
+    ray = ray.replace(d=_probe("ray_d_mid", ray.d),
+                      o=_probe("ray_o_mid", ray.o))
+
+    # --- surface interactions (volpath.cpp:180-252; si is fresh from the
+    # merged intersect above) ----------------------------------------------
+    active_surface = active_surface | escaped_medium
+
+    # emitter hits on specular chains only
+    em_idx = _tg(scene.shape_emitter, jnp.maximum(si.shape_index, 0))
+    hit_area = active_surface & si.is_valid & (em_idx >= 0)
+    hit_env = active_surface & ~si.is_valid & (scene.config.env_emitter >= 0)
+    use_emit = (hit_area | hit_env) & specular_chain
+    e_val = _cond_any(
+        use_emit,
+        lambda: emitters.eval_emitter_hit(scene, si, use_emit & hit_area)
+        + emitters.eval_environment(scene, ray, ~si.is_valid,
+                                    use_emit & hit_env),
+        jnp.zeros(batch + (nc,)))
+    e_val = _probe("e_val_hit", e_val)
+    result = result + jnp.where(use_emit[..., None], throughput * e_val, 0.0)
+
+    active_surface = active_surface & si.is_valid
+    bsdf_idx = _tg(scene.shape_bsdf, jnp.maximum(si.shape_index, 0))
+    flags = _tg(scene.bsdf_flags, bsdf_idx)
+    is_smooth = (flags & bsdf_flags.Smooth) != 0
+
+    # merged NEE: one transmittance walk serves the (disjoint) medium
+    # and surface lane sets
+    active_e = active_surface & is_smooth & (depth + 1 < max_depth) & \
+        (scene.config.n_emitters > 0)
+    nee_ref_p = jnp.where(act_scatter[..., None], nee_medium_p, si.p)
+    nee_ref_n = jnp.where(act_scatter[..., None], -nee_medium_d_in, si.n)
+    nee_active = act_scatter | active_e
+
+    def _nee_block():
+        emitted_s, ds_s, smp2, nr_s = _sample_emitter(
+            scene, nee_ref_p, nee_ref_n, act_scatter, ray.wavelengths,
+            ray.time, s.medium_idx, s.channel, smp, nee_active, nee_steps)
+        # medium lanes: phase x emitted
+        phase_val = phase.phase_eval(scene, phase_idx, -nee_medium_d_in,
+                                     ds_s.d, act_scatter)
+        delta_m = jnp.where(
+            act_scatter[..., None],
+            throughput * phase_val[..., None] * emitted_s, 0.0)
+        wo_local = si.to_local(ds_s.d)
+        bsdf_val, bsdf_pdf = bsdfs.bsdf_eval_pdf(scene, bsdf_idx, si,
+                                                 wo_local, active_e)
+        mis_pdf = jnp.where(ds_s.delta, 0.0, bsdf_pdf)
+        w_nee = jnp.where(ds_s.pdf > 0,
+                          mis_weight(ds_s.pdf, mis_pdf), 0.0)
+        delta_s = jnp.where(
+            active_e[..., None],
+            throughput * bsdf_val * w_nee[..., None] * emitted_s, 0.0)
+        return delta_m + delta_s, smp2, nr_s
+
+    def _nee_skip():
+        # keep the RNG stream aligned with the taken branch: the walk
+        # consumes exactly 3 + nee_steps dims (pick, s1, s2, then one
+        # xi per step)
+        return (jnp.zeros(batch + (nc,)),
+                smp.replace(dim=smp.dim + jnp.uint32(3 + nee_steps)),
+                jnp.zeros(()))
+
+    nee_delta, smp, nr_s = jax.lax.cond(jnp.any(nee_active), _nee_block,
+                                        _nee_skip)
+    result = result + _probe("nee_delta", nee_delta)
+    n_rays = n_rays + nr_s
+
+    # bsdf sampling
+    smp, xb1 = smp.next_1d()
+    smp, xb2 = smp.next_2d()
+    bs, bsdf_weight = _cond_any(
+        active_surface,
+        lambda: bsdfs.bsdf_sample(scene, bsdf_idx, si, xb1, xb2,
+                                  active_surface),
+        bsdf_flags.zero_bsdf_sample(batch, nc))
+    bsdf_weight = _probe("bsdf_weight", bsdf_weight)
+    throughput = jnp.where(active_surface[..., None],
+                           throughput * bsdf_weight, throughput)
+    eta = jnp.where(active_surface, s.eta * bs.eta, s.eta)
+
+    new_ray = si.spawn_ray(si.to_world(bs.wo))
+    ray = Ray(o=jnp.where(active_surface[..., None], new_ray.o, ray.o),
+              d=jnp.where(active_surface[..., None], new_ray.d, ray.d),
+              mint=jnp.where(active_surface, new_ray.mint, ray.mint),
+              maxt=jnp.where(active_surface, INVALID_T, ray.maxt),
+              time=ray.time, wavelengths=ray.wavelengths)
+    needs_intersection = needs_intersection | active_surface
+
+    sampled_null = (bs.sampled_type & bsdf_flags.Null) != 0
+    sampled_delta = (bs.sampled_type & bsdf_flags.Delta) != 0
+    sampled_smooth = (bs.sampled_type & bsdf_flags.Smooth) != 0
+    non_null = active_surface & ~sampled_null
+    depth = depth + non_null.astype(jnp.int32)
+    valid_ray = valid_ray | non_null
+    specular_chain = specular_chain | (non_null & sampled_delta)
+    specular_chain = specular_chain & ~(active_surface & sampled_smooth)
+
+    add_emitter = active_surface & ~sampled_delta & ~sampled_null & \
+        jnp.any(throughput != 0, -1) & (depth < max_depth) & \
+        (scene.config.n_emitters > 0)
+    si_new = _cond_any(
+        active_surface,
+        lambda: _merge_si(ray_intersect(scene.geo, ray), si,
+                          active_surface),
+        si)
+    n_rays = n_rays + jnp.sum(active_surface)
+    needs_intersection = needs_intersection & ~active_surface
+
+    # medium transition before walking the direct ray
+    has_trans = active_surface & _is_medium_transition(scene, si)
+    medium_next = jnp.where(has_trans, _target_medium(scene, si, ray.d),
+                            s.medium_idx)
+
+    if _all_emitters_delta(scene.config):
+        # static shortcut: a BSDF-sampled ray can never land on a
+        # delta-position/-direction emitter, so the MIS walk is dead
+        # code for such scenes (volpath.cpp's evaluate_direct_light
+        # would return 0 every time)
+        pass
+    else:
+        def _direct_block():
+            return _evaluate_direct_light(
+                scene, si.p, ray, si_new, medium_next, s.channel, smp,
+                add_emitter, nee_steps)
+
+        def _direct_skip():
+            return (jnp.zeros(batch + (nc,)), jnp.zeros(batch),
+                    smp.replace(dim=smp.dim + jnp.uint32(nee_steps)),
+                    jnp.zeros(()))
+
+        emitted_d, emitter_pdf, smp, nr_d = jax.lax.cond(
+            jnp.any(add_emitter), _direct_block, _direct_skip)
+        n_rays = n_rays + nr_d
+        w_dir = mis_weight(bs.pdf, emitter_pdf)
+        emitted_d = _probe("direct_emitted", emitted_d)
+        result = result + jnp.where(
+            (add_emitter & (emitter_pdf > 0))[..., None],
+            throughput * w_dir[..., None] * emitted_d, 0.0)
+
+    si = _merge_si(si_new, si, active_surface)
+    si = si.replace(p=_probe("si_p_end", si.p), t=_probe("si_t_end", si.t))
+    active = active & (active_surface | active_medium)
+
+    keepf = lambda new, old, m: jnp.where(
+        m[..., None] if new.ndim > m.ndim else m, new, old)
+    return _VolPathState(
+        sampler=smp, ray=ray, si=si,
+        needs_intersection=needs_intersection,
+        medium_idx=medium_next,
+        throughput=throughput, result=result,
+        eta=eta, depth=depth, channel=s.channel,
+        specular_chain=specular_chain, valid_ray=valid_ray,
+        active=active, n_rays=n_rays)
+
+
+
+def _knobs(scene):
+    """(max_iterations, nee_steps, max_depth, rr_depth) from integrator
+    config; defaults tuned for TPU (every masked iteration costs real
+    kernels) — load_dict-overridable."""
     cfg = scene.config.integrator
+    extra = dict(cfg.extra)
+    max_iterations = int(extra.get("max_iterations", cfg.max_depth + 8))
+    nee_steps = int(extra.get("nee_steps", 8))
+    return max_iterations, nee_steps, cfg.max_depth, cfg.rr_depth
+
+
+def _init_state(scene, sampler: Sampler, ray: Ray, active=None,
+                medium_idx=None):
+    """Fresh per-lane path state for the wavefront (the pre-loop section of
+    volpath.cpp:38-77). Used by both _trace_full and the regenerating
+    driver's lane refill."""
     batch = ray.o.shape[:-1]
     nc = _nc(scene, ray)
     if active is None:
@@ -447,15 +779,6 @@ def _trace_full(scene, sampler: Sampler, ray: Ray, active=None,
     active = active & (v0 == 0.0)
     if medium_idx is None:
         medium_idx = jnp.full(batch, scene.config.sensor_medium, jnp.int32)
-
-    max_depth = cfg.max_depth
-    rr_depth = cfg.rr_depth
-    extra = dict(cfg.extra)
-    # defaults tuned for TPU (every masked iteration costs real kernels):
-    # most scenes converge well before the reference's unbounded
-    # while-any(active) would; both are load_dict-overridable knobs
-    max_iterations = int(extra.get("max_iterations", max_depth + 8))
-    nee_steps = int(extra.get("nee_steps", 8))
 
     # spectral channel selection (volpath.cpp:63-67)
     if scene.config.variant.mode == "rgb":
@@ -468,7 +791,7 @@ def _trace_full(scene, sampler: Sampler, ray: Ray, active=None,
     valid_ray = jnp.full(batch, (not hide) and scene.config.env_emitter >= 0)
     valid_ray = valid_ray & (v0 == 0.0) | (v0 != 0.0) & valid_ray
 
-    state = _VolPathState(
+    return _VolPathState(
         sampler=sampler, ray=ray,
         si=_invalid_si_like(scene, ray),
         needs_intersection=jnp.ones(batch, bool) & (v0 == 0.0),
@@ -482,237 +805,15 @@ def _trace_full(scene, sampler: Sampler, ray: Ray, active=None,
         valid_ray=valid_ray,
         active=active, n_rays=jnp.zeros(()))
 
-    def body(s: _VolPathState):
-        smp = s.sampler
-        active = s.active & jnp.any(s.throughput != 0.0, -1)
-        ray = s.ray
-        si = s.si
-        result = s.result
 
-        # --- russian roulette (volpath.cpp:79-87) ----------------------------
-        q = jnp.minimum(jnp.max(s.throughput, -1) * s.eta ** 2, 0.95)
-        q = jax.lax.stop_gradient(jnp.maximum(q, 1e-6))
-        perform_rr = s.depth > rr_depth
-        smp, xi_rr = smp.next_1d()
-        active = active & ((xi_rr < q) | ~perform_rr)
-        throughput = jnp.where(perform_rr[..., None], s.throughput / q[..., None],
-                               s.throughput)
+def _trace_full(scene, sampler: Sampler, ray: Ray, active=None,
+                medium_idx=None):
+    max_iterations, nee_steps, max_depth, rr_depth = _knobs(scene)
+    state = _init_state(scene, sampler, ray, active, medium_idx)
 
-        active_medium = active & (s.medium_idx >= 0)
-        active_surface = active & ~active_medium
-
-        # --- medium sampling (volpath.cpp:105-151) ---------------------------
-        med = jnp.maximum(s.medium_idx, 0)
-        smp, xi_m = smp.next_1d()
-        mi = media.sample_interaction(scene, med, ray, xi_m, s.channel,
-                                      active_medium)
-        # ONE intersection serves both medium and surface lanes: the sets
-        # are disjoint and the ray is identical for both at this point (the
-        # later phase-sampling only rewrites medium-lane rays)
-        do_isect = s.needs_intersection & (active_medium | active_surface)
-        si_fresh = ray_intersect(scene.geo, ray)
-        si_fresh = si_fresh.replace(p=_probe("sifresh_p", si_fresh.p),
-                                    t=_probe("sifresh_t", si_fresh.t),
-                                    n=_probe("sifresh_n", si_fresh.n),
-                                    wi=_probe("sifresh_wi", si_fresh.wi))
-        si = _merge_si(si_fresh, si, do_isect)
-        n_rays = s.n_rays + jnp.sum(do_isect)
-        needs_intersection = s.needs_intersection & ~do_isect
-        mi = mi.replace(t=jnp.where(active_medium & (si.t < mi.t), INVALID_T, mi.t))
-
-        tr, ff_pdf = media.eval_tr_and_pdf(mi, si.t)
-        tr_pdf = _index_ch(ff_pdf, s.channel)
-        ok_pdf = tr_pdf > 1e-15  # pdf^2 appears in the division VJP: keep it representable
-        den = jnp.where(ok_pdf, tr_pdf, 1.0)[..., None]
-        ratio = _probe("ratio", jnp.where(ok_pdf[..., None], tr / den, 0.0))
-        throughput = jnp.where(active_medium[..., None], throughput * ratio,
-                               throughput)
-        throughput = _probe("tp_after_ratio", throughput)
-
-        escaped_medium = active_medium & ~mi.is_valid
-        active_medium = active_medium & mi.is_valid
-
-        # null vs real collision — detached classification probability
-        smp, xi_n = smp.next_1d()
-        p_real = jax.lax.stop_gradient(
-            _index_ch(mi.sigma_t, s.channel)
-            / jnp.maximum(_index_ch(mi.combined_extinction, s.channel), 1e-30))
-        null_scatter = xi_n >= p_real
-        act_null = null_scatter & active_medium
-        act_scatter = ~null_scatter & active_medium
-
-        sn_ch = _index_ch(mi.sigma_n, s.channel)
-        sn_den = jax.lax.stop_gradient(
-            jnp.where(act_null & (sn_ch > 1e-15), sn_ch, 1.0))[..., None]
-        throughput = jnp.where(
-            (act_null & (sn_ch > 1e-15))[..., None],
-            throughput * mi.sigma_n
-            * _index_ch(mi.combined_extinction, s.channel)[..., None]
-            / sn_den,
-            throughput)
-        depth = s.depth + act_scatter.astype(jnp.int32)
-        active = active & (depth < max_depth)
-        act_scatter = act_scatter & active
-
-        # null: advance (volpath.cpp:128-144)
-        ray = ray.replace(
-            o=jnp.where(act_null[..., None], mi.p, ray.o),
-            mint=jnp.where(act_null, 0.0, ray.mint))
-        si = si.replace(t=jnp.where(act_null, si.t - mi.t, si.t))
-
-        # real scatter (volpath.cpp:146-175)
-        st_ch = _index_ch(mi.sigma_t, s.channel)
-        st_den = jax.lax.stop_gradient(
-            jnp.where(act_scatter & (st_ch > 1e-15), st_ch, 1.0))[..., None]
-        throughput = jnp.where(
-            (act_scatter & (st_ch > 1e-15))[..., None],
-            throughput * mi.sigma_s
-            * _index_ch(mi.combined_extinction, s.channel)[..., None]
-            / st_den,
-            throughput)
-        valid_ray = s.valid_ray | act_scatter
-        specular_chain = s.specular_chain & ~act_scatter
-
-        throughput = _probe("tp_after_scatter", throughput)
-        phase_idx = _medium_phase(scene, s.medium_idx)
-        # medium-NEE context (the walk itself is merged with the surface NEE
-        # below — the lane sets are disjoint, so one bounded walk serves both)
-        nee_medium_p = mi.p
-        nee_medium_d_in = ray.d  # pre-phase-sample direction for phase_eval
-
-        # phase sampling
-        smp, xi_p1 = smp.next_1d()
-        smp, xi_p2 = smp.next_2d()
-        wo_m, _ppdf = phase.phase_sample(scene, phase_idx, ray.d, xi_p1, xi_p2,
-                                         act_scatter)
-        wo_m = _probe("wo_m", wo_m)
-        scale = 1.0 + jnp.max(jnp.abs(mi.p), -1)
-        ray = Ray(
-            o=jnp.where(act_scatter[..., None], mi.p, ray.o),
-            d=jnp.where(act_scatter[..., None], wo_m, ray.d),
-            mint=jnp.where(act_scatter, 0.0, ray.mint),
-            maxt=jnp.where(act_scatter, INVALID_T, ray.maxt),
-            time=ray.time, wavelengths=ray.wavelengths)
-        needs_intersection = needs_intersection | act_scatter
-        ray = ray.replace(d=_probe("ray_d_mid", ray.d),
-                          o=_probe("ray_o_mid", ray.o))
-
-        # --- surface interactions (volpath.cpp:180-252; si is fresh from the
-        # merged intersect above) ----------------------------------------------
-        active_surface = active_surface | escaped_medium
-
-        # emitter hits on specular chains only
-        em_idx = _tg(scene.shape_emitter, jnp.maximum(si.shape_index, 0))
-        hit_area = active_surface & si.is_valid & (em_idx >= 0)
-        hit_env = active_surface & ~si.is_valid & (scene.config.env_emitter >= 0)
-        use_emit = (hit_area | hit_env) & specular_chain
-        e_val = emitters.eval_emitter_hit(scene, si, use_emit & hit_area) \
-            + emitters.eval_environment(scene, ray, ~si.is_valid, use_emit & hit_env)
-        e_val = _probe("e_val_hit", e_val)
-        result = result + jnp.where(use_emit[..., None], throughput * e_val, 0.0)
-
-        active_surface = active_surface & si.is_valid
-        bsdf_idx = _tg(scene.shape_bsdf, jnp.maximum(si.shape_index, 0))
-        flags = _tg(scene.bsdf_flags, bsdf_idx)
-        is_smooth = (flags & bsdf_flags.Smooth) != 0
-
-        # merged NEE: one transmittance walk serves the (disjoint) medium
-        # and surface lane sets
-        active_e = active_surface & is_smooth & (depth + 1 < max_depth) & \
-            (scene.config.n_emitters > 0)
-        nee_ref_p = jnp.where(act_scatter[..., None], nee_medium_p, si.p)
-        nee_ref_n = jnp.where(act_scatter[..., None], -nee_medium_d_in, si.n)
-        nee_active = act_scatter | active_e
-        emitted_s, ds_s, smp, nr_s = _sample_emitter(
-            scene, nee_ref_p, nee_ref_n, act_scatter, ray.wavelengths,
-            ray.time, s.medium_idx, s.channel, smp, nee_active, nee_steps)
-        n_rays = n_rays + nr_s
-        # medium lanes: phase x emitted
-        phase_val = phase.phase_eval(scene, phase_idx, -nee_medium_d_in,
-                                     ds_s.d, act_scatter)
-        emitted_m = _probe("medium_nee_emitted", emitted_s)
-        result = result + jnp.where(
-            act_scatter[..., None],
-            throughput * phase_val[..., None] * emitted_m, 0.0)
-        wo_local = si.to_local(ds_s.d)
-        bsdf_val, bsdf_pdf = bsdfs.bsdf_eval_pdf(scene, bsdf_idx, si, wo_local,
-                                                 active_e)
-        mis_pdf = jnp.where(ds_s.delta, 0.0, bsdf_pdf)
-        w_nee = jnp.where(ds_s.pdf > 0, mis_weight(ds_s.pdf, mis_pdf), 0.0)
-        emitted_s = _probe("surface_nee_emitted", emitted_s)
-        bsdf_val = _probe("surface_nee_bsdfval", bsdf_val)
-        result = result + jnp.where(
-            active_e[..., None],
-            throughput * bsdf_val * w_nee[..., None] * emitted_s, 0.0)
-
-        # bsdf sampling
-        smp, xb1 = smp.next_1d()
-        smp, xb2 = smp.next_2d()
-        bs, bsdf_weight = bsdfs.bsdf_sample(scene, bsdf_idx, si, xb1, xb2,
-                                            active_surface)
-        bsdf_weight = _probe("bsdf_weight", bsdf_weight)
-        throughput = jnp.where(active_surface[..., None],
-                               throughput * bsdf_weight, throughput)
-        eta = jnp.where(active_surface, s.eta * bs.eta, s.eta)
-
-        new_ray = si.spawn_ray(si.to_world(bs.wo))
-        ray = Ray(o=jnp.where(active_surface[..., None], new_ray.o, ray.o),
-                  d=jnp.where(active_surface[..., None], new_ray.d, ray.d),
-                  mint=jnp.where(active_surface, new_ray.mint, ray.mint),
-                  maxt=jnp.where(active_surface, INVALID_T, ray.maxt),
-                  time=ray.time, wavelengths=ray.wavelengths)
-        needs_intersection = needs_intersection | active_surface
-
-        sampled_null = (bs.sampled_type & bsdf_flags.Null) != 0
-        sampled_delta = (bs.sampled_type & bsdf_flags.Delta) != 0
-        sampled_smooth = (bs.sampled_type & bsdf_flags.Smooth) != 0
-        non_null = active_surface & ~sampled_null
-        depth = depth + non_null.astype(jnp.int32)
-        valid_ray = valid_ray | non_null
-        specular_chain = specular_chain | (non_null & sampled_delta)
-        specular_chain = specular_chain & ~(active_surface & sampled_smooth)
-
-        add_emitter = active_surface & ~sampled_delta & ~sampled_null & \
-            jnp.any(throughput != 0, -1) & (depth < max_depth) & \
-            (scene.config.n_emitters > 0)
-        si_new0 = ray_intersect(scene.geo, ray)
-        n_rays = n_rays + jnp.sum(active_surface)
-        si_new0 = si_new0.replace(p=_probe("sinew_p", si_new0.p),
-                                  t=_probe("sinew_t", si_new0.t),
-                                  n=_probe("sinew_n", si_new0.n),
-                                  wi=_probe("sinew_wi", si_new0.wi))
-        si_new = _merge_si(si_new0, si, active_surface)
-        needs_intersection = needs_intersection & ~active_surface
-
-        # medium transition before walking the direct ray
-        has_trans = active_surface & _is_medium_transition(scene, si)
-        medium_next = jnp.where(has_trans, _target_medium(scene, si, ray.d),
-                                s.medium_idx)
-
-        emitted_d, emitter_pdf, smp, nr_d = _evaluate_direct_light(
-            scene, si.p, ray, si_new, medium_next, s.channel, smp, add_emitter,
-            nee_steps)
-        n_rays = n_rays + nr_d
-        w_dir = mis_weight(bs.pdf, emitter_pdf)
-        emitted_d = _probe("direct_emitted", emitted_d)
-        result = result + jnp.where(
-            (add_emitter & (emitter_pdf > 0))[..., None],
-            throughput * w_dir[..., None] * emitted_d, 0.0)
-
-        si = _merge_si(si_new, si, active_surface)
-        si = si.replace(p=_probe("si_p_end", si.p), t=_probe("si_t_end", si.t))
-        active = active & (active_surface | active_medium)
-
-        keepf = lambda new, old, m: jnp.where(
-            m[..., None] if new.ndim > m.ndim else m, new, old)
-        return _VolPathState(
-            sampler=smp, ray=ray, si=si,
-            needs_intersection=needs_intersection,
-            medium_idx=medium_next,
-            throughput=throughput, result=result,
-            eta=eta, depth=depth, channel=s.channel,
-            specular_chain=specular_chain, valid_ray=valid_ray,
-            active=active, n_rays=n_rays)
+    def body(s):
+        return _bounce(scene, s, nee_steps=nee_steps,
+                       max_depth=max_depth, rr_depth=rr_depth)
 
     def scan_body(s, _):
         return body(s), None

@@ -180,3 +180,21 @@ def test_blendphase_chi2():
     test = ChiSquareTest(SphericalDomain(), sample_func, pdf_func,
                          sample_count=200_000, res=41, ires=9)
     assert test.run(significance_level=0.01), "\n".join(test.messages)
+
+
+def test_regen_matches_fixed_trip():
+    """The regenerating wavefront driver (render_wavefront_regen) must
+    produce the same estimate as the fixed-trip scan: samples are
+    sample-for-sample identical (same per-sample RNG streams), only the film
+    accumulation order differs."""
+    from eradiate_kernel_tpu.scene import load_dict
+    from eradiate_kernel_tpu import integrators
+    from eradiate_kernel_tpu.utils.scenes import atmosphere
+
+    sc = load_dict(atmosphere(width=8, height=8, spp=4, max_depth=6))
+    img_std = np.asarray(integrators.render(sc, seed=5))
+    # lane pool much smaller than the 256-sample workload -> many refills
+    img_rg = np.asarray(integrators.render(sc, seed=5, regen=True,
+                                           samples_per_pass=64))
+    assert np.allclose(img_std, img_rg, rtol=1e-4, atol=1e-6), \
+        np.abs(img_std - img_rg).max()
