@@ -163,6 +163,29 @@ def specular_transmission(cos_theta_i, eta):
     return jnp.where(valid[..., None, None], m, 0.0)
 
 
+def rayleigh_scatter(cos_theta):
+    """Rayleigh scattering Mueller matrix (Hansen & Travis 1974 eq. 2.15,
+    Chandrasekhar) in the scattering-plane frame whose horizontal Stokes
+    axis is PERPENDICULAR to the scattering plane for both directions;
+    ``cos_theta`` is the scattering angle between the in/out propagation
+    directions. M[0,0] equals the scalar Rayleigh phase value
+    3/(16 pi) (1 + cos^2) (phase/rayleigh), so S0 transport matches the
+    unpolarized integrator exactly. The reference's phase functions are
+    scalar-only (phase.h:130-225) — this matrix is a beyond-reference
+    capability for polarized atmospheres."""
+    c = jnp.asarray(cos_theta)
+    k = 3.0 / (16.0 * jnp.pi)
+    s2 = 1.0 - c * c
+    m = jnp.zeros(c.shape + (4, 4))
+    m = m.at[..., 0, 0].set(k * (1.0 + c * c))
+    m = m.at[..., 1, 1].set(k * (1.0 + c * c))
+    m = m.at[..., 0, 1].set(k * s2)
+    m = m.at[..., 1, 0].set(k * s2)
+    m = m.at[..., 2, 2].set(k * 2.0 * c)
+    m = m.at[..., 3, 3].set(k * 2.0 * c)
+    return m
+
+
 def stokes_basis(d):
     """Canonical horizontal basis vector perpendicular to propagation d
     (mueller.h stokes_basis): any stable perpendicular."""

@@ -142,7 +142,9 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
     every masked ray_intersect actually issued.
     """
     cfg = scene.config
-    assert cfg.integrator.kind == "volpath", "regen driver: volpath only"
+    mod = REGISTRY[cfg.integrator.kind]
+    assert all(hasattr(mod, h) for h in ("_init_state", "_bounce", "_knobs")), \
+        f"regen driver: integrator '{cfg.integrator.kind}' lacks bounce hooks"
     assert n_aov(cfg) == 0, "regen driver does not support AOV integrators"
     H, W = cfg.film_height, cfg.film_width
     cw, ch = cfg.crop_size if cfg.crop_size else (W, H)
@@ -150,8 +152,7 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
     if total is None:
         total = ch * cw * spp
     total = jnp.uint32(sample_offset + total)
-    nc = cfg.variant.n_channels if not cfg.variant.is_spectral else 4
-    max_iterations, _nee, _md, _rr = volpath._knobs(scene)
+    max_iterations, bounce_kwargs = mod._knobs(scene)
 
     def fresh_lanes(refill, new_idx):
         """Exactly render_wavefront's per-sample stream: seed -> jitter ->
@@ -167,7 +168,7 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
         pos_film = pos / jnp.asarray([W, H], jnp.float32)
         ray, rw, smp = sensors.sample_ray(scene, smp, pos_film,
                                           jnp.zeros(n_lanes))
-        vp = volpath._init_state(scene, smp, ray, refill)
+        vp = mod._init_state(scene, smp, ray, refill)
         return vp, pos, rw
 
     vp0, pos0, rw0 = fresh_lanes(jnp.zeros(n_lanes, bool),
@@ -226,8 +227,7 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
 
         # 3. one bounce over the whole (nearly full) wavefront
         vp = vp.replace(active=vp.active & occupied, n_rays=jnp.zeros(()))
-        vp = volpath._bounce(scene, vp, nee_steps=_nee, max_depth=_md,
-                             rr_depth=_rr)
+        vp = mod._bounce(scene, vp, **bounce_kwargs)
         rays = rays + vp.n_rays
         its = its + 1
         # per-lane iteration cap (the scan-trip cap of _trace_full)
@@ -257,7 +257,8 @@ def render(scene, seed=0, spp=None, samples_per_pass=None, develop_film=True,
     n_passes = -(-total // samples_per_pass)
 
     extra = n_aov(cfg)
-    if regen and cfg.integrator.kind == "volpath" and extra == 0:
+    regen_ok = hasattr(REGISTRY[cfg.integrator.kind], "_bounce")
+    if regen and regen_ok and extra == 0:
         run = jax.jit(render_wavefront_regen,
                       static_argnames=("n_lanes", "spp"))
         film, _ = run(scene, min(total, samples_per_pass), seed, spp)

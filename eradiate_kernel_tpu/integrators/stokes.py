@@ -44,8 +44,19 @@ def _sensor_basis_rotation(scene, ray):
 
 
 def sample_aov(scene, sampler, ray, ray_weight, active=None):
-    stokes, valid, sampler = polarized.sample_stokes(scene, sampler, ray,
-                                                     active)
+    # media present (or an explicitly volumetric child): Mueller volpath —
+    # the analog of nesting `volpath` inside `stokes` under a polarized
+    # variant; pure-surface scenes keep the (cheaper) polarized path tracer
+    extra = dict(scene.config.integrator.extra)
+    volumetric = bool(scene.config.medium_kinds) or \
+        extra.get("child") == "volpath"
+    if volumetric:
+        from . import polarized_vol
+        stokes, valid, sampler = polarized_vol.sample_stokes(
+            scene, sampler, ray, active)
+    else:
+        stokes, valid, sampler = polarized.sample_stokes(scene, sampler, ray,
+                                                         active)
     # rotate into the sensor frame; the rotation acts per channel
     rot = _sensor_basis_rotation(scene, ray)
     stokes = jnp.einsum("...ij,...cj->...ci", rot, stokes)

@@ -756,14 +756,15 @@ def _bounce(scene, s: _VolPathState, *, nee_steps, max_depth, rr_depth):
 
 
 def _knobs(scene):
-    """(max_iterations, nee_steps, max_depth, rr_depth) from integrator
-    config; defaults tuned for TPU (every masked iteration costs real
-    kernels) — load_dict-overridable."""
+    """(max_iterations, bounce kwargs) — the regen-driver contract; defaults
+    tuned for TPU (every masked iteration costs real kernels),
+    load_dict-overridable via the integrator's extra properties."""
     cfg = scene.config.integrator
     extra = dict(cfg.extra)
     max_iterations = int(extra.get("max_iterations", cfg.max_depth + 8))
     nee_steps = int(extra.get("nee_steps", 8))
-    return max_iterations, nee_steps, cfg.max_depth, cfg.rr_depth
+    return max_iterations, dict(nee_steps=nee_steps, max_depth=cfg.max_depth,
+                                rr_depth=cfg.rr_depth)
 
 
 def _init_state(scene, sampler: Sampler, ray: Ray, active=None,
@@ -808,7 +809,10 @@ def _init_state(scene, sampler: Sampler, ray: Ray, active=None,
 
 def _trace_full(scene, sampler: Sampler, ray: Ray, active=None,
                 medium_idx=None):
-    max_iterations, nee_steps, max_depth, rr_depth = _knobs(scene)
+    max_iterations, bkw = _knobs(scene)
+    nee_steps = bkw["nee_steps"]
+    max_depth = bkw["max_depth"]
+    rr_depth = bkw["rr_depth"]
     state = _init_state(scene, sampler, ray, active, medium_idx)
 
     def body(s):

@@ -196,3 +196,61 @@ def phase_sample(scene, phase_idx, ray_d, s1, s2, active=True):
     wo = frame.to_world(wo_local)
     pdf = phase_eval(scene, phase_idx, -ray_d, wo, active)
     return wo, pdf
+
+
+def phase_mueller(scene, phase_idx, wi, wo, active=True):
+    """Polarized phase eval: (..., 4, 4) Mueller matrix in the implicit
+    world-space Stokes bases (same composition convention as
+    bsdfs.bsdf_eval_mueller), with M[0,0] equal to ``phase_eval`` so S0
+    transport matches the scalar integrator exactly.
+
+    The reference's PhaseFunction interface is scalar (phase.h:130-225), so
+    its polarized variants multiply the Mueller throughput by the scalar
+    phase value — polarization-preserving. We do the same for every kind
+    except ``rayleigh``, which gets the true Rayleigh scattering matrix
+    rotated through the scattering plane (molecular-scattering polarization
+    is the dominant polarimetric signal of Earth atmospheres).
+    """
+    from ..core import mueller as mu
+
+    cfg = scene.config
+    value = phase_eval(scene, phase_idx, wi, wo, active)
+    out = value[..., None, None] * jnp.eye(4)
+    if "rayleigh" not in cfg.phase_kinds:
+        return out
+
+    # light propagation directions (radiance transport toward the camera):
+    # arrives along -wo, leaves along wi
+    in_fwd = -wo
+    out_fwd = wi
+    c = dot(in_fwd, out_fwd)
+    m_plane = mu.rayleigh_scatter(c)
+    # shared perpendicular of the scattering plane; degenerate (collinear)
+    # directions have sin^2 = 0 so the basis choice is immaterial there
+    n = jnp.cross(in_fwd, out_fwd)
+    n_len = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = jnp.where(n_len > 1e-8, n / jnp.maximum(n_len, 1e-12),
+                  mu.stokes_basis(in_fwd))
+    m_world = mu.rotate_mueller_basis(
+        m_plane, in_fwd, n, mu.stokes_basis(in_fwd),
+        out_fwd, n, mu.stokes_basis(out_fwd))
+
+    kind = tg(scene.phase_kind, phase_idx)
+    for k, kname in enumerate(cfg.phase_kinds):
+        if kname != "rayleigh":
+            continue
+        m = (kind == k) & active
+        out = jnp.where(m[..., None, None], m_world, out)
+    return out
+
+
+def phase_sample_mueller(scene, phase_idx, ray_d, s1, s2, active=True):
+    """Polarized analog of phase_sample: importance-samples wo with the
+    scalar machinery, then returns the Mueller importance weight
+    (matrix / pdf; identity for polarization-preserving kinds since the
+    scalar sampling is exact: value == pdf)."""
+    wo, pdf = phase_sample(scene, phase_idx, ray_d, s1, s2, active)
+    m = phase_mueller(scene, phase_idx, -ray_d, wo, active)
+    den = jnp.maximum(pdf, 1e-20)[..., None, None]
+    weight = jnp.where((pdf > 0)[..., None, None], m / den, 0.0)
+    return wo, pdf, weight

@@ -213,3 +213,140 @@ def test_stokes_glass_reflection_highly_polarized():
     assert s0 > 1e-4, s0
     dop = np.hypot(s1, s2) / s0
     assert 0.6 < dop <= 1.001, (dop, s0, s1, s2)
+
+
+# ---------------------------------------------------------------------------
+# polarized VOLUMETRIC transport (integrators/polarized_vol.py)
+# ---------------------------------------------------------------------------
+
+def _atmo_scene(phase_dict, width=4, spp=2):
+    from eradiate_kernel_tpu.scene import load_dict
+
+    return load_dict({
+        "type": "scene",
+        "integrator": {"type": "volpath", "max_depth": 6},
+        "sensor": {"type": "perspective", "fov": 60.0,
+                   "to_world": {"type": "look_at",
+                                "origin": [0.5, 0.5, 3.0],
+                                "target": [0.5, 0.5, 0.0], "up": [0, 1, 0]},
+                   "film": {"width": width, "height": width,
+                            "rfilter": {"type": "box"}},
+                   "sampler": {"type": "independent", "sample_count": spp}},
+        "surface": {"type": "rectangle",
+                    "to_world": [{"type": "scale", "value": 20.0},
+                                 {"type": "translate",
+                                  "value": [0.5, 0.5, 0.0]}],
+                    "bsdf": {"type": "diffuse", "reflectance": 0.4}},
+        "atmo": {"type": "cube",
+                 "to_world": [{"type": "scale", "value": [20.0, 20.0, 0.5]},
+                              {"type": "translate",
+                               "value": [0.5, 0.5, 0.5]}],
+                 "bsdf": {"type": "null"},
+                 "interior": {"type": "homogeneous", "sigma_t": 0.4,
+                              "albedo": 0.8, "phase": phase_dict}},
+        "sun": {"type": "directional", "direction": [0.3, 0.0, -0.94],
+                "irradiance": 1.0},
+    })
+
+
+def _camera_rays(sc, n=64, res=4, spp=2, seed=0):
+    from eradiate_kernel_tpu import sensors
+    from eradiate_kernel_tpu.core.rng import Sampler
+
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    smp = Sampler.seed(seed, lane)
+    smp, jit2 = smp.next_2d()
+    pix = lane // spp
+    pos = jnp.stack([(pix % res).astype(jnp.float32),
+                     (pix // res).astype(jnp.float32)], -1) + jit2
+    ray, _w, smp = sensors.sample_ray(sc, smp, pos / res, jnp.zeros(n))
+    return ray, smp
+
+
+def test_polarized_volpath_s0_matches_scalar():
+    """With a polarization-preserving medium (isotropic phase: scalar Mueller
+    factors) and depolarizing ground, the Mueller volpath's S0 must equal the
+    scalar volpath per sample, and no polarization may appear (unpolarized
+    sources)."""
+    from eradiate_kernel_tpu.integrators import polarized_vol, volpath
+
+    sc = _atmo_scene({"type": "isotropic"})
+    ray, smp = _camera_rays(sc)
+    spec, _v, _s = volpath.sample(sc, smp, ray)
+    stokes, _v2, _s2 = polarized_vol.sample_stokes(sc, smp, ray)
+    assert np.allclose(np.asarray(spec), np.asarray(stokes[..., 0]),
+                       rtol=1e-5, atol=1e-7)
+    assert float(np.abs(np.asarray(stokes[..., 1:])).max()) == 0.0
+
+
+def test_polarized_volpath_rayleigh_polarizes():
+    """Rayleigh media must produce linear polarization (S1/S2) and shift S0
+    from the scalar estimate (the known scalar-RT error of Rayleigh
+    atmospheres); circular polarization stays zero for unpolarized sources
+    and Rayleigh-only scattering."""
+    from eradiate_kernel_tpu.integrators import polarized_vol, volpath
+
+    sc = _atmo_scene({"type": "rayleigh"})
+    ray, smp = _camera_rays(sc)
+    stokes, _v, _s = polarized_vol.sample_stokes(sc, smp, ray)
+    s = np.asarray(stokes)
+    assert np.isfinite(s).all()
+    assert np.abs(s[..., 1:3]).max() > 1e-4, "no linear polarization produced"
+    # Rayleigh + depolarizing ground cannot create circular polarization
+    assert np.abs(s[..., 3]).max() < 1e-6
+    # physical sanity: |(S1,S2,S3)| <= S0 per channel wherever S0 > 0
+    lanes = s[..., 0] > 1e-6
+    dop = np.sqrt((s[..., 1:] ** 2).sum(-1))[lanes] / s[..., 0][lanes]
+    assert (dop <= 1.0 + 1e-4).all(), dop.max()
+
+
+def test_rayleigh_scatter_matrix():
+    """Unit checks of the Rayleigh Mueller matrix: M00 is the scalar phase
+    value; 90-degree scattering of unpolarized light is fully linearly
+    polarized perpendicular to the scattering plane."""
+    from eradiate_kernel_tpu.core import mueller as mu
+
+    m90 = np.asarray(mu.rayleigh_scatter(jnp.array(0.0)))
+    k = 3.0 / (16.0 * np.pi)
+    assert np.isclose(m90[0, 0], k)
+    s_out = m90 @ np.array([1.0, 0, 0, 0])
+    assert np.isclose(s_out[1] / s_out[0], 1.0)  # DoP = 1 at 90 deg
+    # forward scattering: no polarization of unpolarized light
+    m0 = np.asarray(mu.rayleigh_scatter(jnp.array(1.0)))
+    s_fwd = m0 @ np.array([1.0, 0, 0, 0])
+    assert np.isclose(s_fwd[1], 0.0) and np.isclose(s_fwd[0], 2 * k)
+
+
+def test_stokes_integrator_volumetric():
+    """The stokes wrapper dispatches to the Mueller volpath for scenes with
+    media and returns S1..S3 AOVs."""
+    from eradiate_kernel_tpu import integrators
+    from eradiate_kernel_tpu.scene import load_dict
+
+    d = {
+        "type": "scene",
+        "integrator": {"type": "stokes", "max_depth": 6},
+        "sensor": {"type": "perspective", "fov": 60.0,
+                   "to_world": {"type": "look_at",
+                                "origin": [0.5, 0.5, 3.0],
+                                "target": [0.5, 0.5, 0.0], "up": [0, 1, 0]},
+                   "film": {"width": 4, "height": 4,
+                            "rfilter": {"type": "box"}},
+                   "sampler": {"type": "independent", "sample_count": 4}},
+        "atmo": {"type": "cube",
+                 "to_world": [{"type": "scale", "value": [20.0, 20.0, 0.5]},
+                              {"type": "translate",
+                               "value": [0.5, 0.5, 0.5]}],
+                 "bsdf": {"type": "null"},
+                 "interior": {"type": "homogeneous", "sigma_t": 0.6,
+                              "albedo": 0.9,
+                              "phase": {"type": "rayleigh"}}},
+        "sun": {"type": "directional", "direction": [1.0, 0.0, -0.2],
+                "irradiance": 5.0},
+    }
+    img, aovs = integrators.render(load_dict(d), return_aovs=True)
+    assert set(aovs) == {"s1", "s2", "s3"}
+    assert np.isfinite(np.asarray(img)).all()
+    s1 = np.abs(np.asarray(aovs["s1"])).max()
+    s2 = np.abs(np.asarray(aovs["s2"])).max()
+    assert s1 + s2 > 1e-4, "volumetric stokes produced no polarization"

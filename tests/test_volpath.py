@@ -198,3 +198,18 @@ def test_regen_matches_fixed_trip():
                                            samples_per_pass=64))
     assert np.allclose(img_std, img_rg, rtol=1e-4, atol=1e-6), \
         np.abs(img_std - img_rg).max()
+
+
+def test_regen_path_integrator():
+    """Regen driver also drives the surface path tracer (per-lane-depth
+    bounce hooks in integrators/path.py)."""
+    from eradiate_kernel_tpu.scene import load_dict
+    from eradiate_kernel_tpu import integrators
+    from eradiate_kernel_tpu.utils.scenes import cornell_box
+
+    sc = load_dict(cornell_box(width=8, height=8, spp=4, max_depth=4))
+    img_std = np.asarray(integrators.render(sc, seed=7))
+    img_rg = np.asarray(integrators.render(sc, seed=7, regen=True,
+                                           samples_per_pass=64))
+    assert np.allclose(img_std, img_rg, rtol=1e-4, atol=1e-6), \
+        np.abs(img_std - img_rg).max()
