@@ -17,7 +17,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..films import N_BASE_CHANNELS, develop
-from ..integrators import render_wavefront
+from ..integrators import render_wavefront, render_wavefront_regen
 
 
 def make_mesh(devices=None, axis="rays"):
@@ -56,11 +56,18 @@ def sharded_film(scene, mesh: Mesh, seed, spp):
 
 
 def render_sharded(scene, mesh: Mesh, seed=0, spp=None, develop_film=True,
-                   samples_per_pass=None):
+                   samples_per_pass=None, regen=False, regen_lanes=1 << 14):
     """Render with the wavefront sharded across ``mesh``'s devices.
 
     Total samples = H * W * spp, padded up to a multiple of the device count;
     the pad lanes render pixel 0 with weight masked out by lane bounds.
+
+    ``regen=True`` runs the regenerating lane-pool driver per shard instead
+    of the fixed-trip scan: each device streams its contiguous sample range
+    through a ``regen_lanes``-sized pool (occupancy stays near 100%
+    independently per chip — no cross-chip work stealing is needed because
+    the ranges are equal-sized and path-length variance averages out over
+    thousands of samples per shard), films psum over ICI at the end.
     """
     cfg = scene.config
     spp = spp or cfg.spp
@@ -68,6 +75,35 @@ def render_sharded(scene, mesh: Mesh, seed=0, spp=None, develop_film=True,
     total = H * W * spp
     n_dev = mesh.devices.size
     axis = mesh.axis_names[0]
+
+    if regen:
+        per_dev = -(-total // n_dev)
+        n_lanes = min(regen_lanes, per_dev)
+
+        def pass_regen(scene, offsets, counts, seed_arr):
+            def shard_body(scene_, offset, count, seed_s):
+                film, _ = render_wavefront_regen(
+                    scene_, n_lanes, seed_s[0], spp,
+                    sample_offset=offset[0], total=count[0])
+                return jax.lax.psum(film, axis)
+
+            return jax.shard_map(
+                shard_body, mesh=mesh,
+                in_specs=(P(), P(axis), P(axis), P()),
+                out_specs=P(),
+                check_vma=False,
+            )(scene, offsets, counts, seed_arr)
+
+        offsets = jnp.arange(n_dev, dtype=jnp.uint32) * jnp.uint32(per_dev)
+        counts = jnp.minimum(jnp.uint32(per_dev),
+                             jnp.uint32(total) - jnp.minimum(
+                                 offsets, jnp.uint32(total)))
+        film = jax.jit(pass_regen)(scene, offsets, counts,
+                                   jnp.full((n_dev,), seed, jnp.uint32))
+        if develop_film:
+            mode = "mono" if cfg.variant.is_monochromatic else "rgb"
+            return develop(film, mode)
+        return film
 
     if samples_per_pass is None:
         samples_per_pass = min(total, (1 << 22) * n_dev)

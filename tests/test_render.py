@@ -95,3 +95,20 @@ def test_sharded_matches_single():
     mesh = make_mesh(jax.devices())
     multi = np.asarray(render_sharded(scene, mesh, seed=9))
     assert np.allclose(single, multi, atol=2e-5), np.abs(single - multi).max()
+
+
+def test_sharded_regen_matches_standard():
+    """Per-shard regenerating lane pools (render_sharded(regen=True)) must
+    reproduce the standard render exactly: each shard streams a contiguous
+    sample range with the same per-sample RNG streams; only film accumulation
+    order differs."""
+    import jax
+    from eradiate_kernel_tpu.parallel import make_mesh, render_sharded
+    from eradiate_kernel_tpu.utils.scenes import atmosphere
+
+    sc = load_dict(atmosphere(width=8, height=8, spp=4, max_depth=6))
+    img_std = np.asarray(integrators.render(sc, seed=3))
+    img_sh = np.asarray(render_sharded(sc, make_mesh(jax.devices()), seed=3,
+                                       regen=True, regen_lanes=16))
+    assert np.allclose(img_std, img_sh, rtol=1e-4, atol=1e-6), \
+        np.abs(img_std - img_sh).max()
