@@ -171,3 +171,95 @@ def eval_pdf(scene, params, slot, si, wo, active, mode=common.RADIANCE):
     tex = jnp.where(reflect[..., None], refl_tex, trans_tex)
     return (jnp.where(act[..., None], value[..., None] * tex, 0.0),
             jnp.where(act, pdf, 0.0))
+
+
+def eval_mueller(scene, params, slot, si, wo, active, mode=common.RADIANCE):
+    """Polarized rough-dielectric eval: the scalar microfacet eval with the
+    Fresnel factor replaced by the specular reflection / transmission
+    Mueller matrix about the reconstructed facet normal m, rotated from the
+    s/p frame of the plane of incidence into the implicit Stokes bases of
+    (-wo, wi). Returns the per-channel (..., nc, 4, 4) stack (value incl.
+    cos_o). Beyond the reference: roughdielectric.cpp has no polarized
+    branch (it scales the Mueller throughput by the scalar value); here the
+    per-facet s/p split is carried exactly, matching what conductor/
+    dielectric/roughconductor already do.
+    """
+    from ..core import mueller as mu
+
+    eta = _tg(params["eta"], slot)
+    au = _tg(params["alpha_u"], slot)
+    av = _tg(params["alpha_v"], slot)
+    wi = si.wi
+    cos_i = wi[..., 2]
+    cos_o = wo[..., 2]
+    reflect = cos_i * cos_o > 0.0
+    act = active & (cos_i != 0.0) & (cos_o != 0.0)
+
+    eta_e = jnp.where(cos_i > 0, eta, 1.0 / eta)
+    m_raw = wi + wo * jnp.where(reflect, 1.0, eta_e)[..., None]
+    m = normalize(m_raw)
+    m = _mulsign(m, m[..., 2])
+
+    wi_up = _mulsign(wi, cos_i)
+    wo_up = _mulsign(wo, cos_o)
+    f, _, eta_it, eta_ti = fr.fresnel(jnp.sum(wi * m, -1), eta)
+
+    def per_dist(ty):
+        d = mf.eval_d(ty, m, au, av)
+        g = mf.smith_g1(ty, wi_up, m, au, av) * mf.smith_g1(ty, wo_up, m,
+                                                            au, av)
+        return (d * g,)
+
+    (dg,) = _dist_sweep(params, slot, per_dist)
+
+    wim = jnp.sum(wi * m, -1)
+    wom = jnp.sum(wo * m, -1)
+    act = act & (wim * cos_i > 0.0) & (wom * cos_o > 0.0)
+
+    # Fresnel-free magnitudes (eval_pdf with f / (1-f) factored out)
+    val_r_nof = dg / jnp.maximum(4.0 * jnp.abs(cos_i), 1e-12)
+    denom = wim + eta_it * wom
+    common_t = dg * jnp.abs(wim * wom) \
+        / jnp.maximum(jnp.abs(cos_i) * sqr(denom), 1e-12)
+    t_scale = sqr(eta_ti) if mode == common.RADIANCE else jnp.ones_like(eta_ti)
+    val_t_nof = sqr(eta_it) * common_t * t_scale
+    val_nof = jnp.where(reflect, val_r_nof, val_t_nof)
+
+    # per-facet Fresnel Mueller about m, IOR oriented by the signed cosine
+    wo_hat = wo if mode == common.RADIANCE else wi
+    wi_hat = wi if mode == common.RADIANCE else wo
+    ci_m = jnp.sum(wo_hat * m, -1)
+    eta_rel = jnp.where(ci_m >= 0, eta, 1.0 / eta)
+    R = mu.specular_reflection(jnp.abs(ci_m), eta_rel)
+    T = mu.specular_transmission(jnp.abs(ci_m), eta_rel)
+    f_m = jnp.where(reflect[..., None, None], R, T)
+    # rescale so M00 matches the scalar Fresnel split exactly (f is
+    # evaluated against wi.m as in eval_pdf; reciprocity makes the two
+    # orientations agree analytically, this removes the residual numeric
+    # difference)
+    m00 = f_m[..., 0, 0]
+    target = jnp.where(reflect, f, 1.0 - f)
+    scale = jnp.where(m00 > 1e-12, target / jnp.maximum(m00, 1e-12), 0.0)
+    f_m = f_m * scale[..., None, None]
+
+    def safe_basis(v, d):
+        n2 = jnp.sum(v * v, -1, keepdims=True)
+        ok = n2 > 1e-14
+        v = jnp.where(ok, v, 1.0)
+        v = v / jnp.sqrt(jnp.where(ok, jnp.sum(v * v, -1, keepdims=True),
+                                   1.0))
+        return jnp.where(ok, v, mu.stokes_basis(d))
+
+    s_in = safe_basis(jnp.cross(m, -wo_hat), -wo_hat)
+    s_out = safe_basis(jnp.cross(m, wi_hat), wi_hat)
+    f_m = mu.rotate_mueller_basis(
+        f_m, -wo_hat, s_in, mu.stokes_basis(-wo_hat),
+        wi_hat, s_out, mu.stokes_basis(wi_hat))
+
+    refl_tex = texture_eval(scene, _tg(params["specular_reflectance"], slot),
+                            si.uv, si.wavelengths, act)
+    trans_tex = texture_eval(scene, _tg(params["specular_transmittance"],
+                                        slot), si.uv, si.wavelengths, act)
+    tex = jnp.where(reflect[..., None], refl_tex, trans_tex)
+    out = (tex * val_nof[..., None])[..., None, None] * f_m[..., None, :, :]
+    return jnp.where(act[..., None, None, None], out, 0.0)

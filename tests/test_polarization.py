@@ -350,3 +350,58 @@ def test_stokes_integrator_volumetric():
     s1 = np.abs(np.asarray(aovs["s1"])).max()
     s2 = np.abs(np.asarray(aovs["s2"])).max()
     assert s1 + s2 > 1e-4, "volumetric stokes produced no polarization"
+
+
+def test_roughdielectric_mueller_consistency():
+    """roughdielectric eval_mueller: M[0,0] equals the scalar eval value
+    (S0 parity) and unpolarized input yields DoP <= 1."""
+    import jax
+    from eradiate_kernel_tpu import bsdfs, sensors
+    from eradiate_kernel_tpu.core.rng import Sampler
+    from eradiate_kernel_tpu.render.geometry import ray_intersect
+    from eradiate_kernel_tpu.render.geometry import compute_surface_interaction
+
+    sc = load_dict({
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 2},
+        "sensor": {"type": "perspective", "fov": 45.0,
+                   "to_world": {"type": "look_at", "origin": [0, 0, 4],
+                                "target": [0, 0, 0], "up": [0, 1, 0]},
+                   "film": {"width": 4, "height": 4,
+                            "rfilter": {"type": "box"}},
+                   "sampler": {"type": "independent", "sample_count": 1}},
+        "s": {"type": "sphere", "radius": 1.0,
+              "bsdf": {"type": "roughdielectric", "alpha": 0.3,
+                       "int_ior": 1.5, "ext_ior": 1.0}},
+    })
+    n = 64
+    smp = Sampler.seed(0, jnp.arange(n, dtype=jnp.uint32))
+    smp, j2 = smp.next_2d()
+    pix = jnp.arange(n, dtype=jnp.uint32) % 16
+    pos = jnp.stack([(pix % 4).astype(jnp.float32),
+                     (pix // 4).astype(jnp.float32)], -1) + j2
+    ray, _w, smp = sensors.sample_ray(sc, smp, pos / 4.0, jnp.zeros(n))
+    si = ray_intersect(sc.geo, ray)
+    act = si.is_valid
+    bsdf_idx = jnp.zeros(n, jnp.int32)
+
+    # random directions in both hemispheres
+    smp, u = smp.next_2d()
+    z = 2.0 * u[..., 0] - 1.0
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    phi = 2.0 * jnp.pi * u[..., 1]
+    wo = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], -1)
+
+    val, pdf = bsdfs.bsdf_eval_pdf(sc, bsdf_idx, si, wo, act)
+    m, pdf2 = bsdfs.bsdf_eval_mueller(sc, bsdf_idx, si, wo, act)
+    v = np.asarray(val)
+    m00 = np.asarray(m[..., 0, 0])
+    assert np.allclose(m00, v, rtol=1e-4, atol=1e-6), \
+        np.abs(m00 - v).max()
+    # unpolarized input: |(S1,S2,S3)| <= S0
+    s_out = np.asarray(m[..., :, 0])
+    dop_num = np.sqrt((s_out[..., 1:] ** 2).sum(-1))
+    ok = s_out[..., 0] > 1e-9
+    assert (dop_num[ok] <= s_out[..., 0][ok] * (1 + 1e-4)).all()
+    # polarization is actually produced at glancing reflections
+    assert dop_num.max() > 1e-6
