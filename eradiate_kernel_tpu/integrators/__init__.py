@@ -153,6 +153,10 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
         total = ch * cw * spp
     total = jnp.uint32(sample_offset + total)
     max_iterations, bounce_kwargs = mod._knobs(scene)
+    # primal-only extras (e.g. volpath's early-terminating while-loop NEE
+    # walks) — this driver is a while_loop itself, never differentiated
+    bounce_kwargs = dict(bounce_kwargs,
+                         **getattr(mod, "_PRIMAL_BOUNCE_KWARGS", {}))
 
     def fresh_lanes(refill, new_idx):
         """Exactly render_wavefront's per-sample stream: seed -> jitter ->

@@ -130,8 +130,41 @@ class _WalkState:
     n_rays: jnp.ndarray  # () f32 — rays traced (bench accounting)
 
 
+def _run_walk(body, state, nee_steps, use_while):
+    """Run a bounded transmittance walk. ``use_while`` (primal-only paths:
+    the regenerating driver) terminates as soon as every lane converges
+    instead of always paying ``nee_steps`` full-wavefront steps — most
+    connections finish in 1-3 steps while the scan runs all 8 for the
+    stragglers. The sampler dimension counter is pinned to the fixed
+    scan-equivalent offset afterwards, so results are bitwise identical to
+    the scan path (step k draws dim0+k in both; skipped steps were no-ops
+    for every lane). The scan variant stays the default because while_loop
+    is not reverse-differentiable."""
+    if not use_while:
+        def scan_body(s, _):
+            return body(s), None
+
+        final, _ = jax.lax.scan(scan_body, state, None, length=nee_steps)
+        return final
+
+    dim0 = state.sampler.dim
+
+    def w_cond(carry):
+        s, k = carry
+        return jnp.any(s.active) & (k < nee_steps)
+
+    def w_body(carry):
+        s, k = carry
+        return body(s), k + 1
+
+    final, _k = jax.lax.while_loop(w_cond, w_body, (state, jnp.int32(0)))
+    return final.replace(
+        sampler=final.sampler.replace(dim=dim0 + jnp.uint32(nee_steps)))
+
+
 def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
-                    medium_idx, channel, sampler, active, nee_steps):
+                    medium_idx, channel, sampler, active, nee_steps,
+                    use_while=False):
     """Returns (contribution, ds, sampler): emitter radiance attenuated by
     ratio-tracked transmittance along the connection."""
     from ..render.records import SurfaceInteraction as SI
@@ -270,10 +303,7 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
                           total_dist=total_dist, active=active,
                           n_rays=n_rays)
 
-    def scan_body(s, _):
-        return body(s), None
-
-    final, _ = jax.lax.scan(scan_body, state, None, length=nee_steps)
+    final = _run_walk(body, state, nee_steps, use_while)
     # lanes still active after the cap contribute nothing (conservative)
     contrib = jnp.where(final.active[..., None], 0.0,
                         final.transmittance) * emitter_val
@@ -321,7 +351,7 @@ class _DirectState:
 
 
 def _evaluate_direct_light(scene, ref_p, ray, si_ray, medium_idx, channel,
-                           sampler, active, nee_steps):
+                           sampler, active, nee_steps, use_while=False):
     batch = ref_p.shape[:-1]
     nc = _nc(scene, ray)
 
@@ -423,10 +453,7 @@ def _evaluate_direct_light(scene, ref_p, ray, si_ray, medium_idx, channel,
                             emitter_val=emitter_val, emitter_pdf=emitter_pdf,
                             active=active, n_rays=n_rays)
 
-    def scan_body(s, _):
-        return body(s), None
-
-    final, _ = jax.lax.scan(scan_body, state, None, length=nee_steps)
+    final = _run_walk(body, state, nee_steps, use_while)
     return final.emitter_val, final.emitter_pdf, final.sampler, final.n_rays
 
 
@@ -477,7 +504,8 @@ def _probe(name, x):
     return _id(x)
 
 
-def _bounce(scene, s: _VolPathState, *, nee_steps, max_depth, rr_depth):
+def _bounce(scene, s: _VolPathState, *, nee_steps, max_depth, rr_depth,
+            while_walks=False):
     """One masked wavefront bounce (the loop body of volpath.cpp:38-258).
     Module-level so both the fixed-trip tracer (_trace_full) and the
     regenerating wavefront driver can drive it."""
@@ -753,6 +781,11 @@ def _bounce(scene, s: _VolPathState, *, nee_steps, max_depth, rr_depth):
         specular_chain=specular_chain, valid_ray=valid_ray,
         active=active, n_rays=n_rays)
 
+
+
+# extra bounce kwargs the regenerating (primal-only, while_loop) driver
+# may add on top of _knobs' — see integrators.render_wavefront_regen
+_PRIMAL_BOUNCE_KWARGS = {"while_walks": True}
 
 
 def _knobs(scene):

@@ -17,6 +17,36 @@ from ..core.gather import table_gather as tg
 from ..core.transform import Transform
 
 
+def _axis_weights(g, n_axis):
+    """(..., n_axis) linear-interpolation weight vector along one grid axis:
+    (1 - f) at i0 and f at i0 + 1 — the factorized form of a trilinear
+    one-hot."""
+    i0 = jnp.clip(g.astype(jnp.int32), 0, max(n_axis - 2, 0))
+    f = (g - i0)[..., None]
+    ar = jnp.arange(n_axis)
+    w = jnp.where(ar == i0[..., None], 1.0 - f, 0.0)
+    i1 = jnp.minimum(i0 + 1, n_axis - 1)
+    return jnp.where(ar == i1[..., None], w + f, w)
+
+
+def _trilinear(grid, vslot, pl):
+    """Factorized trilinear interpolation: three tiny per-axis weight
+    vectors contracted against the grid in one dense einsum (MXU work)
+    instead of 8 voxel-count-wide one-hot gathers — the compare cost drops
+    from 8 x n_voxels to W + H + D per lane and the MACs land on the
+    systolic array. grid: (S, D, H, W, C); pl: (..., 3) in [0,1]^3 local
+    coordinates; vslot: (...,) volume slot. Returns (..., C)."""
+    S, D, H, W, C = grid.shape
+    wx = _axis_weights(jnp.clip(pl[..., 0], 0.0, 1.0) * (W - 1), W)
+    wy = _axis_weights(jnp.clip(pl[..., 1], 0.0, 1.0) * (H - 1), H)
+    wz = _axis_weights(jnp.clip(pl[..., 2], 0.0, 1.0) * (D - 1), D)
+    hi = jax.lax.Precision.HIGHEST
+    tmp = jnp.einsum("...d,...h,...w,sdhwc->...sc", wz, wy, wx, grid,
+                     precision=hi)
+    ws = (jnp.arange(S) == vslot[..., None]).astype(grid.dtype)
+    return jnp.einsum("...s,...sc->...c", ws, tmp, precision=hi)
+
+
 def volume_eval(scene, vol_idx, p, wavelengths, active=True):
     """Evaluate volume objects per lane at world position p -> (..., nc)."""
     cfg = scene.config
@@ -40,38 +70,8 @@ def volume_eval(scene, vol_idx, p, wavelengths, active=True):
                            inv_t=tg(params["w2l_it"], vslot))
             pl = tw.transform_affine_point(p)  # local in [0,1]^3
             grid = params["grid"]  # (n, D, H, W, C)
-            D, H, W, C = grid.shape[1:]
-            gx = jnp.clip(pl[..., 0], 0.0, 1.0) * (W - 1)
-            gy = jnp.clip(pl[..., 1], 0.0, 1.0) * (H - 1)
-            gz = jnp.clip(pl[..., 2], 0.0, 1.0) * (D - 1)
-            x0 = jnp.clip(gx.astype(jnp.int32), 0, W - 2) if W > 1 else jnp.zeros_like(gx, jnp.int32)
-            y0 = jnp.clip(gy.astype(jnp.int32), 0, H - 2) if H > 1 else jnp.zeros_like(gy, jnp.int32)
-            z0 = jnp.clip(gz.astype(jnp.int32), 0, D - 2) if D > 1 else jnp.zeros_like(gz, jnp.int32)
-            fx = (gx - x0)[..., None]
-            fy = (gy - y0)[..., None]
-            fz = (gz - z0)[..., None]
-            x1 = jnp.minimum(x0 + 1, W - 1)
-            y1 = jnp.minimum(y0 + 1, H - 1)
-            z1 = jnp.minimum(z0 + 1, D - 1)
-            s = vslot
-            # flat one-hot taps: 4-D advanced-indexing gathers are ~10-20x
-            # slower on TPU than a one-hot select over the flattened grid
-            flat = grid.reshape(-1, C)
-
-            def g(zi, yi, xi):
-                idx = ((s * D + zi) * H + yi) * W + xi
-                return tg(flat, idx,
-                          max_rows=max(512, 0 if flat.shape[0] > 4096
-                                       else flat.shape[0]))
-
-            c = (g(z0, y0, x0) * (1 - fx) * (1 - fy) * (1 - fz)
-                 + g(z0, y0, x1) * fx * (1 - fy) * (1 - fz)
-                 + g(z0, y1, x0) * (1 - fx) * fy * (1 - fz)
-                 + g(z0, y1, x1) * fx * fy * (1 - fz)
-                 + g(z1, y0, x0) * (1 - fx) * (1 - fy) * fz
-                 + g(z1, y0, x1) * fx * (1 - fy) * fz
-                 + g(z1, y1, x0) * (1 - fx) * fy * fz
-                 + g(z1, y1, x1) * fx * fy * fz)
+            C = grid.shape[-1]
+            c = _trilinear(grid, vslot, pl)
             inside = jnp.all((pl >= 0.0) & (pl <= 1.0), axis=-1)
             c = jnp.where(inside[..., None], c, 0.0)
             if C == 1:
@@ -86,36 +86,8 @@ def volume_eval(scene, vol_idx, p, wavelengths, active=True):
                            inv_t=tg(params["w2l_it"], vslot))
             pl = tw.transform_affine_point(p)
             grid = params["grid"]          # (n, D, H, W, S)
-            D, H, W, S = grid.shape[1:]
-            flat = grid.reshape(-1, S)
-            gx = jnp.clip(pl[..., 0], 0.0, 1.0) * (W - 1)
-            gy = jnp.clip(pl[..., 1], 0.0, 1.0) * (H - 1)
-            gz = jnp.clip(pl[..., 2], 0.0, 1.0) * (D - 1)
-            x0 = jnp.clip(gx.astype(jnp.int32), 0, max(W - 2, 0))
-            y0 = jnp.clip(gy.astype(jnp.int32), 0, max(H - 2, 0))
-            z0 = jnp.clip(gz.astype(jnp.int32), 0, max(D - 2, 0))
-            fx = (gx - x0)[..., None]
-            fy = (gy - y0)[..., None]
-            fz = (gz - z0)[..., None]
-            x1 = jnp.minimum(x0 + 1, W - 1)
-            y1 = jnp.minimum(y0 + 1, H - 1)
-            z1 = jnp.minimum(z0 + 1, D - 1)
-            sI = vslot
-
-            def g(zi, yi, xi):
-                idx = ((sI * D + zi) * H + yi) * W + xi
-                return tg(flat, idx,
-                          max_rows=max(512, 0 if flat.shape[0] > 4096
-                                       else flat.shape[0]))
-
-            spec = (g(z0, y0, x0) * (1 - fx) * (1 - fy) * (1 - fz)
-                    + g(z0, y0, x1) * fx * (1 - fy) * (1 - fz)
-                    + g(z0, y1, x0) * (1 - fx) * fy * (1 - fz)
-                    + g(z0, y1, x1) * fx * fy * (1 - fz)
-                    + g(z1, y0, x0) * (1 - fx) * (1 - fy) * fz
-                    + g(z1, y0, x1) * fx * (1 - fy) * fz
-                    + g(z1, y1, x0) * (1 - fx) * fy * fz
-                    + g(z1, y1, x1) * fx * fy * fz)   # (..., S)
+            S = grid.shape[-1]
+            spec = _trilinear(grid, vslot, pl)     # (..., S)
             inside = jnp.all((pl >= 0.0) & (pl <= 1.0), axis=-1)
             spec = jnp.where(inside[..., None], spec, 0.0)
             if cfg.variant.is_spectral:
