@@ -167,3 +167,61 @@ def test_srgb_xyz_roundtrip():
 def test_sample_shifted():
     v = np.asarray(sp.sample_shifted(jnp.asarray([0.9])))
     assert np.allclose(sorted(v[0]), [0.15, 0.4, 0.65, 0.9], atol=1e-6)
+
+
+def test_render_checkpoint_resume(tmp_path):
+    """Crash-resumable rendering: interrupting after pass 1 and re-invoking
+    with the same checkpoint path completes to the exact uninterrupted
+    film; a completed render removes its checkpoint."""
+    import os
+    from eradiate_kernel_tpu.scene import load_dict
+    from eradiate_kernel_tpu.utils import runtime
+    from eradiate_kernel_tpu.utils.scenes import cornell_box
+
+    sc = load_dict(cornell_box(width=8, height=8, spp=4, max_depth=3))
+    ckpt = str(tmp_path / "render.ckpt")
+    full = np.asarray(runtime.render(sc, seed=11, samples_per_pass=64,
+                                     develop_film=False))
+
+    class OnePass(runtime.RenderController):
+        def __init__(self):
+            super().__init__()
+            self.n = 0
+
+        def should_stop(self):
+            self.n += 1
+            return self.n > 1  # allow exactly one pass
+
+    runtime.render(sc, seed=11, samples_per_pass=64, develop_film=False,
+                   controller=OnePass(), checkpoint_path=ckpt)
+    assert os.path.exists(ckpt)  # interrupted: checkpoint kept
+    resumed = np.asarray(runtime.render(sc, seed=11, samples_per_pass=64,
+                                        develop_film=False,
+                                        checkpoint_path=ckpt))
+    assert np.allclose(resumed, full, atol=1e-6)
+    assert not os.path.exists(ckpt)  # completed: checkpoint removed
+
+
+def test_logger_appender_fanout():
+    """Logger: leveled filtering, appender fan-out, ERROR raises
+    (logger.h/appender.h semantics)."""
+    import io
+    import pytest
+    from eradiate_kernel_tpu.utils import runtime
+
+    log = runtime.Logger(log_level=runtime.INFO)
+    s1, s2 = io.StringIO(), io.StringIO()
+    log.add_appender(runtime.StreamAppender(s1))
+    log.add_appender(runtime.StreamAppender(s2))
+    log.debug("hidden")
+    log.info("hello", cls="Scene")
+    assert "hello" in s1.getvalue() and "hello" in s2.getvalue()
+    assert "Scene" in s1.getvalue()
+    assert "hidden" not in s1.getvalue()
+    log.remove_appender(log.appenders[1])
+    log.warn("only-first")
+    assert "only-first" in s1.getvalue()
+    assert "only-first" not in s2.getvalue()
+    with pytest.raises(RuntimeError):
+        log.error("boom")
+    assert "boom" in s1.getvalue()
