@@ -72,9 +72,24 @@ def _build_srf(spec, params):
 
 def _build_sensor(b, t, val, film_cfg):
     """Build (sensor_params, sensor_static) for sensor type ``t``."""
-    tw = as_transform(val.get("to_world"))
+    from ..core.transform import as_animated_transform
+
+    anim = as_animated_transform(val.get("to_world"))
+    if anim is not None:
+        # static fallback = first keyframe; sample_ray re-evaluates per-lane
+        # at the ray time when "to_world_anim" is present
+        tw = anim.eval(anim.times[0])
+    else:
+        tw = as_transform(val.get("to_world"))
     params = {}
     static = {}
+    if anim is not None:
+        params["to_world_anim"] = anim
+    if "shutter_open" in val or "shutter_close" in val:
+        so = float(val.get("shutter_open", 0.0))
+        sc_ = float(val.get("shutter_close", so))
+        params["shutter_open"] = jnp.asarray(so, jnp.float32)
+        params["shutter_span"] = jnp.asarray(sc_ - so, jnp.float32)
     if t in ("perspective", "thinlens"):
         fov = float(val.get("fov", 34.0))
         params["to_world"] = tw

@@ -121,6 +121,19 @@ def _parse_node(node, params, base_dir):
             d[name] = _parse_spectrum_value(a["value"])
         elif tag == "transform":
             d[name] = _parse_transform(child, params)
+        elif tag == "animation":
+            # <animation name="to_world"><transform time="0">...</transform>
+            # ... (xml.cpp Tag::Animation) -> animation keyframe dict
+            frames = []
+            for tr in child:
+                if tr.tag != "transform":
+                    raise ValueError("<animation> children must be "
+                                     "<transform time=...>")
+                t_attr = {k: _subst(v, params)
+                          for k, v in tr.attrib.items()}
+                frames.append([float(t_attr.get("time", len(frames))),
+                               _parse_transform(tr, params)])
+            d[name] = {"type": "animation", "keyframes": frames}
         elif tag == "ref":
             key = name or f"_ref_{len(d)}"
             d[key] = {"type": "ref", "id": a["id"]}

@@ -73,6 +73,16 @@ def _static(scene, key, default=None):
     return dict(scene.config.sensor_static).get(key, default)
 
 
+def _sensor_to_world(params, time):
+    """Static to_world, or the keyframe interpolation at the (batched) ray
+    time when the sensor carries an AnimatedTransform (transform.h:364;
+    sensor.cpp evaluates m_to_world at the ray's time)."""
+    anim = params.get("to_world_anim")
+    if anim is None:
+        return params["to_world"]
+    return anim.eval(time)
+
+
 def perspective_sample_ray(scene, params, sampler, pos_film, time):
     """src/sensors/perspective.cpp — pinhole camera.
 
@@ -81,7 +91,7 @@ def perspective_sample_ray(scene, params, sampler, pos_film, time):
     camera looks down +z (matches Transform.look_at).
     """
     batch = pos_film.shape[:-1]
-    tw: Transform = params["to_world"]
+    tw: Transform = _sensor_to_world(params, time)
     tan_x = params["tan_half_fov"]
     aspect = scene.config.film_height / scene.config.film_width
     x = (2.0 * pos_film[..., 0] - 1.0) * tan_x
@@ -98,7 +108,7 @@ def perspective_sample_ray(scene, params, sampler, pos_film, time):
 def thinlens_sample_ray(scene, params, sampler, pos_film, time):
     """src/sensors/thinlens.cpp — perspective + finite aperture/focus."""
     batch = pos_film.shape[:-1]
-    tw: Transform = params["to_world"]
+    tw: Transform = _sensor_to_world(params, time)
     tan_x = params["tan_half_fov"]
     aperture = params["aperture_radius"]
     focus = params["focus_distance"]
@@ -121,7 +131,7 @@ def thinlens_sample_ray(scene, params, sampler, pos_film, time):
 def radiancemeter_sample_ray(scene, params, sampler, pos_film, time):
     """src/sensors/radiancemeter.cpp — single ray from origin along direction."""
     batch = pos_film.shape[:-1]
-    tw: Transform = params["to_world"]
+    tw: Transform = _sensor_to_world(params, time)
     o = jnp.broadcast_to(tw.translation, batch + (3,))
     d = jnp.broadcast_to(
         normalize(tw.transform_vector(jnp.asarray([0.0, 0.0, 1.0]))), batch + (3,))
@@ -260,6 +270,13 @@ def register_sensor(name, fn):
 
 
 def sample_ray(scene, sampler, pos_film, time):
-    """Returns (ray, weight, sampler)."""
+    """Returns (ray, weight, sampler). Sensors with a shutter interval
+    replace the caller's time with a per-lane uniform draw over
+    [shutter_open, shutter_close] (sensor.cpp:58-62) — statically gated so
+    shutterless scenes keep their RNG streams unchanged."""
+    params = scene.sensor
+    if "shutter_open" in params:  # presence is a build-time static
+        sampler, u = sampler.next_1d()
+        time = params["shutter_open"] + u * params["shutter_span"]
     fn = REGISTRY[scene.config.sensor_kind]
-    return fn(scene, scene.sensor, sampler, pos_film, time)
+    return fn(scene, params, sampler, pos_film, time)
