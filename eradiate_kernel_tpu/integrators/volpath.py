@@ -118,10 +118,68 @@ def _eval_null_transmission(scene, si, ray, active):
 # =============================================================================
 
 @pytree_dataclass
+class _WalkHit:
+    """Slim hit record for the NEE transmittance walks: only the fields the
+    walk bodies consume. A full SurfaceInteraction in the loop carry keeps
+    ~25+nc floats/lane live across every iteration (sh_frame, prim_uv,
+    dp_du/dv, wavelengths are never read there); this carries 13."""
+
+    t: jnp.ndarray            # (...,)
+    p: jnp.ndarray            # (..., 3)
+    n: jnp.ndarray            # (..., 3) geometric normal
+    shape_index: jnp.ndarray  # (...,) i32, -1 invalid
+    uv: jnp.ndarray           # (..., 2) surface uv (emitter textures)
+    wi: jnp.ndarray           # (..., 3) local incident dir (emitter side)
+
+    @property
+    def is_valid(self):
+        return jnp.isfinite(self.t) & (self.shape_index >= 0)
+
+    def offset_origin(self, d):
+        """spawn_ray's origin offset (interaction.h spawn_ray) without
+        building a Ray."""
+        from ..core.math import RayEpsilon
+
+        scale = 1.0 + jnp.max(jnp.abs(self.p), axis=-1)
+        sgn = jnp.where(jnp.sum(self.n * d, -1) >= 0.0, 1.0, -1.0)
+        return self.p + (RayEpsilon * scale * sgn)[..., None] * self.n
+
+    def view(self, wavelengths):
+        """Duck-typed SurfaceInteraction stand-in for emitter eval/pdf
+        call sites (they read t/p/n/uv/wi/wavelengths/shape_index only);
+        the wavelengths ride on the walk ray, not the carry."""
+        v = _WalkHitView()
+        v.t, v.p, v.n = self.t, self.p, self.n
+        v.shape_index, v.uv, v.wi = self.shape_index, self.uv, self.wi
+        v.wavelengths = wavelengths
+        v.is_valid = self.is_valid
+        return v
+
+
+class _WalkHitView:
+    __slots__ = ("t", "p", "n", "shape_index", "uv", "wi", "wavelengths",
+                 "is_valid")
+
+
+def _walk_hit(si) -> _WalkHit:
+    return _WalkHit(t=si.t, p=si.p, n=si.n, shape_index=si.shape_index,
+                    uv=si.uv, wi=si.wi)
+
+
+def _invalid_walk_hit(batch) -> _WalkHit:
+    return _WalkHit(t=jnp.full(batch, INVALID_T),
+                    p=jnp.zeros(batch + (3,)),
+                    n=jnp.zeros(batch + (3,)).at[..., 2].set(1.0),
+                    shape_index=jnp.full(batch, -1, jnp.int32),
+                    uv=jnp.zeros(batch + (2,)),
+                    wi=jnp.zeros(batch + (3,)).at[..., 2].set(1.0))
+
+
+@pytree_dataclass
 class _WalkState:
     sampler: Sampler
     ray: Ray
-    si: SurfaceInteraction
+    si: _WalkHit
     needs_intersection: jnp.ndarray
     medium_idx: jnp.ndarray
     transmittance: jnp.ndarray
@@ -196,7 +254,7 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
 
     state = _WalkState(
         sampler=sampler, ray=ray,
-        si=_invalid_si_like(scene, ray),
+        si=_invalid_walk_hit(batch),
         needs_intersection=jnp.ones(batch, bool),
         medium_idx=medium_idx,
         transmittance=jnp.where(active[..., None], jnp.ones(batch + (nc,)), 0.0),
@@ -231,7 +289,8 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
         do_isect = s.needs_intersection & (active_medium | active_surface)
         si = _cond_any(
             do_isect,
-            lambda: _merge_si(ray_intersect(scene.geo, ray), s.si, do_isect),
+            lambda: _merge_si(_walk_hit(ray_intersect(scene.geo, ray)),
+                              s.si, do_isect),
             s.si)
         needs_intersection = s.needs_intersection & ~do_isect
         n_rays = s.n_rays + jnp.sum(do_isect)
@@ -284,8 +343,8 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
                                   transmittance * null_tr, transmittance)
 
         # step past the surface
-        new_ray = si.spawn_ray(ray.d)
-        ray = Ray(o=jnp.where(active_surface[..., None], new_ray.o, ray.o),
+        o_new = si.offset_origin(ray.d)
+        ray = Ray(o=jnp.where(active_surface[..., None], o_new, ray.o),
                   d=ray.d, mint=jnp.where(active_surface, 0.0, ray.mint),
                   maxt=remaining, time=ray.time, wavelengths=ray.wavelengths)
         needs_intersection = needs_intersection | active_surface
@@ -340,7 +399,7 @@ def _invalid_si_like(scene, ray):
 class _DirectState:
     sampler: Sampler
     ray: Ray
-    si: SurfaceInteraction
+    si: _WalkHit
     needs_intersection: jnp.ndarray
     medium_idx: jnp.ndarray
     transmittance: jnp.ndarray
@@ -356,7 +415,7 @@ def _evaluate_direct_light(scene, ref_p, ray, si_ray, medium_idx, channel,
     nc = _nc(scene, ray)
 
     state = _DirectState(
-        sampler=sampler, ray=ray, si=si_ray,
+        sampler=sampler, ray=ray, si=_walk_hit(si_ray),
         needs_intersection=jnp.zeros(batch, bool),
         medium_idx=medium_idx,
         transmittance=jnp.where(active[..., None], jnp.ones(batch + (nc,)), 0.0),
@@ -383,7 +442,8 @@ def _evaluate_direct_light(scene, ref_p, ray, si_ray, medium_idx, channel,
         do_isect = s.needs_intersection & (active_medium | active_surface)
         si = _cond_any(
             do_isect,
-            lambda: _merge_si(ray_intersect(scene.geo, ray), s.si, do_isect),
+            lambda: _merge_si(_walk_hit(ray_intersect(scene.geo, ray)),
+                              s.si, do_isect),
             s.si)
         n_rays = s.n_rays + jnp.sum(do_isect)
 
@@ -417,12 +477,13 @@ def _evaluate_direct_light(scene, ref_p, ray, si_ray, medium_idx, channel,
         emitter_hit = hit_area | hit_env
 
         def _emitter_block():
-            e_area = emitters.eval_emitter_hit(scene, si, hit_area)
+            si_v = si.view(ray.wavelengths)
+            e_area = emitters.eval_emitter_hit(scene, si_v, hit_area)
             e_env = emitters.eval_environment(scene, ray, ~si.is_valid, hit_env)
             e_val = jnp.where(emitter_hit[..., None],
                               transmittance * (e_area + e_env), s.emitter_val)
             epdf = emitters.pdf_emitter_direction(
-                scene, ref_p, si, ~si.is_valid, emitter_hit, d=ray.d)
+                scene, ref_p, si_v, ~si.is_valid, emitter_hit, d=ray.d)
             return e_val, jnp.where(emitter_hit, epdf, s.emitter_pdf)
 
         emitter_val, emitter_pdf = _cond_any(
@@ -436,8 +497,8 @@ def _evaluate_direct_light(scene, ref_p, ray, si_ray, medium_idx, channel,
         transmittance = jnp.where(active_surface[..., None],
                                   transmittance * null_tr, transmittance)
 
-        new_ray = si.spawn_ray(ray.d)
-        ray = Ray(o=jnp.where(active_surface[..., None], new_ray.o, ray.o),
+        o_new = si.offset_origin(ray.d)
+        ray = Ray(o=jnp.where(active_surface[..., None], o_new, ray.o),
                   d=ray.d, mint=jnp.where(active_surface, 0.0, ray.mint),
                   maxt=ray.maxt, time=ray.time, wavelengths=ray.wavelengths)
         needs_intersection = needs_intersection | active_surface
