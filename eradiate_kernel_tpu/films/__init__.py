@@ -94,5 +94,11 @@ def save(path: str, image, mode: str = "rgb", pixel_format: str = "rgb",
             img = np.concatenate([img, extra], -1)
             names = names + list(aovs.keys())
         bitmap.write_exr(path, img, names)
+    elif path.lower().endswith(".pfm"):
+        bitmap.write_pfm(path, img)
+    elif path.lower().endswith(".ppm"):
+        bitmap.write_ppm(path, img)
+    elif path.lower().endswith((".hdr", ".rgbe")):
+        bitmap.write_rgbe(path, img)
     else:
         bitmap.write_png(path, img)

@@ -158,13 +158,133 @@ def write_png(path: str, img, gamma=True):
 
 
 def read_image(path: str):
-    """Generic loader: EXR via the native codec, everything else via PIL;
-    returns linear float32 (H, W, C)."""
-    if path.lower().endswith(".exr"):
+    """Generic loader: EXR/PFM/PPM/HDR via the native codecs, everything
+    else via PIL; returns linear float32 (H, W, C)."""
+    low = path.lower()
+    if low.endswith(".exr"):
         return read_exr(path)[0]
+    if low.endswith(".pfm"):
+        return read_pfm(path)
+    if low.endswith(".ppm"):
+        return read_ppm(path)
+    if low.endswith((".hdr", ".rgbe")):
+        return read_rgbe(path)
     from PIL import Image
 
     img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
     # undo sRGB transfer
     return np.where(img <= 0.04045, img / 12.92,
                     ((img + 0.055) / 1.055) ** 2.4).astype(np.float32)
+
+
+# -----------------------------------------------------------------------------
+# PFM / PPM / RGBE — the reference's remaining HDR/portable formats
+# (bitmap.cpp FileFormat::{PFM,PPM,RGBE})
+# -----------------------------------------------------------------------------
+
+def write_pfm(path: str, img):
+    """Portable FloatMap: 'PF' (rgb) / 'Pf' (gray), little-endian, rows
+    bottom-up (bitmap.cpp write_pfm)."""
+    img = np.asarray(img, np.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, c = img.shape
+    if c == 1:
+        header, data = b"Pf", img[..., 0]
+    else:
+        if c != 3:
+            img = img[..., :3] if c > 3 else np.repeat(img, 3, -1)[..., :3]
+        header, data = b"PF", img
+    with open(path, "wb") as f:
+        f.write(header + b"\n%d %d\n-1.0\n" % (w, h))
+        f.write(np.ascontiguousarray(data[::-1]).tobytes())
+
+
+def read_pfm(path: str):
+    """Read PFM -> linear float32 (H, W, C)."""
+    with open(path, "rb") as f:
+        magic = f.readline().strip()
+        assert magic in (b"PF", b"Pf"), "not a PFM file"
+        w, h = (int(x) for x in f.readline().split())
+        scale = float(f.readline())
+        c = 3 if magic == b"PF" else 1
+        dt = "<f4" if scale < 0 else ">f4"
+        data = np.frombuffer(f.read(w * h * c * 4), dt).reshape(h, w, c)
+    return np.ascontiguousarray(data[::-1]).astype(np.float32)
+
+
+def write_ppm(path: str, img, gamma=True):
+    """Binary PPM (P6) with sRGB transfer (bitmap.cpp write_ppm)."""
+    img = np.asarray(img, np.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+    if img.shape[-1] == 1:
+        img = np.repeat(img, 3, -1)
+    img = img[..., :3]
+    if gamma:
+        a = np.clip(img, 0.0, 1.0)
+        img = np.where(a <= 0.0031308, 12.92 * a,
+                       1.055 * a ** (1 / 2.4) - 0.055)
+    u8 = (np.clip(img, 0, 1) * 255 + 0.5).astype(np.uint8)
+    h, w, _ = u8.shape
+    with open(path, "wb") as f:
+        f.write(b"P6\n%d %d\n255\n" % (w, h))
+        f.write(u8.tobytes())
+
+
+def read_ppm(path: str):
+    """Read binary PPM (P6) -> linear float32 (H, W, 3)."""
+    with open(path, "rb") as f:
+        assert f.readline().strip() == b"P6", "not a binary PPM"
+        line = f.readline()
+        while line.startswith(b"#"):
+            line = f.readline()
+        w, h = (int(x) for x in line.split())
+        maxv = int(f.readline())
+        data = np.frombuffer(f.read(w * h * 3), np.uint8).reshape(h, w, 3)
+    img = data.astype(np.float32) / maxv
+    return np.where(img <= 0.04045, img / 12.92,
+                    ((img + 0.055) / 1.055) ** 2.4).astype(np.float32)
+
+
+def write_rgbe(path: str, img):
+    """Radiance .hdr (shared-exponent RGBE, uncompressed scanlines —
+    bitmap.cpp FileFormat::RGBE / Ward's format)."""
+    img = np.asarray(img, np.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+    if img.shape[-1] == 1:
+        img = np.repeat(img, 3, -1)
+    img = np.maximum(img[..., :3], 0.0)
+    h, w, _ = img.shape
+    maxc = img.max(-1)
+    nz = maxc >= 1e-32
+    _m, e = np.frexp(np.where(nz, maxc, 1.0))
+    scale = np.where(nz, np.ldexp(1.0, -e) * 256.0, 0.0)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., :3] = np.clip(img * scale[..., None], 0, 255).astype(np.uint8)
+    rgbe[..., 3] = np.where(nz, e + 128, 0).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(b"-Y %d +X %d\n" % (h, w))
+        f.write(rgbe.tobytes())
+
+
+def read_rgbe(path: str):
+    """Read an uncompressed Radiance .hdr -> linear float32 (H, W, 3)."""
+    with open(path, "rb") as f:
+        assert f.readline().startswith(b"#?"), "not a Radiance file"
+        line = f.readline()
+        while line.strip():
+            line = f.readline()
+        res = f.readline().split()
+        assert res[0] == b"-Y" and res[2] == b"+X", "unsupported orientation"
+        h, w = int(res[1]), int(res[3])
+        data = np.frombuffer(f.read(h * w * 4), np.uint8)
+        if data.size != h * w * 4:
+            raise ValueError("RLE-compressed .hdr not supported")
+        rgbe = data.reshape(h, w, 4)
+    e = rgbe[..., 3].astype(np.int32)
+    scale = np.where(e > 0, np.ldexp(1.0, e - 136), 0.0)
+    return (rgbe[..., :3].astype(np.float32) * scale[..., None]) \
+        .astype(np.float32)

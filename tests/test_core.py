@@ -225,3 +225,30 @@ def test_logger_appender_fanout():
     with pytest.raises(RuntimeError):
         log.error("boom")
     assert "boom" in s1.getvalue()
+
+
+def test_bitmap_pfm_ppm_rgbe_roundtrip(tmp_path):
+    """PFM (float), PPM (8-bit sRGB), RGBE (.hdr shared-exponent) codecs
+    (bitmap.cpp FileFormat coverage beyond EXR/PNG)."""
+    from eradiate_kernel_tpu.utils import bitmap as bm
+
+    img = np.random.RandomState(0).rand(7, 5, 3).astype(np.float32) * 3.0
+    p = str(tmp_path / "t.pfm")
+    bm.write_pfm(p, img)
+    assert np.allclose(bm.read_pfm(p), img)
+    assert np.allclose(bm.read_image(p), img)
+
+    p2 = str(tmp_path / "t.ppm")
+    bm.write_ppm(p2, img / 3.0)
+    assert np.abs(bm.read_ppm(p2) - np.clip(img / 3.0, 0, 1)).max() < 0.01
+
+    p3 = str(tmp_path / "t.hdr")
+    bm.write_rgbe(p3, img)
+    rel = np.abs(bm.read_rgbe(p3) - img) \
+        / np.maximum(img.max(-1, keepdims=True), 1e-6)
+    assert rel.max() < 0.01
+
+    # gray PFM
+    p4 = str(tmp_path / "g.pfm")
+    bm.write_pfm(p4, img[..., 0])
+    assert np.allclose(bm.read_pfm(p4)[..., 0], img[..., 0])
