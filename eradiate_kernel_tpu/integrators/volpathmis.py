@@ -41,9 +41,9 @@ from ..core.rng import Sampler
 from ..core.types import pytree_dataclass
 from ..render.geometry import ray_intersect
 from ..render.records import SurfaceInteraction
-from .volpath import (_eval_null_transmission, _invalid_si_like,
-                      _is_medium_transition, _medium_phase, _merge_si,
-                      _pseudo_si, _target_medium)
+from .volpath import (_cond_any, _eval_null_transmission, _invalid_mi,
+                      _invalid_si_like, _is_medium_transition, _medium_phase,
+                      _merge_si, _pseudo_si, _target_medium)
 
 
 def _update(pf, p, f, active):
@@ -237,9 +237,23 @@ class _State:
     last_scatter_p: jnp.ndarray   # (..., 3) last real scatter vertex
     valid_ray: jnp.ndarray
     active: jnp.ndarray
+    n_rays: jnp.ndarray  # () f32 — rays traced (bench accounting)
 
 
-def sample(scene, sampler: Sampler, ray: Ray, active=None, medium_idx=None):
+def _knobs(scene):
+    """(max_iterations, bounce kwargs) — the regen-driver contract."""
+    cfg = scene.config.integrator
+    extra = dict(cfg.extra)
+    max_iterations = int(extra.get("max_iterations", cfg.max_depth + 8))
+    nee_steps = int(extra.get("nee_steps", 8))
+    return max_iterations, dict(nee_steps=nee_steps, max_depth=cfg.max_depth,
+                                rr_depth=cfg.rr_depth)
+
+
+def _init_state(scene, sampler: Sampler, ray: Ray, active=None,
+                medium_idx=None):
+    """Fresh per-lane path state (the pre-loop section of
+    volpathmis.cpp:100-133)."""
     cfg = scene.config.integrator
     batch = ray.o.shape[:-1]
     nc = ray.wavelengths.shape[-1] if scene.config.variant.is_spectral \
@@ -250,12 +264,6 @@ def sample(scene, sampler: Sampler, ray: Ray, active=None, medium_idx=None):
     active = active & (v0 == 0.0)
     if medium_idx is None:
         medium_idx = jnp.full(batch, scene.config.sensor_medium, jnp.int32)
-
-    max_depth = cfg.max_depth
-    rr_depth = cfg.rr_depth
-    extra = dict(cfg.extra)
-    max_iterations = int(extra.get("max_iterations", max_depth + 8))
-    nee_steps = int(extra.get("nee_steps", 8))
 
     # the balance heuristic across channel strategies assumes the driving
     # channel is drawn uniformly (one-sample MIS); hero wavelengths are
@@ -268,8 +276,7 @@ def sample(scene, sampler: Sampler, ray: Ray, active=None, medium_idx=None):
 
     hide = cfg.hide_emitters
     ones = jnp.ones(batch + (nc, nc)) + v0[..., None, None]
-
-    state = _State(
+    return _State(
         sampler=sampler, ray=ray, si=_invalid_si_like(scene, ray),
         needs_intersection=jnp.ones(batch, bool) & (v0 == 0.0),
         medium_idx=medium_idx + (0 * v0).astype(jnp.int32),
@@ -282,215 +289,236 @@ def sample(scene, sampler: Sampler, ray: Ray, active=None, medium_idx=None):
         last_scatter_p=ray.o,
         valid_ray=jnp.full(batch, (not hide)
                            and scene.config.env_emitter >= 0) & (v0 == 0.0),
-        active=active)
+        active=active, n_rays=jnp.zeros(()))
 
-    def body(s: _State):
-        smp = s.sampler
-        active = s.active
-        ray = s.ray
-        si = s.si
-        result = s.result
-        pf = s.pf
-        pf_nee = s.pf_nee
 
-        # --- russian roulette (:134-146) --------------------------------------
-        mis_tp = _mis1(pf)
-        q = jax.lax.stop_gradient(
-            jnp.clip(jnp.minimum(jnp.max(mis_tp, -1) * s.eta ** 2, 0.95),
-                     0.05, 1.0))
-        perform_rr = s.depth > rr_depth
-        smp, xi_rr = smp.next_1d()
-        active = active & ((xi_rr < q) | ~perform_rr)
-        pf = _update(pf, _bcast(q, nc), jnp.ones(batch + (nc,)),
-                     active & perform_rr)
-        active = active & jnp.any(_mis1(pf) != 0, -1)
+def _bounce(scene, s: _State, *, nee_steps, max_depth, rr_depth):
+    """One masked wavefront bounce (volpathmis.cpp:134-330). Module-level
+    so both the fixed-trip tracer and the regenerating driver can drive
+    it."""
+    cfg = scene.config.integrator
+    batch = s.ray.o.shape[:-1]
+    nc = s.result.shape[-1]
+    smp = s.sampler
+    active = s.active
+    ray = s.ray
+    si = s.si
+    result = s.result
+    pf = s.pf
+    pf_nee = s.pf_nee
 
-        active_medium = active & (s.medium_idx >= 0)
-        active_surface = active & ~active_medium
+    # --- russian roulette (:134-146) --------------------------------------
+    mis_tp = _mis1(pf)
+    q = jax.lax.stop_gradient(
+        jnp.clip(jnp.minimum(jnp.max(mis_tp, -1) * s.eta ** 2, 0.95),
+                 0.05, 1.0))
+    perform_rr = s.depth > rr_depth
+    smp, xi_rr = smp.next_1d()
+    active = active & ((xi_rr < q) | ~perform_rr)
+    pf = _update(pf, _bcast(q, nc), jnp.ones(batch + (nc,)),
+                 active & perform_rr)
+    active = active & jnp.any(_mis1(pf) != 0, -1)
 
-        # --- medium sampling (:160-220) ----------------------------------------
-        med = jnp.maximum(s.medium_idx, 0)
-        smp, xi_m = smp.next_1d()
-        mi = media.sample_interaction(scene, med, ray, xi_m, s.channel,
-                                      active_medium)
-        intersect = s.needs_intersection & active_medium
-        si = _merge_si(ray_intersect(scene.geo, ray), si, intersect)
-        needs_intersection = s.needs_intersection & ~active_medium
-        mi = mi.replace(t=jnp.where(active_medium & (si.t < mi.t),
-                                    INVALID_T, mi.t))
+    active_medium = active & (s.medium_idx >= 0)
+    active_surface = active & ~active_medium
 
-        tr, ff_pdf = media.eval_tr_and_pdf(mi, si.t)
-        pf = _update(pf, ff_pdf, tr, active_medium)
-        pf_nee = _update(pf_nee, ff_pdf, tr, active_medium)
+    # --- medium sampling (:160-220); ONE cond-gated intersection serves
+    # both the (disjoint) medium and surface lane sets, volpath-style -------
+    med = jnp.maximum(s.medium_idx, 0)
+    smp, xi_m = smp.next_1d()
+    mi = _cond_any(
+        active_medium,
+        lambda: media.sample_interaction(scene, med, ray, xi_m, s.channel,
+                                         active_medium),
+        _invalid_mi(batch, nc))
+    do_isect = s.needs_intersection & (active_medium | active_surface)
+    si = _cond_any(
+        do_isect,
+        lambda: _merge_si(ray_intersect(scene.geo, ray), si, do_isect),
+        si)
+    needs_intersection = s.needs_intersection & ~do_isect
+    n_rays = s.n_rays + jnp.sum(do_isect)
+    mi = mi.replace(t=jnp.where(active_medium & (si.t < mi.t),
+                                INVALID_T, mi.t))
 
-        escaped_medium = active_medium & ~mi.is_valid
-        active_medium = active_medium & mi.is_valid
+    tr, ff_pdf = media.eval_tr_and_pdf(mi, si.t)
+    pf = _update(pf, ff_pdf, tr, active_medium)
+    pf_nee = _update(pf_nee, ff_pdf, tr, active_medium)
 
-        smp, xi_n = smp.next_1d()
-        p_real_c = jax.lax.stop_gradient(
-            index_channel(mi.sigma_t, s.channel)
-            / jnp.maximum(index_channel(mi.combined_extinction, s.channel),
-                          1e-20))
-        null_scatter = xi_n >= p_real_c
-        act_null = null_scatter & active_medium
-        act_scatter = ~null_scatter & active_medium
+    escaped_medium = active_medium & ~mi.is_valid
+    active_medium = active_medium & mi.is_valid
 
-        ce = jnp.maximum(mi.combined_extinction, 1e-20)
-        pf = _update(pf, mi.sigma_n / ce, mi.sigma_n, act_null)
-        pf_nee = _update(pf_nee, jnp.ones_like(mi.sigma_n), mi.sigma_n,
-                         act_null)
-        pf = _update(pf, mi.sigma_t / ce, mi.sigma_s, act_scatter)
+    smp, xi_n = smp.next_1d()
+    p_real_c = jax.lax.stop_gradient(
+        index_channel(mi.sigma_t, s.channel)
+        / jnp.maximum(index_channel(mi.combined_extinction, s.channel),
+                      1e-20))
+    null_scatter = xi_n >= p_real_c
+    act_null = null_scatter & active_medium
+    act_scatter = ~null_scatter & active_medium
 
-        depth = s.depth + act_scatter.astype(jnp.int32)
-        active = active & (depth < max_depth)
-        act_scatter = act_scatter & active
+    ce = jnp.maximum(mi.combined_extinction, 1e-20)
+    pf = _update(pf, mi.sigma_n / ce, mi.sigma_n, act_null)
+    pf_nee = _update(pf_nee, jnp.ones_like(mi.sigma_n), mi.sigma_n,
+                     act_null)
+    pf = _update(pf, mi.sigma_t / ce, mi.sigma_s, act_scatter)
 
-        ray = ray.replace(
-            o=jnp.where(act_null[..., None], mi.p, ray.o),
-            mint=jnp.where(act_null, 0.0, ray.mint))
-        si = si.replace(t=jnp.where(act_null, si.t - mi.t, si.t))
+    depth = s.depth + act_scatter.astype(jnp.int32)
+    active = active & (depth < max_depth)
+    act_scatter = act_scatter & active
 
-        valid_ray = s.valid_ray | act_scatter
-        specular_chain = s.specular_chain & ~act_scatter
-        last_scatter_p = jnp.where(act_scatter[..., None], mi.p,
-                                   s.last_scatter_p)
+    ray = ray.replace(
+        o=jnp.where(act_null[..., None], mi.p, ray.o),
+        mint=jnp.where(act_null, 0.0, ray.mint))
+    si = si.replace(t=jnp.where(act_null, si.t - mi.t, si.t))
 
-        # real scatter: reset pf_nee (:237)
-        pf_nee = jnp.where(act_scatter[..., None, None], pf, pf_nee)
+    valid_ray = s.valid_ray | act_scatter
+    specular_chain = s.specular_chain & ~act_scatter
+    last_scatter_p = jnp.where(act_scatter[..., None], mi.p,
+                               s.last_scatter_p)
 
-        phase_idx = _medium_phase(scene, s.medium_idx)
+    # real scatter: reset pf_nee (:237)
+    pf_nee = jnp.where(act_scatter[..., None, None], pf, pf_nee)
 
-        # medium NEE (:226-233)
-        pf_nee_end, pf_uni_end, emitted, ds_m, smp = _sample_emitter_mis(
-            scene, mi.p, -ray.d, jnp.ones_like(act_scatter), ray.wavelengths,
-            ray.time, s.medium_idx, s.channel, smp, pf, act_scatter,
-            nee_steps)
-        phase_val = phase.phase_eval(scene, phase_idx, -ray.d, ds_m.d,
-                                     act_scatter)
-        pv = _bcast(phase_val, nc)
-        pf_nee_end = _update(pf_nee_end, jnp.ones_like(pv), pv, act_scatter)
-        pf_uni_end = _update(
-            pf_uni_end, jnp.where(ds_m.delta[..., None], 0.0, pv), pv,
-            act_scatter)
-        result = result + jnp.where(
-            act_scatter[..., None],
-            _mis2(pf_nee_end, pf_uni_end) * emitted, 0.0)
+    phase_idx = _medium_phase(scene, s.medium_idx)
 
-        # phase sampling (:240-248)
-        smp, xi_p1 = smp.next_1d()
-        smp, xi_p2 = smp.next_2d()
-        wo_m, ppdf = phase.phase_sample(scene, phase_idx, ray.d, xi_p1,
-                                        xi_p2, act_scatter)
-        pp = _bcast(ppdf, nc)
-        pf = _update(pf, pp, pp, act_scatter)
-        pf_nee = _update(pf_nee, jnp.ones_like(pp), pp, act_scatter)
-        ray = Ray(
-            o=jnp.where(act_scatter[..., None], mi.p, ray.o),
-            d=jnp.where(act_scatter[..., None], wo_m, ray.d),
-            mint=jnp.where(act_scatter, 0.0, ray.mint),
-            maxt=jnp.where(act_scatter, INVALID_T, ray.maxt),
-            time=ray.time, wavelengths=ray.wavelengths)
-        needs_intersection = needs_intersection | act_scatter
+    # medium NEE (:226-233)
+    pf_nee_end, pf_uni_end, emitted, ds_m, smp = _sample_emitter_mis(
+        scene, mi.p, -ray.d, jnp.ones_like(act_scatter), ray.wavelengths,
+        ray.time, s.medium_idx, s.channel, smp, pf, act_scatter,
+        nee_steps)
+    phase_val = phase.phase_eval(scene, phase_idx, -ray.d, ds_m.d,
+                                 act_scatter)
+    pv = _bcast(phase_val, nc)
+    pf_nee_end = _update(pf_nee_end, jnp.ones_like(pv), pv, act_scatter)
+    pf_uni_end = _update(
+        pf_uni_end, jnp.where(ds_m.delta[..., None], 0.0, pv), pv,
+        act_scatter)
+    result = result + jnp.where(
+        act_scatter[..., None],
+        _mis2(pf_nee_end, pf_uni_end) * emitted, 0.0)
 
-        # --- surface (:255-330) -------------------------------------------------
-        active_surface = active_surface | escaped_medium
-        intersect2 = active_surface & needs_intersection
-        si = _merge_si(ray_intersect(scene.geo, ray), si, intersect2)
-        needs_intersection = needs_intersection & ~intersect2
+    # phase sampling (:240-248)
+    smp, xi_p1 = smp.next_1d()
+    smp, xi_p2 = smp.next_2d()
+    wo_m, ppdf = phase.phase_sample(scene, phase_idx, ray.d, xi_p1,
+                                    xi_p2, act_scatter)
+    pp = _bcast(ppdf, nc)
+    pf = _update(pf, pp, pp, act_scatter)
+    pf_nee = _update(pf_nee, jnp.ones_like(pp), pp, act_scatter)
+    ray = Ray(
+        o=jnp.where(act_scatter[..., None], mi.p, ray.o),
+        d=jnp.where(act_scatter[..., None], wo_m, ray.d),
+        mint=jnp.where(act_scatter, 0.0, ray.mint),
+        maxt=jnp.where(act_scatter, INVALID_T, ray.maxt),
+        time=ray.time, wavelengths=ray.wavelengths)
+    needs_intersection = needs_intersection | act_scatter
 
-        # emitter hits count every iteration; MIS weights absorb the NEE
-        # overlap (volpathmis.cpp:262-276). count_direct = camera ray or
-        # pure-specular chain -> single-strategy weight.
-        em_idx = _tg(scene.shape_emitter, jnp.maximum(si.shape_index, 0))
-        hit_area = active_surface & si.is_valid & (em_idx >= 0)
-        hit_env = active_surface & ~si.is_valid \
-            & (scene.config.env_emitter >= 0)
-        active_e = hit_area | hit_env
-        if cfg.hide_emitters:
-            active_e = active_e & (s.depth > 0)
-        count_direct = (s.depth == 0) | specular_chain
-        e_val = emitters.eval_emitter_hit(scene, si, active_e & hit_area) \
-            + emitters.eval_environment(scene, ray, ~si.is_valid,
-                                        active_e & hit_env)
-        epdf = emitters.pdf_emitter_direction(
-            scene, last_scatter_p, si, ~si.is_valid,
-            active_e & ~count_direct, d=ray.d)
-        pf_nee_hit = _update(pf_nee, _bcast(epdf, nc),
-                             jnp.ones(batch + (nc,)),
-                             active_e & ~count_direct)
-        contrib = jnp.where(count_direct[..., None],
-                            _mis1(pf) * e_val,
-                            _mis2(pf, pf_nee_hit) * e_val)
-        result = result + jnp.where(active_e[..., None], contrib, 0.0)
+    # --- surface (:255-330; si fresh from the merged intersect) -------------
+    active_surface = active_surface | escaped_medium
 
-        active_surface = active_surface & si.is_valid
-        bsdf_idx = _tg(scene.shape_bsdf, jnp.maximum(si.shape_index, 0))
-        flags = _tg(scene.bsdf_flags, bsdf_idx)
-        is_smooth = (flags & bsdf_flags.Smooth) != 0
+    # emitter hits count every iteration; MIS weights absorb the NEE
+    # overlap (volpathmis.cpp:262-276). count_direct = camera ray or
+    # pure-specular chain -> single-strategy weight.
+    em_idx = _tg(scene.shape_emitter, jnp.maximum(si.shape_index, 0))
+    hit_area = active_surface & si.is_valid & (em_idx >= 0)
+    hit_env = active_surface & ~si.is_valid \
+        & (scene.config.env_emitter >= 0)
+    active_e = hit_area | hit_env
+    if cfg.hide_emitters:
+        active_e = active_e & (s.depth > 0)
+    count_direct = (s.depth == 0) | specular_chain
+    e_val = emitters.eval_emitter_hit(scene, si, active_e & hit_area) \
+        + emitters.eval_environment(scene, ray, ~si.is_valid,
+                                    active_e & hit_env)
+    epdf = emitters.pdf_emitter_direction(
+        scene, last_scatter_p, si, ~si.is_valid,
+        active_e & ~count_direct, d=ray.d)
+    pf_nee_hit = _update(pf_nee, _bcast(epdf, nc),
+                         jnp.ones(batch + (nc,)),
+                         active_e & ~count_direct)
+    contrib = jnp.where(count_direct[..., None],
+                        _mis1(pf) * e_val,
+                        _mis2(pf, pf_nee_hit) * e_val)
+    result = result + jnp.where(active_e[..., None], contrib, 0.0)
 
-        # surface NEE (:285-295)
-        active_ne = active_surface & is_smooth & (depth + 1 < max_depth) & \
-            (scene.config.n_emitters > 0)
-        pf_nee_e, pf_uni_e, emitted_s, ds_s, smp = _sample_emitter_mis(
-            scene, si.p, si.n, jnp.zeros_like(active_ne), ray.wavelengths,
-            ray.time, s.medium_idx, s.channel, smp, pf, active_ne, nee_steps)
-        wo_local = si.to_local(ds_s.d)
-        bsdf_val, bsdf_pdf = bsdfs.bsdf_eval_pdf(scene, bsdf_idx, si,
-                                                 wo_local, active_ne)
-        pf_nee_e = _update(pf_nee_e, jnp.ones_like(bsdf_val), bsdf_val,
-                           active_ne)
-        pf_uni_e = _update(
-            pf_uni_e, jnp.where(ds_s.delta[..., None], 0.0,
-                                _bcast(bsdf_pdf, nc)), bsdf_val, active_ne)
-        result = result + jnp.where(
-            active_ne[..., None], _mis2(pf_nee_e, pf_uni_e) * emitted_s, 0.0)
+    active_surface = active_surface & si.is_valid
+    bsdf_idx = _tg(scene.shape_bsdf, jnp.maximum(si.shape_index, 0))
+    flags = _tg(scene.bsdf_flags, bsdf_idx)
+    is_smooth = (flags & bsdf_flags.Smooth) != 0
 
-        # bsdf sampling (:300-319)
-        smp, xb1 = smp.next_1d()
-        smp, xb2 = smp.next_2d()
-        bs, bsdf_weight = bsdfs.bsdf_sample(scene, bsdf_idx, si, xb1, xb2,
-                                            active_surface)
-        f_bsdf = bsdf_weight * jnp.maximum(bs.pdf[..., None], 1e-20)
+    # surface NEE (:285-295)
+    active_ne = active_surface & is_smooth & (depth + 1 < max_depth) & \
+        (scene.config.n_emitters > 0)
+    pf_nee_e, pf_uni_e, emitted_s, ds_s, smp = _sample_emitter_mis(
+        scene, si.p, si.n, jnp.zeros_like(active_ne), ray.wavelengths,
+        ray.time, s.medium_idx, s.channel, smp, pf, active_ne, nee_steps)
+    wo_local = si.to_local(ds_s.d)
+    bsdf_val, bsdf_pdf = bsdfs.bsdf_eval_pdf(scene, bsdf_idx, si,
+                                             wo_local, active_ne)
+    pf_nee_e = _update(pf_nee_e, jnp.ones_like(bsdf_val), bsdf_val,
+                       active_ne)
+    pf_uni_e = _update(
+        pf_uni_e, jnp.where(ds_s.delta[..., None], 0.0,
+                            _bcast(bsdf_pdf, nc)), bsdf_val, active_ne)
+    result = result + jnp.where(
+        active_ne[..., None], _mis2(pf_nee_e, pf_uni_e) * emitted_s, 0.0)
 
-        sampled_null = (bs.sampled_type & bsdf_flags.Null) != 0
-        sampled_delta = (bs.sampled_type & bsdf_flags.Delta) != 0
-        non_null = active_surface & ~sampled_null
-        pf_nee = jnp.where(non_null[..., None, None], pf, pf_nee)
-        pf = _update(pf, _bcast(bs.pdf, nc), f_bsdf, active_surface)
-        pf_nee = _update(pf_nee, jnp.ones(batch + (nc,)), f_bsdf, non_null)
+    # bsdf sampling (:300-319)
+    smp, xb1 = smp.next_1d()
+    smp, xb2 = smp.next_2d()
+    bs, bsdf_weight = bsdfs.bsdf_sample(scene, bsdf_idx, si, xb1, xb2,
+                                        active_surface)
+    f_bsdf = bsdf_weight * jnp.maximum(bs.pdf[..., None], 1e-20)
 
-        depth = depth + non_null.astype(jnp.int32)
-        valid_ray = valid_ray | non_null
-        last_scatter_p = jnp.where(non_null[..., None], si.p, last_scatter_p)
-        specular_chain = (specular_chain | (non_null & sampled_delta)) \
-            & ~(active_surface & ((bs.sampled_type
-                                   & bsdf_flags.Smooth) != 0))
+    sampled_null = (bs.sampled_type & bsdf_flags.Null) != 0
+    sampled_delta = (bs.sampled_type & bsdf_flags.Delta) != 0
+    non_null = active_surface & ~sampled_null
+    pf_nee = jnp.where(non_null[..., None, None], pf, pf_nee)
+    pf = _update(pf, _bcast(bs.pdf, nc), f_bsdf, active_surface)
+    pf_nee = _update(pf_nee, jnp.ones(batch + (nc,)), f_bsdf, non_null)
 
-        new_ray = si.spawn_ray(si.to_world(bs.wo))
-        ray = Ray(o=jnp.where(active_surface[..., None], new_ray.o, ray.o),
-                  d=jnp.where(active_surface[..., None], new_ray.d, ray.d),
-                  mint=jnp.where(active_surface, new_ray.mint, ray.mint),
-                  maxt=jnp.where(active_surface, INVALID_T, ray.maxt),
-                  time=ray.time, wavelengths=ray.wavelengths)
-        needs_intersection = needs_intersection | active_surface
-        eta = jnp.where(active_surface, s.eta * bs.eta, s.eta)
+    depth = depth + non_null.astype(jnp.int32)
+    valid_ray = valid_ray | non_null
+    last_scatter_p = jnp.where(non_null[..., None], si.p, last_scatter_p)
+    specular_chain = (specular_chain | (non_null & sampled_delta)) \
+        & ~(active_surface & ((bs.sampled_type
+                               & bsdf_flags.Smooth) != 0))
 
-        has_trans = active_surface & _is_medium_transition(scene, si)
-        medium_next = jnp.where(has_trans, _target_medium(scene, si, ray.d),
-                                s.medium_idx)
+    new_ray = si.spawn_ray(si.to_world(bs.wo))
+    ray = Ray(o=jnp.where(active_surface[..., None], new_ray.o, ray.o),
+              d=jnp.where(active_surface[..., None], new_ray.d, ray.d),
+              mint=jnp.where(active_surface, new_ray.mint, ray.mint),
+              maxt=jnp.where(active_surface, INVALID_T, ray.maxt),
+              time=ray.time, wavelengths=ray.wavelengths)
+    needs_intersection = needs_intersection | active_surface
+    eta = jnp.where(active_surface, s.eta * bs.eta, s.eta)
 
-        active = active & (active_surface | active_medium)
-        active = active & jnp.any(_mis1(pf) != 0, -1)
+    has_trans = active_surface & _is_medium_transition(scene, si)
+    medium_next = jnp.where(has_trans, _target_medium(scene, si, ray.d),
+                            s.medium_idx)
 
-        return _State(
-            sampler=smp, ray=ray, si=si,
-            needs_intersection=needs_intersection,
-            medium_idx=medium_next,
-            pf=pf, pf_nee=pf_nee,
-            result=result, eta=eta, depth=depth, channel=s.channel,
-            specular_chain=specular_chain, last_scatter_p=last_scatter_p,
-            valid_ray=valid_ray, active=active)
+    active = active & (active_surface | active_medium)
+    active = active & jnp.any(_mis1(pf) != 0, -1)
 
-    final, _ = jax.lax.scan(lambda s, _: (body(s), None), state, None,
+    return _State(
+        sampler=smp, ray=ray, si=si,
+        needs_intersection=needs_intersection,
+        medium_idx=medium_next,
+        pf=pf, pf_nee=pf_nee,
+        result=result, eta=eta, depth=depth, channel=s.channel,
+        specular_chain=specular_chain, last_scatter_p=last_scatter_p,
+        valid_ray=valid_ray, active=active, n_rays=n_rays)
+
+
+
+def sample(scene, sampler: Sampler, ray: Ray, active=None, medium_idx=None):
+    max_iterations, bkw = _knobs(scene)
+    state = _init_state(scene, sampler, ray, active, medium_idx)
+
+    def scan_body(s, _):
+        return _bounce(scene, s, **bkw), None
+
+    final, _ = jax.lax.scan(jax.checkpoint(scan_body), state, None,
                             length=max_iterations)
     return final.result, final.valid_ray, final.sampler

@@ -213,3 +213,19 @@ def test_regen_path_integrator():
                                            samples_per_pass=64))
     assert np.allclose(img_std, img_rg, rtol=1e-4, atol=1e-6), \
         np.abs(img_std - img_rg).max()
+
+
+def test_regen_volpathmis():
+    """The regen driver also drives volpathmis (per-lane bounce hooks with
+    the spectral MIS weight matrices in the carry)."""
+    from eradiate_kernel_tpu.scene import load_dict
+    from eradiate_kernel_tpu import integrators
+    from eradiate_kernel_tpu.utils.scenes import atmosphere
+
+    d = atmosphere(width=8, height=8, spp=4, max_depth=6)
+    d["integrator"]["type"] = "volpathmis"
+    sc = load_dict(d)
+    a = np.asarray(integrators.render(sc, seed=2))
+    b = np.asarray(integrators.render(sc, seed=2, regen=True,
+                                      samples_per_pass=64))
+    assert np.allclose(a, b, rtol=1e-4, atol=1e-6), np.abs(a - b).max()
