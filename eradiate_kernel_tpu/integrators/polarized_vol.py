@@ -38,7 +38,7 @@ from ..render.geometry import ray_intersect
 from ..render.records import SurfaceInteraction
 from .common import mis_weight
 from ..core.math import INVALID_T
-from .volpath import (_all_emitters_delta, _cond_any, _eval_null_transmission,
+from .volpath import (_all_emitters_delta, _cond_any,
                       _evaluate_direct_light, _index_ch, _init_state,
                       _invalid_mi, _is_medium_transition, _knobs, _medium_phase,
                       _merge_si, _nc, _sample_emitter, _target_medium)

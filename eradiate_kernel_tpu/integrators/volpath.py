@@ -225,8 +225,6 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
                     use_while=False):
     """Returns (contribution, ds, sampler): emitter radiance attenuated by
     ratio-tracked transmittance along the connection."""
-    from ..render.records import SurfaceInteraction as SI
-
     batch = ref_p.shape[:-1]
     nc = wavelengths.shape[-1] if scene.config.variant.is_spectral \
         else scene.config.variant.n_channels
