@@ -34,9 +34,10 @@ def main():
     # lanes refilled immediately, so every bounce runs near full occupancy
     # (integrators.render_wavefront_regen). n_lanes is the memory knob (the
     # reference's samples_per_pass, integrator.cpp:59-65).
-    # swept on v5e: 16k lanes peak (256k: 1.5, 64k: 3.5, 32k: 3.95,
-    # 16k: 4.03, 8k: 3.7 Mrays/s) — small pools keep refill occupancy high
-    n_lanes = int(os.environ.get("BENCH_LANES", 1 << 14))
+    # swept on v5e (post walk/trilinear optimizations): 16k 5.04, 24k 5.16,
+    # 32k 5.04 Mrays/s — small pools keep refill occupancy high, large ones
+    # amortize per-step overhead; the optimum is flat around 16-32k
+    n_lanes = int(os.environ.get("BENCH_LANES", 24 * 1024))
 
     fn = jax.jit(integrators.render_wavefront_regen,
                  static_argnames=("n_lanes", "spp"))
