@@ -46,12 +46,13 @@ def main():
 
     iters = 4
     t0 = time.perf_counter()
-    rays = 0.0
+    rays_dev = jnp.zeros(())
     for i in range(iters):
         film, n_rays = fn(scene, n_lanes, jnp.uint32(i + 1), spp)
-        rays += float(n_rays)
+        rays_dev = rays_dev + n_rays  # stays on device: iterations pipeline
     film.block_until_ready()
     dt = time.perf_counter() - t0
+    rays = float(rays_dev)
 
     mrays_per_s = rays / dt / 1e6
     baseline_path = os.path.join(os.path.dirname(__file__),
