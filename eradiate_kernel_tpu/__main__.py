@@ -34,6 +34,10 @@ def main(argv=None):
                     help="render timeout in seconds (partial image saved)")
     ap.add_argument("-p", "--progress", action="store_true",
                     help="show a progress bar")
+    ap.add_argument("--regen", action="store_true",
+                    help="regenerating lane-pool renderer (fastest primal "
+                         "path for path/volpath/volpathmis; no progress/"
+                         "timeout granularity)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -54,11 +58,17 @@ def main(argv=None):
           f"{scene.config.film_width}x{scene.config.film_height}, "
           f"spp={args.spp or scene.config.spp})", file=sys.stderr)
 
-    ctl = runtime.RenderController(timeout=args.timeout)
     t0 = time.time()
-    film = runtime.render(scene, seed=args.seed, spp=args.spp,
-                          progress=args.progress, controller=ctl,
-                          develop_film=False)
+    if args.regen:
+        from . import integrators
+
+        film = integrators.render(scene, seed=args.seed, spp=args.spp,
+                                  develop_film=False, regen=True)
+    else:
+        ctl = runtime.RenderController(timeout=args.timeout)
+        film = runtime.render(scene, seed=args.seed, spp=args.spp,
+                              progress=args.progress, controller=ctl,
+                              develop_film=False)
     print(f"rendered in {time.time() - t0:.2f}s", file=sys.stderr)
 
     out = args.output or (args.scene.rsplit(".", 1)[0] + ".exr")
