@@ -405,3 +405,33 @@ def test_roughdielectric_mueller_consistency():
     assert (dop_num[ok] <= s_out[..., 0][ok] * (1 + 1e-4)).all()
     # polarization is actually produced at glancing reflections
     assert dop_num.max() > 1e-6
+
+
+def test_phase_mueller_physical_validity():
+    """phase_mueller for rayleigh media: M[0,0] equals the scalar phase for
+    random direction pairs (S0 parity after the world-basis rotations), and
+    the matrix maps physical Stokes vectors (DoP <= 1) to physical ones."""
+    from eradiate_kernel_tpu import phase as ph
+    from eradiate_kernel_tpu.utils.scenes import atmosphere
+
+    sc = load_dict(atmosphere(width=4, height=4, spp=2, max_depth=4))
+    n = 256
+    rng = np.random.RandomState(3)
+    wi = rng.randn(n, 3).astype(np.float32)
+    wi /= np.linalg.norm(wi, axis=-1, keepdims=True)
+    wo = rng.randn(n, 3).astype(np.float32)
+    wo /= np.linalg.norm(wo, axis=-1, keepdims=True)
+    idx = jnp.zeros(n, jnp.int32)
+
+    val = np.asarray(ph.phase_eval(sc, idx, jnp.asarray(wi), jnp.asarray(wo)))
+    m = np.asarray(ph.phase_mueller(sc, idx, jnp.asarray(wi),
+                                    jnp.asarray(wo)))
+    assert np.allclose(m[..., 0, 0], val, rtol=1e-5, atol=1e-7)
+
+    # random physical input Stokes vectors
+    s_in = rng.randn(n, 4).astype(np.float32)
+    s_in[:, 0] = np.abs(s_in[:, 0]) + np.linalg.norm(s_in[:, 1:], axis=-1)
+    s_out = np.einsum("nij,nj->ni", m, s_in)
+    ok = s_out[:, 0] > 1e-9
+    dop = np.linalg.norm(s_out[ok, 1:], axis=-1) / s_out[ok, 0]
+    assert (dop <= 1.0 + 1e-4).all(), dop.max()
