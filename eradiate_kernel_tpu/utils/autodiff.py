@@ -37,26 +37,31 @@ def _render_trainable(trainable, pm: ParameterMap, seed, spp,
                               samples_per_pass=samples_per_pass)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+@partial(jax.custom_vjp, nondiff_argnums=(1, 3))
 def _render_unbiased(trainable, pm, seed, spp):
-    return _render_trainable(trainable, pm, jnp.uint32(seed), spp)
+    # seed is a TRACED uint32 (a static seed would recompile the whole
+    # render every optimization iteration — 300x slower in practice)
+    return _render_trainable(trainable, pm, seed, spp)
 
 
 def _render_unbiased_fwd(trainable, pm, seed, spp):
-    img = _render_trainable(trainable, pm, jnp.uint32(seed), spp)
-    return img, trainable
+    img = _render_trainable(trainable, pm, seed, spp)
+    return img, (trainable, seed)
 
 
-def _render_unbiased_bwd(pm, seed, spp, trainable, ct):
+def _render_unbiased_bwd(pm, spp, res, ct):
     # adjoint through a decorrelated render (autodiff.py:142-157): the
     # gradient estimate is unbiased even when multiplied with the primal
     # image inside the loss (E[g(X) f(Y)] = E[g] E[f] for X independent of Y)
+    trainable, seed = res
     _, vjp = jax.vjp(
         lambda tr: _render_trainable(
-            tr, pm, jnp.uint32((seed + 0x9E3779B9) & 0xFFFFFFFF), spp),
+            tr, pm, seed + jnp.uint32(0x9E3779B9), spp),
         trainable)
     (g,) = vjp(ct)
-    return (g,)
+    import numpy as _np
+    seed_ct = _np.zeros(jnp.shape(seed), jax.dtypes.float0)
+    return (g, seed_ct)
 
 
 _render_unbiased.defvjp(_render_unbiased_fwd, _render_unbiased_bwd)
@@ -74,8 +79,7 @@ def render(scene_or_pm, params=None, seed=0, spp=None, unbiased=False):
         else traverse(scene_or_pm)
     trainable = params if params is not None else pm.trainable()
     if unbiased:
-        # seed must be a host int here (static in the custom_vjp residuals)
-        return _render_unbiased(trainable, pm, int(seed), spp)
+        return _render_unbiased(trainable, pm, jnp.uint32(seed), spp)
     return _render_trainable(trainable, pm, jnp.uint32(seed), spp)
 
 
