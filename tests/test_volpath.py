@@ -229,3 +229,20 @@ def test_regen_volpathmis():
     b = np.asarray(integrators.render(sc, seed=2, regen=True,
                                       samples_per_pass=64))
     assert np.allclose(a, b, rtol=1e-4, atol=1e-6), np.abs(a - b).max()
+
+
+def test_regen_spectral_distant():
+    """Regen driver under the Eradiate production configuration: spectral
+    variant, hero wavelengths, distant sensor."""
+    from eradiate_kernel_tpu.scene import load_dict
+    from eradiate_kernel_tpu import integrators
+    from eradiate_kernel_tpu.core.types import Variant
+    from eradiate_kernel_tpu.utils.scenes import atmosphere
+
+    d = atmosphere(width=4, height=4, spp=8, max_depth=6, sensor="distant")
+    sc = load_dict(d, variant=Variant("spectral"))
+    a = np.asarray(integrators.render(sc, seed=4))
+    b = np.asarray(integrators.render(sc, seed=4, regen=True,
+                                      samples_per_pass=4))
+    assert np.allclose(a, b, rtol=1e-4, atol=1e-6), np.abs(a - b).max()
+    assert np.isfinite(a).all() and a.max() > 0
