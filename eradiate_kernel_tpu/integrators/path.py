@@ -27,7 +27,7 @@ from ..core.types import pytree_dataclass
 from ..render.geometry import ray_intersect
 from ..core.ray import Ray
 from ..render.records import SurfaceInteraction
-from .common import mis_weight
+from .common import mis_weight, remat_scan_body as common_remat
 from .volpath import _cond_any, _merge_si, _invalid_si_like
 
 
@@ -207,8 +207,9 @@ def _trace(scene, sampler: Sampler, ray: Ray, active=None):
     def scan_body(s, _):
         return _bounce(scene, s, **bkw), None
 
-    final, _ = jax.lax.scan(jax.checkpoint(scan_body), state, None,
-                            length=max_iterations)
+    body = common_remat(scene, scan_body, state.ray.o.shape[:-1],
+                        max_iterations)
+    final, _ = jax.lax.scan(body, state, None, length=max_iterations)
     return final
 
 

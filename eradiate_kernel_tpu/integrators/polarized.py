@@ -38,7 +38,7 @@ from ..core.types import pytree_dataclass
 from ..render.geometry import ray_intersect
 from ..core.ray import Ray
 from ..render.records import SurfaceInteraction
-from .common import mis_weight
+from .common import mis_weight, remat_scan_body as common_remat
 
 
 @pytree_dataclass
@@ -188,6 +188,8 @@ def sample_stokes(scene, sampler: Sampler, ray: Ray, active=None):
     # scan budget: max_depth scattering events plus an allowance for
     # depth-free null/element traversals (the old stokes walk's
     # MAX_ELEMENTS = 8)
-    final, _ = jax.lax.scan(jax.checkpoint(scan_body), state, None,
+    body_fn = common_remat(scene, scan_body, ray.o.shape[:-1],
+                           max_depth + 8)
+    final, _ = jax.lax.scan(body_fn, state, None,
                             length=max_depth + 8)
     return final.result, valid_ray, final.sampler

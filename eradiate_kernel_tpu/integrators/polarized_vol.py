@@ -36,7 +36,7 @@ from ..core.ray import Ray
 from ..core.types import pytree_dataclass
 from ..render.geometry import ray_intersect
 from ..render.records import SurfaceInteraction
-from .common import mis_weight
+from .common import mis_weight, remat_scan_body as common_remat
 from ..core.math import INVALID_T
 from .volpath import (_all_emitters_delta, _cond_any,
                       _evaluate_direct_light, _index_ch, _init_state,
@@ -351,6 +351,8 @@ def sample_stokes(scene, sampler: Sampler, ray: Ray, active=None,
     def scan_body(s, _):
         return body(s), None
 
-    final, _ = jax.lax.scan(jax.checkpoint(scan_body), state, None,
+    body_fn = common_remat(scene, scan_body, ray.o.shape[:-1],
+                           max_iterations)
+    final, _ = jax.lax.scan(body_fn, state, None,
                             length=max_iterations)
     return final.result, final.valid_ray, final.sampler

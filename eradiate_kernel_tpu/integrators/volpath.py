@@ -27,7 +27,7 @@ from ..core.ray import Ray
 from ..core.types import pytree_dataclass
 from ..render.geometry import ray_intersect
 from ..render.records import SurfaceInteraction
-from .common import mis_weight
+from .common import mis_weight, remat_scan_body as common_remat
 from ..core.math import INVALID_T
 
 
@@ -923,9 +923,11 @@ def _trace_full(scene, sampler: Sampler, ray: Ray, active=None,
             final = body(final)
             _DEBUG_STATES.append(final)
     else:
-        # path-replay-style memory: recompute bounces in the backward pass
-        final, _ = jax.lax.scan(jax.checkpoint(scan_body), state, None,
-                                length=max_iterations)
+        # path-replay-style memory when the wavefront is large: recompute
+        # bounces in the backward pass (common.remat_scan_body policy)
+        body_fn = common_remat(scene, scan_body, ray.o.shape[:-1],
+                               max_iterations)
+        final, _ = jax.lax.scan(body_fn, state, None, length=max_iterations)
     return final
 
 

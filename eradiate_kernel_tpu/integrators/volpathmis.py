@@ -41,6 +41,7 @@ from ..core.rng import Sampler
 from ..core.types import pytree_dataclass
 from ..render.geometry import ray_intersect
 from ..render.records import SurfaceInteraction
+from .common import remat_scan_body as common_remat
 from .volpath import (_cond_any, _eval_null_transmission, _invalid_mi,
                       _invalid_si_like, _is_medium_transition, _medium_phase,
                       _merge_si, _pseudo_si, _target_medium)
@@ -519,6 +520,7 @@ def sample(scene, sampler: Sampler, ray: Ray, active=None, medium_idx=None):
     def scan_body(s, _):
         return _bounce(scene, s, **bkw), None
 
-    final, _ = jax.lax.scan(jax.checkpoint(scan_body), state, None,
-                            length=max_iterations)
+    body = common_remat(scene, scan_body, state.ray.o.shape[:-1],
+                        max_iterations)
+    final, _ = jax.lax.scan(body, state, None, length=max_iterations)
     return final.result, final.valid_ray, final.sampler
