@@ -165,3 +165,33 @@ def test_render_torch_bridge():
     loss = img.mean()
     loss.backward()
     assert p.grad is not None and float(p.grad.abs().sum()) > 0
+
+
+def test_remat_policy_gradient_invariance():
+    """The auto/forced rematerialization policy changes memory scheduling
+    only: gradients with remat forced on and off must match exactly."""
+    import dataclasses
+
+    scene = furnace_scene(0.5)
+
+    def grad_with(remat):
+        cfg = scene.config
+        integ = dataclasses.replace(cfg.integrator,
+                                    extra=cfg.integrator.extra
+                                    + (("remat", remat),))
+        sc = dataclasses.replace(scene,
+                                 config=dataclasses.replace(cfg,
+                                                            integrator=integ))
+        pm = ad.traverse(sc)
+        key = _albedo_key(pm)
+        pm.keep([key])
+
+        def loss(tr):
+            return jnp.mean(ad.render(pm, tr, seed=3))
+
+        return jax.grad(loss)(pm.trainable())[key]
+
+    g_on = np.asarray(grad_with(True))
+    g_off = np.asarray(grad_with(False))
+    assert np.allclose(g_on, g_off, rtol=1e-6, atol=1e-9), \
+        np.abs(g_on - g_off).max()
