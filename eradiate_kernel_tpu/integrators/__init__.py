@@ -239,6 +239,18 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
         return (vp, pos, rw, occupied, its, next_sample, image, rays, it + 1)
 
     final = jax.lax.while_loop(cond, body, state0)
+    # The iteration cap (cond) is a runaway backstop; hitting it drops
+    # still-occupied lanes plus any unstarted samples, which would otherwise
+    # just make the film silently dimmer. Surface the truncation.
+    occupied_f, next_sample_f = final[3], final[5]
+    dropped = jnp.sum(occupied_f, dtype=jnp.uint32) \
+        + (total - jnp.minimum(next_sample_f, total))
+    jax.lax.cond(
+        dropped > 0,
+        lambda: jax.debug.print(
+            "render_wavefront_regen: iteration cap hit with {d} samples "
+            "unharvested — film weight is low; raise max_iterations", d=dropped),
+        lambda: None)
     return final[6], final[7]
 
 

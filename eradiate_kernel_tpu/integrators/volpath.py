@@ -722,7 +722,8 @@ def _bounce(scene, s: _VolPathState, *, nee_steps, max_depth, rr_depth,
     def _nee_block():
         emitted_s, ds_s, smp2, nr_s = _sample_emitter(
             scene, nee_ref_p, nee_ref_n, act_scatter, ray.wavelengths,
-            ray.time, s.medium_idx, s.channel, smp, nee_active, nee_steps)
+            ray.time, s.medium_idx, s.channel, smp, nee_active, nee_steps,
+            use_while=while_walks)
         # medium lanes: phase x emitted
         phase_val = phase.phase_eval(scene, phase_idx, -nee_medium_d_in,
                                      ds_s.d, act_scatter)
@@ -809,7 +810,7 @@ def _bounce(scene, s: _VolPathState, *, nee_steps, max_depth, rr_depth,
         def _direct_block():
             return _evaluate_direct_light(
                 scene, si.p, ray, si_new, medium_next, s.channel, smp,
-                add_emitter, nee_steps)
+                add_emitter, nee_steps, use_while=while_walks)
 
         def _direct_skip():
             return (jnp.zeros(batch + (nc,)), jnp.zeros(batch),

@@ -17,7 +17,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..films import N_BASE_CHANNELS, develop
-from ..integrators import render_wavefront, render_wavefront_regen
+from ..integrators import n_aov, render_wavefront, render_wavefront_regen
 
 
 def make_mesh(devices=None, axis="rays"):
@@ -31,7 +31,8 @@ def sharded_film(scene, mesh: Mesh, seed, spp):
     lane range; padding lanes are masked inside render_wavefront."""
     cfg = scene.config
     H, W = cfg.film_height, cfg.film_width
-    total = H * W * spp
+    cw, ch = cfg.crop_size if cfg.crop_size else (W, H)
+    total = ch * cw * spp
     n_dev = mesh.devices.size
     axis = mesh.axis_names[0]
     per_dev = -(-total // n_dev)
@@ -72,7 +73,9 @@ def render_sharded(scene, mesh: Mesh, seed=0, spp=None, develop_film=True,
     cfg = scene.config
     spp = spp or cfg.spp
     H, W = cfg.film_height, cfg.film_width
-    total = H * W * spp
+    cw, ch = cfg.crop_size if cfg.crop_size else (W, H)
+    extra = n_aov(cfg)
+    total = ch * cw * spp
     n_dev = mesh.devices.size
     axis = mesh.axis_names[0]
 
@@ -102,7 +105,7 @@ def render_sharded(scene, mesh: Mesh, seed=0, spp=None, develop_film=True,
                                    jnp.full((n_dev,), seed, jnp.uint32))
         if develop_film:
             mode = "mono" if cfg.variant.is_monochromatic else "rgb"
-            return develop(film, mode)
+            return develop(film, mode, cfg.pixel_format)
         return film
 
     if samples_per_pass is None:
@@ -124,7 +127,8 @@ def render_sharded(scene, mesh: Mesh, seed=0, spp=None, develop_film=True,
         )(scene, offsets, seed_arr)
 
     fn = jax.jit(pass_fn)
-    film = jnp.zeros((H, W, N_BASE_CHANNELS))
+    # sized exactly like render_wavefront's output: crop window + AOV extras
+    film = jnp.zeros((ch, cw, N_BASE_CHANNELS + extra))
     for p in range(n_passes):
         base = p * samples_per_pass
         offsets = jnp.asarray(
@@ -132,7 +136,7 @@ def render_sharded(scene, mesh: Mesh, seed=0, spp=None, develop_film=True,
         film = film + fn(scene, offsets, jnp.full((n_dev,), seed, jnp.uint32))
     if develop_film:
         mode = "mono" if cfg.variant.is_monochromatic else "rgb"
-        return develop(film, mode)
+        return develop(film[..., :N_BASE_CHANNELS], mode, cfg.pixel_format)
     return film
 
 

@@ -37,34 +37,43 @@ def _render_trainable(trainable, pm: ParameterMap, seed, spp,
                               samples_per_pass=samples_per_pass)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 3))
-def _render_unbiased(trainable, pm, seed, spp):
-    # seed is a TRACED uint32 (a static seed would recompile the whole
-    # render every optimization iteration — 300x slower in practice)
-    return _render_trainable(trainable, pm, seed, spp)
+def _unbiased_fn(pm: ParameterMap):
+    """Per-ParameterMap custom_vjp closure. The map holds the scene's device
+    arrays, so it must NOT live in nondiff_argnums (JAX forbids array-valued
+    static args); closing over it keeps it a concrete capture while the
+    cached function object keeps jit retracing stable across optimizer
+    iterations."""
+    fn = getattr(pm, "_unbiased_render_fn", None)
+    if fn is not None:
+        return fn
 
+    @partial(jax.custom_vjp, nondiff_argnums=(2,))
+    def fn(trainable, seed, spp):
+        # seed is a TRACED uint32 (a static seed would recompile the whole
+        # render every optimization iteration — 300x slower in practice)
+        return _render_trainable(trainable, pm, seed, spp)
 
-def _render_unbiased_fwd(trainable, pm, seed, spp):
-    img = _render_trainable(trainable, pm, seed, spp)
-    return img, (trainable, seed)
+    def fwd(trainable, seed, spp):
+        img = _render_trainable(trainable, pm, seed, spp)
+        return img, (trainable, seed)
 
+    def bwd(spp, res, ct):
+        # adjoint through a decorrelated render (autodiff.py:142-157): the
+        # gradient estimate is unbiased even when multiplied with the primal
+        # image inside the loss (E[g(X) f(Y)] = E[g] E[f] for X indep. of Y)
+        trainable, seed = res
+        _, vjp = jax.vjp(
+            lambda tr: _render_trainable(
+                tr, pm, seed + jnp.uint32(0x9E3779B9), spp),
+            trainable)
+        (g,) = vjp(ct)
+        import numpy as _np
+        seed_ct = _np.zeros(jnp.shape(seed), jax.dtypes.float0)
+        return (g, seed_ct)
 
-def _render_unbiased_bwd(pm, spp, res, ct):
-    # adjoint through a decorrelated render (autodiff.py:142-157): the
-    # gradient estimate is unbiased even when multiplied with the primal
-    # image inside the loss (E[g(X) f(Y)] = E[g] E[f] for X independent of Y)
-    trainable, seed = res
-    _, vjp = jax.vjp(
-        lambda tr: _render_trainable(
-            tr, pm, seed + jnp.uint32(0x9E3779B9), spp),
-        trainable)
-    (g,) = vjp(ct)
-    import numpy as _np
-    seed_ct = _np.zeros(jnp.shape(seed), jax.dtypes.float0)
-    return (g, seed_ct)
-
-
-_render_unbiased.defvjp(_render_unbiased_fwd, _render_unbiased_bwd)
+    fn.defvjp(fwd, bwd)
+    pm._unbiased_render_fn = fn
+    return fn
 
 
 def render(scene_or_pm, params=None, seed=0, spp=None, unbiased=False):
@@ -79,7 +88,7 @@ def render(scene_or_pm, params=None, seed=0, spp=None, unbiased=False):
         else traverse(scene_or_pm)
     trainable = params if params is not None else pm.trainable()
     if unbiased:
-        return _render_unbiased(trainable, pm, jnp.uint32(seed), spp)
+        return _unbiased_fn(pm)(trainable, jnp.uint32(seed), spp)
     return _render_trainable(trainable, pm, jnp.uint32(seed), spp)
 
 
