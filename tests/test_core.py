@@ -150,12 +150,24 @@ def test_cie_luminance_normalization():
     assert abs(float(jnp.mean(xyz[:, 1])) - 1.0) < 1e-3
 
 
-def test_cie_fit_sanity():
-    """Analytic CIE fit: peak locations and relative magnitudes."""
-    xyz = np.asarray(sp.cie1931_xyz(jnp.asarray([450.0, 550.0, 600.0])))
-    assert xyz[0, 2] > xyz[0, 0] > xyz[0, 1]   # blue: z dominates
-    assert xyz[1, 1] > xyz[1, 2]               # green: y strong, z tiny
-    assert xyz[2, 0] > xyz[2, 2]               # red: x dominates z
+def test_cie1931_exact_table():
+    """cie1931_xyz must reproduce the published CIE 1931 2-degree standard
+    observer values exactly (pre-normalization) at the 5 nm table nodes —
+    the reference's cie1931_tbl (spectrum.h:127-133) is the same data."""
+    lam = jnp.asarray([450.0, 555.0, 600.0])
+    xyz = np.asarray(sp.cie1931_xyz(lam)) * sp._CIE_Y_INTEGRAL
+    # Published CIE 15:2004 values at 450/555/600 nm:
+    expected = np.array([
+        [0.3362, 0.0380, 1.77211],
+        [0.5120501, 1.0, 0.005749999],  # ybar peaks at exactly 1.0 @ 555 nm
+        [1.0622, 0.6310, 0.0008],
+    ])
+    assert np.allclose(xyz, expected, rtol=1e-5, atol=1e-7)
+    # Out-of-range wavelengths contribute zero response.
+    assert np.all(np.asarray(sp.cie1931_xyz(jnp.asarray([300.0, 900.0]))) == 0)
+    # Linear interpolation between nodes (matches spectrum.h:148-200 scheme).
+    mid = np.asarray(sp.cie1931_xyz(jnp.asarray([557.5]))) * sp._CIE_Y_INTEGRAL
+    assert np.allclose(mid[0, 1], 0.5 * (1.0 + 0.995), rtol=1e-5)
 
 
 def test_srgb_xyz_roundtrip():
