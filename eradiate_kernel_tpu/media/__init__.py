@@ -105,13 +105,61 @@ def medium_combined_extinction(scene, medium_idx, p, wavelengths):
     return jnp.maximum(out, 1e-8)
 
 
-def medium_scattering_coefficients(scene, medium_idx, p, wavelengths):
-    """(sigma_s, sigma_n, sigma_t) at world point p."""
+AXPROF_BINS = 64  # must match scene.build.AXPROF_BINS
+
+
+def medium_majorant_segment(scene, medium_idx, ray, mint, maxt, wavelengths):
+    """Per-lane majorant valid on the ray segment [mint, maxt].
+
+    Heterogeneous media use the precomputed per-axis slab-max profiles
+    (scene/build.py:_axis_majorant_profiles, normalized to the grid max):
+    for each local axis the profile's range-max over the coordinate
+    interval the segment covers bounds sigma_t on the segment, so the min
+    over the three axes times the traced 'majorant' magnitude row is a
+    (much tighter) spatial majorant than the global max — the loop-free
+    TPU analog of super-grid/DDA majorants (SURVEY §7). Raising the
+    'majorant' ParameterMap entry scales the whole profile (the
+    null-collision-gradient knob). Other media fall back to
+    medium_combined_extinction. Detached: majorants are sampling
+    parameters, not differentiable quantities (volpath.cpp:83 discipline).
+    """
+    out = medium_combined_extinction(scene, medium_idx, ray.o, wavelengths)
+    cfg = scene.config
+    if "heterogeneous" not in cfg.medium_kinds:
+        return out
+    k_het = cfg.medium_kinds.index("heterogeneous")
+    kind = tg(scene.medium_kind, medium_idx)
+    slot = tg(scene.medium_slot, medium_idx)
+    m = kind == k_het
+    params = scene.media["heterogeneous"]
+    w2l = Transform(m=tg(params["w2l_m"], slot), inv_t=tg(params["w2l_it"], slot))
+    t1 = jnp.minimum(maxt, INVALID_T)
+    p0 = jnp.clip(w2l.transform_affine_point(ray.at(mint)), 0.0, 1.0)
+    p1 = jnp.clip(w2l.transform_affine_point(ray.at(t1)), 0.0, 1.0)
+    lo = jnp.minimum(p0, p1)                  # (..., 3)
+    hi = jnp.maximum(p0, p1)
+    P = AXPROF_BINS
+    ia = jnp.clip((lo * P).astype(jnp.int32), 0, P - 1)   # (..., 3)
+    ib = jnp.clip((hi * P).astype(jnp.int32), 0, P - 1)
+    prof = tg(params["axprof"], slot)         # (..., 3, P) normalized
+    ar = jnp.arange(P)
+    mask = (ar >= ia[..., None]) & (ar <= ib[..., None])  # (..., 3, P)
+    per_axis = jnp.max(jnp.where(mask, prof, 0.0), axis=-1)   # (..., 3)
+    seg = jnp.min(per_axis, axis=-1) * tg(params["majorant"], slot)
+    seg = jax.lax.stop_gradient(jnp.maximum(seg, 1e-8))
+    return jnp.where(m[..., None], seg[..., None], out)
+
+
+def medium_scattering_coefficients(scene, medium_idx, p, wavelengths,
+                                   majorant=None):
+    """(sigma_s, sigma_n, sigma_t) at world point p. ``majorant`` overrides
+    the global combined extinction (per-segment majorants)."""
     cfg = scene.config
     nc = wavelengths.shape[-1] if cfg.variant.is_spectral else cfg.variant.n_channels
     sigma_s = jnp.zeros(medium_idx.shape + (nc,))
     sigma_t = jnp.zeros(medium_idx.shape + (nc,))
-    majorant = medium_combined_extinction(scene, medium_idx, p, wavelengths)
+    if majorant is None:
+        majorant = medium_combined_extinction(scene, medium_idx, p, wavelengths)
     if not cfg.medium_kinds:
         return sigma_s, majorant, sigma_t
     kind = tg(scene.medium_kind, medium_idx)
@@ -152,7 +200,8 @@ def sample_interaction(scene, medium_idx, ray, sample, channel, active):
     mint = jnp.where(seg_ok, jnp.maximum(mint, 0.0), 0.0)
     maxt = jnp.where(seg_ok, jnp.minimum(maxt, INVALID_T), INVALID_T)
 
-    combined = medium_combined_extinction(scene, medium_idx, ray.o, ray.wavelengths)
+    combined = medium_majorant_segment(scene, medium_idx, ray, mint, maxt,
+                                       ray.wavelengths)
     nc = combined.shape[-1]
     ch = jnp.clip(channel, 0, nc - 1)
     m = jnp.take_along_axis(combined, ch[..., None], -1)[..., 0]
@@ -162,7 +211,7 @@ def sample_interaction(scene, medium_idx, ray, sample, channel, active):
     t = jnp.where(valid_mi, sampled_t, INVALID_T)
     p = ray.at(jnp.where(valid_mi, sampled_t, 0.0))
     sigma_s, sigma_n, sigma_t = medium_scattering_coefficients(
-        scene, medium_idx, p, ray.wavelengths)
+        scene, medium_idx, p, ray.wavelengths, majorant=combined)
     return MediumInteraction(
         t=t, p=p, mint=mint, sigma_s=sigma_s, sigma_n=sigma_n,
         sigma_t=sigma_t, combined_extinction=combined)

@@ -1,0 +1,103 @@
+"""Binned-SAH BVH over triangle tiles (host-side builder).
+
+The reference accelerates meshes with a 2.4k-LoC SAH kd-tree
+(include/mitsuba/render/kdtree.h:676,1027-1039,2068-2301) or Embree/OptiX
+BVHs. The TPU-native equivalent keeps the K=128 Morton-ordered triangle
+tiles from ops/accel.py as *leaves* (each leaf is one dense (rays x 128)
+Moller-Trumbore batch — ideal VPU work) and builds a binary BVH over the
+tile AABBs so the Pallas kernel visits O(log T + hit tiles) nodes per ray
+block instead of sweeping all T tiles.
+
+Build runs on host at scene-build time (off the hot path, like the
+reference's kd-tree build). Binned SAH (16 bins, largest centroid axis,
+kdtree.h min-max binning analog) with a median-split fallback; leaf = one
+tile. Depth is capped (cf. MTS_KD_MAXDEPTH=48, kdtree.h:21) by forcing
+median splits near the cap so the traversal stack is statically bounded.
+
+Flattened layout consumed by ops/pallas_intersect.intersect_bvh:
+  nbox  (N, 1, 8) f32 : [lo.x, lo.y, lo.z, hi.x, hi.y, hi.z, 0, 0] (VMEM)
+  nmeta (N, 4)   i32 : [left, right, tile, 0]; tile >= 0 marks a leaf,
+                       in which case left/right are 0 (safe to read).
+Root is node 0. N = 2*T - 1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_DEPTH = 48      # traversal stack bound (stack size 64 in the kernel)
+N_BINS = 16
+
+
+def build_tile_bvh(tile_lo: np.ndarray, tile_hi: np.ndarray):
+    """Build the flattened BVH. tile_lo/hi: (T, 3) leaf AABBs.
+
+    Returns (nbox (N,1,8) f32, nmeta (N,4) i32, max_depth int).
+    """
+    T = len(tile_lo)
+    assert T >= 1
+    cent = 0.5 * (tile_lo + tile_hi)
+    N = 2 * T - 1
+    nbox = np.zeros((N, 8), np.float32)
+    nmeta = np.zeros((N, 4), np.int32)
+    next_node = [0]
+    max_depth_seen = [0]
+
+    # iterative build: work stack of (node_id, tile_index_array, depth)
+    root = next_node[0]
+    next_node[0] += 1
+    work = [(root, np.arange(T), 0)]
+    while work:
+        node, ids, depth = work.pop()
+        max_depth_seen[0] = max(max_depth_seen[0], depth)
+        lo = tile_lo[ids].min(0)
+        hi = tile_hi[ids].max(0)
+        nbox[node, 0:3] = lo
+        nbox[node, 3:6] = hi
+        if len(ids) == 1:
+            nmeta[node] = (0, 0, ids[0], 0)
+            continue
+        order, split = _choose_split(tile_lo[ids], tile_hi[ids], cent[ids],
+                                     force_median=depth >= MAX_DEPTH - 2)
+        left_ids = ids[order[:split]]
+        right_ids = ids[order[split:]]
+        li = next_node[0]
+        ri = next_node[0] + 1
+        next_node[0] += 2
+        nmeta[node] = (li, ri, -1, 0)
+        work.append((li, left_ids, depth + 1))
+        work.append((ri, right_ids, depth + 1))
+
+    assert next_node[0] == N
+    return nbox.reshape(N, 1, 8), nmeta, max_depth_seen[0] + 1
+
+
+def _choose_split(lo, hi, cent, force_median=False):
+    """Pick (ordering, split point) for one node's tiles by binned SAH over
+    the largest centroid-extent axis; median fallback when SAH degenerates."""
+    n = len(lo)
+    c_lo = cent.min(0)
+    c_ext = cent.max(0) - c_lo
+    axis = int(np.argmax(c_ext))
+    order = np.argsort(cent[:, axis], kind="stable")
+    if force_median or c_ext[axis] <= 0 or n <= 4:
+        return order, n // 2
+
+    # binned SAH on the sorted order: prefix/suffix AABB areas
+    slo, shi = lo[order], hi[order]
+    pre_lo = np.minimum.accumulate(slo, axis=0)
+    pre_hi = np.maximum.accumulate(shi, axis=0)
+    suf_lo = np.minimum.accumulate(slo[::-1], axis=0)[::-1]
+    suf_hi = np.maximum.accumulate(shi[::-1], axis=0)[::-1]
+
+    def area(l, h):
+        d = np.maximum(h - l, 0)
+        return d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] + d[..., 2] * d[..., 0]
+
+    ks = np.arange(1, n)
+    if n > N_BINS:  # evaluate only ~N_BINS candidate splits
+        ks = np.unique(np.linspace(1, n - 1, N_BINS).astype(np.int64))
+    cost = (ks * area(pre_lo[ks - 1], pre_hi[ks - 1])
+            + (n - ks) * area(suf_lo[ks], suf_hi[ks]))
+    split = int(ks[np.argmin(cost)])
+    return order, split

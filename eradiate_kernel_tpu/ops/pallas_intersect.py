@@ -32,6 +32,57 @@ from .accel import TILE_K
 RAY_BLOCK = 512  # rays per kernel program
 
 
+def _intersect_tile(j, rays, tris_ref, prim_ref, shape_ref, carry):
+    """Dense (B x K) Moller-Trumbore batch of tile j against the ray block;
+    folds min-t hits into the carry (best_t, u, v, prim, shape)."""
+    ox, oy, oz, dx, dy, dz, mint, _maxt = rays
+    best_t, best_u, best_v, best_prim, best_shape = carry
+    tri = tris_ref[j]              # (9, K)
+    v0x = tri[0:1, :]              # (1, K)
+    v0y = tri[1:2, :]
+    v0z = tri[2:3, :]
+    e1x = tri[3:4, :]
+    e1y = tri[4:5, :]
+    e1z = tri[5:6, :]
+    e2x = tri[6:7, :]
+    e2y = tri[7:8, :]
+    e2z = tri[8:9, :]
+    # pvec = d x e2 -> (B, K)
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    prim = prim_ref[j]             # (1, K) i32
+    ok = ((jnp.abs(det) >= 1e-12) & (u >= 0) & (v >= 0)
+          & (u + v <= 1.0) & (prim >= 0)
+          & (t >= mint) & (t < best_t))
+    t = jnp.where(ok, t, jnp.inf)
+    t_min = jnp.min(t, axis=1, keepdims=True)         # (B, 1)
+    hit = t_min < best_t
+    k_best = jnp.argmin(t, axis=1, keepdims=True)     # (B, 1)
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+              == k_best)
+    pick = lambda a: jnp.sum(jnp.where(onehot, a, 0.0), axis=1,
+                             keepdims=True)
+    ipick = lambda a: jnp.sum(jnp.where(onehot, a, 0), axis=1,
+                              keepdims=True)
+    return (jnp.where(hit, t_min, best_t),
+            jnp.where(hit, pick(u), best_u),
+            jnp.where(hit, pick(v), best_v),
+            jnp.where(hit, ipick(prim), best_prim),
+            jnp.where(hit, ipick(shape_ref[j]), best_shape))
+
+
 def _kernel(rays_ref, ids_ref, count_ref, tris_ref, prim_ref, shape_ref,
             t_ref, uv_ref, prim_out_ref, shape_out_ref, *, n_tiles):
     ox = rays_ref[:, 0:1]        # (B, 1)
@@ -43,6 +94,7 @@ def _kernel(rays_ref, ids_ref, count_ref, tris_ref, prim_ref, shape_ref,
     mint = rays_ref[:, 6:7]
     maxt = rays_ref[:, 7:8]
     B = ox.shape[0]
+    rays = (ox, oy, oz, dx, dy, dz, mint, maxt)
 
     block_row = pl.program_id(0) % 8  # row within the 8-row SMEM block
 
@@ -50,55 +102,7 @@ def _kernel(rays_ref, ids_ref, count_ref, tris_ref, prim_ref, shape_ref,
         # compacted visibility: ids_ref holds the admitted tiles first, so
         # the loop runs exactly count times with no in-loop branch at all
         j = ids_ref[block_row, k]
-
-        def do_tile(c):
-            best_t, best_u, best_v, best_prim, best_shape = c
-            tri = tris_ref[j]              # (9, K)
-            v0x = tri[0:1, :]              # (1, K)
-            v0y = tri[1:2, :]
-            v0z = tri[2:3, :]
-            e1x = tri[3:4, :]
-            e1y = tri[4:5, :]
-            e1z = tri[5:6, :]
-            e2x = tri[6:7, :]
-            e2y = tri[7:8, :]
-            e2z = tri[8:9, :]
-            # pvec = d x e2 -> (B, K)
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
-            tx = ox - v0x
-            ty = oy - v0y
-            tz = oz - v0z
-            u = (tx * px + ty * py + tz * pz) * inv_det
-            qx = ty * e1z - tz * e1y
-            qy = tz * e1x - tx * e1z
-            qz = tx * e1y - ty * e1x
-            v = (dx * qx + dy * qy + dz * qz) * inv_det
-            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            prim = prim_ref[j]             # (1, K) i32
-            ok = ((jnp.abs(det) >= 1e-12) & (u >= 0) & (v >= 0)
-                  & (u + v <= 1.0) & (prim >= 0)
-                  & (t >= mint) & (t < best_t))
-            t = jnp.where(ok, t, jnp.inf)
-            t_min = jnp.min(t, axis=1, keepdims=True)         # (B, 1)
-            hit = t_min < best_t
-            k_best = jnp.argmin(t, axis=1, keepdims=True)     # (B, 1)
-            onehot = (jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-                      == k_best)
-            pick = lambda a: jnp.sum(jnp.where(onehot, a, 0.0), axis=1,
-                                     keepdims=True)
-            ipick = lambda a: jnp.sum(jnp.where(onehot, a, 0), axis=1,
-                                      keepdims=True)
-            return (jnp.where(hit, t_min, best_t),
-                    jnp.where(hit, pick(u), best_u),
-                    jnp.where(hit, pick(v), best_v),
-                    jnp.where(hit, ipick(prim), best_prim),
-                    jnp.where(hit, ipick(shape_ref[j]), best_shape))
-
-        return do_tile(carry)
+        return _intersect_tile(j, rays, tris_ref, prim_ref, shape_ref, carry)
 
     init = (maxt, jnp.zeros((B, 1), jnp.float32),
             jnp.zeros((B, 1), jnp.float32),
@@ -158,6 +162,194 @@ def _run(rays, ids, count, tris, prim, shape, interpret=False):
         interpret=interpret,
     )(rays, ids, count, tris, prim, shape)
     return t[:, 0], uv, prim_o[:, 0], shape_o[:, 0]
+
+
+STACK_SIZE = 64  # >= bvh.MAX_DEPTH + margin; traversal pushes <=1 deferred/level
+
+
+def _bvh_kernel(rays_ref, nbox_ref, nmeta_ref, tris_ref, prim_ref, shape_ref,
+                t_ref, uv_ref, prim_out_ref, shape_out_ref, stack_ref):
+    """Per-ray-block BVH traversal (the kd-tree/OptiX analog,
+    kdtree.h:2068-2301 / optix_rt.cu:9-64, re-designed for the VPU).
+
+    The whole 512-ray block walks the tree together: one scalar stack in
+    SMEM, node AABB slab tests vectorized over the block's rays with
+    per-ray best-t culling, near-child-first ordering by the block's
+    minimum entry distance, and dense (B x K) Moller-Trumbore at leaves.
+    """
+    ox = rays_ref[:, 0:1]        # (B, 1)
+    oy = rays_ref[:, 1:2]
+    oz = rays_ref[:, 2:3]
+    dx = rays_ref[:, 3:4]
+    dy = rays_ref[:, 4:5]
+    dz = rays_ref[:, 5:6]
+    mint = rays_ref[:, 6:7]
+    maxt = rays_ref[:, 7:8]
+    B = ox.shape[0]
+    rays = (ox, oy, oz, dx, dy, dz, mint, maxt)
+
+    # safe per-ray reciprocal directions: tiny components -> huge finite
+    # inverse (no inf, so 0 * inv stays 0 instead of NaN in the slab test)
+    def rcp(d):
+        ad = jnp.abs(d)
+        s = jnp.where(d < 0, -1.0, 1.0)
+        return s / jnp.maximum(ad, 1e-30)
+
+    ix, iy, iz = rcp(dx), rcp(dy), rcp(dz)
+
+    def slab(j, best_t):
+        """Block-vs-node test. Returns (any_enter scalar bool, min entry t)."""
+        box = nbox_ref[j]                      # (1, 8)
+        t0x = (box[0:1, 0:1] - ox) * ix        # (B, 1)
+        t1x = (box[0:1, 3:4] - ox) * ix
+        t0y = (box[0:1, 1:2] - oy) * iy
+        t1y = (box[0:1, 4:5] - oy) * iy
+        t0z = (box[0:1, 2:3] - oz) * iz
+        t1z = (box[0:1, 5:6] - oz) * iz
+        near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                       jnp.minimum(t0y, t1y)),
+                           jnp.maximum(jnp.minimum(t0z, t1z), mint))
+        far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                      jnp.maximum(t0y, t1y)),
+                          jnp.minimum(jnp.maximum(t0z, t1z),
+                                      jnp.minimum(maxt, best_t)))
+        ok = near <= far
+        return jnp.any(ok), jnp.min(jnp.where(ok, near, jnp.inf))
+
+    stack_ref[0] = 0  # root
+
+    def cond(carry):
+        return carry[0] > 0
+
+    def body(carry):
+        sp, best_t, best_u, best_v, best_prim, best_shape = carry
+        sp = sp - 1
+        node = stack_ref[sp]
+        left = nmeta_ref[node, 0]
+        right = nmeta_ref[node, 1]
+        tile = nmeta_ref[node, 2]
+        is_leaf = tile >= 0
+
+        def do_leaf(c):
+            return _intersect_tile(tile, rays, tris_ref, prim_ref,
+                                   shape_ref, c)
+
+        best = jax.lax.cond(
+            is_leaf, do_leaf, lambda c: c,
+            (best_t, best_u, best_v, best_prim, best_shape))
+        best_t = best[0]
+
+        # inner node: test both children against the block (cheap VPU work;
+        # computed unconditionally — leaves read child index 0, harmless)
+        hit_l, near_l = slab(left, best_t)
+        hit_r, near_r = slab(right, best_t)
+        inner = jnp.logical_not(is_leaf)
+        hit_l = hit_l & inner
+        hit_r = hit_r & inner
+        # near child on top of the stack (popped first)
+        l_first = near_l <= near_r
+        first = jnp.where(l_first, left, right)
+        second = jnp.where(l_first, right, left)
+        push_first = jnp.where(l_first, hit_l, hit_r)
+        push_second = jnp.where(l_first, hit_r, hit_l)
+
+        i0 = sp
+        i1 = sp + push_second.astype(jnp.int32)
+
+        @pl.when(push_second)
+        def _():
+            stack_ref[i0] = second
+
+        @pl.when(push_first)
+        def _():
+            stack_ref[i1] = first
+
+        sp = sp + push_first.astype(jnp.int32) + push_second.astype(jnp.int32)
+        return (sp, best[0], best[1], best[2], best[3], best[4])
+
+    init = (jnp.int32(1), maxt, jnp.zeros((B, 1), jnp.float32),
+            jnp.zeros((B, 1), jnp.float32),
+            jnp.zeros((B, 1), jnp.int32), jnp.full((B, 1), -1, jnp.int32))
+    _, best_t, best_u, best_v, best_prim, best_shape = jax.lax.while_loop(
+        cond, body, init)
+
+    no_hit = best_t >= maxt
+    t_ref[:, :] = jnp.where(no_hit, jnp.inf, best_t)
+    uv_ref[:, 0:1] = best_u
+    uv_ref[:, 1:2] = best_v
+    prim_out_ref[:, :] = best_prim
+    shape_out_ref[:, :] = jnp.where(no_hit, -1, best_shape)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _run_bvh(rays, nbox, nmeta, tris, prim, shape, interpret=False):
+    n = rays.shape[0]
+    T = tris.shape[0]
+    N = nbox.shape[0]
+    grid = (n // RAY_BLOCK,)
+
+    t, uv, prim_o, shape_o = pl.pallas_call(
+        _bvh_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((RAY_BLOCK, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, 1, 8), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, 4), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((T, 9, TILE_K), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 1, TILE_K), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 1, TILE_K), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 2), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.SMEM((STACK_SIZE,), jnp.int32)],
+        interpret=interpret,
+    )(rays, nbox, nmeta, tris, prim, shape)
+    return t[:, 0], uv, prim_o[:, 0], shape_o[:, 0]
+
+
+def intersect_bvh(tiles, ray, interpret=False):
+    """Closest-hit query through the tile BVH (ops/bvh.py layout).
+
+    tiles: dict with pack_tiles arrays plus 'nbox' (N,1,8) / 'nmeta' (N,4).
+    Same contract as intersect_tiles.
+    """
+    n = ray.o.shape[0]
+    n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
+    pad = n_pad - n
+
+    rays = jnp.stack([
+        ray.o[..., 0], ray.o[..., 1], ray.o[..., 2],
+        ray.d[..., 0], ray.d[..., 1], ray.d[..., 2],
+        jnp.broadcast_to(ray.mint, (n,)),
+        jnp.broadcast_to(ray.maxt, (n,))], axis=-1)   # (N, 8)
+    if pad:
+        filler = jnp.zeros((pad, 8), rays.dtype).at[:, 5].set(1.0)
+        rays = jnp.concatenate([rays, filler], axis=0)
+
+    tris, prim, shape = _device_layout(tiles)
+    t, uv, prim_o, shape_o = _run_bvh(rays, tiles["nbox"], tiles["nmeta"],
+                                      tris, prim, shape, interpret=interpret)
+    return t[:n], uv[:n], prim_o[:n], shape_o[:n]
 
 
 def _block_tile_mask(rays, lo, hi):

@@ -89,6 +89,8 @@ class Geometry:
     tiles_shape: jnp.ndarray   # (T, K) i32
     tiles_lo: jnp.ndarray      # (T, 3)
     tiles_hi: jnp.ndarray      # (T, 3)
+    bvh_box: jnp.ndarray       # (2T-1, 1, 8) f32 node AABBs (ops/bvh.py)
+    bvh_meta: jnp.ndarray      # (2T-1, 4) i32 [left, right, tile, 0]
 
     @property
     def n_shapes(self):
@@ -115,7 +117,8 @@ def empty_geometry(n_shapes=0):
         shape_family=zi(n_shapes),
         tiles_v0=z(0, 128, 3), tiles_e1=z(0, 128, 3), tiles_e2=z(0, 128, 3),
         tiles_prim=zi(0, 128), tiles_shape=zi(0, 128),
-        tiles_lo=z(0, 3), tiles_hi=z(0, 3))
+        tiles_lo=z(0, 3), tiles_hi=z(0, 3),
+        bvh_box=z(0, 1, 8), bvh_meta=zi(0, 4))
 
 
 # =============================================================================
@@ -311,21 +314,28 @@ def _intersect_cones(geo: Geometry, ray: Ray):
 # Combined preliminary intersection (the accelerator oracle)
 # =============================================================================
 
-def _use_tile_kernel(geo: Geometry) -> bool:
-    """Static policy: the Pallas tile sweep wins on TPU for non-trivial
-    meshes; small scenes and CPU runs keep the fused brute-force sweep.
-    ERT_ACCEL=tiles|naive overrides (tests force 'tiles' in interpret mode)."""
+def _accel_mode(geo: Geometry) -> str:
+    """Static accel policy -> 'naive' | 'tiles' | 'bvh'.
+
+    The Pallas kernels win on TPU for non-trivial meshes; small scenes and
+    CPU runs keep the fused brute-force sweep (the correctness oracle).
+    'bvh' = stack traversal of the tile hierarchy (default on TPU, the
+    kd-tree/Embree/OptiX analog); 'tiles' = flat tile sweep with the host
+    precull (kept as a second oracle / small-scene path). ERT_ACCEL
+    overrides (tests force kernels in interpret mode)."""
     import os
     mode = os.environ.get("ERT_ACCEL", "auto")
     if mode == "naive" or not geo.has_tiles:
-        return False
-    if mode == "tiles":
-        return True
+        return "naive"
+    if mode in ("tiles", "bvh"):
+        return mode
     try:
         platform = jax.devices()[0].platform
     except Exception:
         platform = "cpu"
-    return platform == "tpu" and geo.faces.shape[0] >= 1024
+    if platform == "tpu" and geo.faces.shape[0] >= 1024:
+        return "bvh" if geo.bvh_box.shape[0] > 0 else "tiles"
+    return "naive"
 
 
 def ray_intersect_preliminary(geo: Geometry, ray: Ray) -> PreliminaryIntersection:
@@ -347,21 +357,23 @@ def ray_intersect_preliminary(geo: Geometry, ray: Ray) -> PreliminaryIntersectio
         shape = jnp.where(closer, shapef, shape)
 
     if geo.faces.shape[0] > 0:
-        if _use_tile_kernel(geo):
+        mode = _accel_mode(geo)
+        if mode != "naive":
             import os
 
-            from ..ops.pallas_intersect import intersect_tiles
+            from ..ops.pallas_intersect import intersect_bvh, intersect_tiles
 
             tiles = {"v0": geo.tiles_v0, "e1": geo.tiles_e1,
                      "e2": geo.tiles_e2, "prim": geo.tiles_prim,
                      "shape": geo.tiles_shape, "lo": geo.tiles_lo,
-                     "hi": geo.tiles_hi}
+                     "hi": geo.tiles_hi, "nbox": geo.bvh_box,
+                     "nmeta": geo.bvh_meta}
             interp = os.environ.get("ERT_ACCEL_INTERPRET", "") != ""
             flat_shape = batch
             ray_flat = jax.tree_util.tree_map(
                 lambda a: a.reshape((-1,) + a.shape[len(batch):]), ray)
-            tt, tuv, tprim, tshape = intersect_tiles(tiles, ray_flat,
-                                                     interpret=interp)
+            fn = intersect_bvh if mode == "bvh" else intersect_tiles
+            tt, tuv, tprim, tshape = fn(tiles, ray_flat, interpret=interp)
             merge((tt.reshape(flat_shape), tuv.reshape(flat_shape + (2,)),
                    tprim.reshape(flat_shape), tshape.reshape(flat_shape)))
         else:

@@ -184,6 +184,44 @@ def _srgb_const_coeff(l):
     return np.array([0.0, 0.0, y / np.sqrt(max(1.0 - y * y, 1e-9))], np.float32)
 
 
+AXPROF_BINS = 64  # fixed per-axis majorant profile resolution (media)
+
+
+def _axis_majorant_profiles(vol_row, vmax):
+    """Conservative per-axis slab-max profiles of a sigma_t volume — the
+    TPU-native super-grid majorant (SURVEY §7 "Majorant quality"; the
+    reference's single global max, heterogeneous.cpp:29, forces null
+    collisions everywhere in exponential atmospheres).
+
+    For each local axis a and fixed bin i (covering local coord
+    [i/P, (i+1)/P]) the profile stores the max of the grid's node values
+    over every node whose trilinear support touches the bin: any
+    interpolated value inside the bin is bounded by it. min over the three
+    axis range-maxes is then a valid spatial majorant for a segment.
+
+    Returns (3, P) f32 NORMALIZED by vmax (values in [0, 1]): the traced
+    'majorant' row (= scale * vmax at build) sets the magnitude at query
+    time, so it remains the single ParameterMap knob that raises majorants
+    (e.g. to feed null-collision gradients) exactly as with the global
+    scheme."""
+    P = AXPROF_BINS
+    grid = vol_row.get("grid")
+    if grid is None or vmax <= 0:  # constvolume / empty: flat profiles
+        return np.ones((3, P), np.float32)
+    # grid (D, H, W, C): axis 0 = local z, 1 = local y, 2 = local x
+    out = np.empty((3, P), np.float32)
+    for a_out, a_grid in ((0, 2), (1, 1), (2, 0)):  # out rows: x, y, z
+        other = tuple(i for i in range(grid.ndim) if i != a_grid)
+        node_max = grid.max(axis=other)          # (n_nodes,)
+        n = len(node_max)
+        for i in range(P):
+            g0 = int(np.floor(i / P * (n - 1)))
+            g1 = int(np.ceil((i + 1) / P * (n - 1)))
+            out[a_out, i] = node_max[g0:g1 + 1].max()
+    # f32 safety margin so interpolation rounding can never exceed it
+    return out * np.float32((1.0 + 1e-4) / vmax)
+
+
 class SceneBuilder:
     def __init__(self, variant: Variant):
         self.variant = variant
@@ -375,6 +413,7 @@ class SceneBuilder:
                 "albedo_vol": np.int32(al_vol),
                 "scale": np.float32(scale),
                 "majorant": np.float32(scale * vmax),
+                "axprof": _axis_majorant_profiles(rows, vmax),
                 "w2l_m": w2l_m, "w2l_it": w2l_it,
             }
             return self.add_medium_row("heterogeneous", row, phase_idx)
@@ -682,6 +721,8 @@ class SceneBuilder:
             from ..ops import accel as _accel
 
             _tiles = _accel.pack_tiles(V, N, F, FS)
+            from ..ops.bvh import build_tile_bvh
+            _nbox, _nmeta, _depth = build_tile_bvh(_tiles["lo"], _tiles["hi"])
             tile_args = dict(
                 tiles_v0=jnp.asarray(_tiles["v0"]),
                 tiles_e1=jnp.asarray(_tiles["e1"]),
@@ -689,14 +730,18 @@ class SceneBuilder:
                 tiles_prim=jnp.asarray(_tiles["prim"]),
                 tiles_shape=jnp.asarray(_tiles["shape"]),
                 tiles_lo=jnp.asarray(_tiles["lo"]),
-                tiles_hi=jnp.asarray(_tiles["hi"]))
+                tiles_hi=jnp.asarray(_tiles["hi"]),
+                bvh_box=jnp.asarray(_nbox),
+                bvh_meta=jnp.asarray(_nmeta))
         else:
             tile_args = dict(
                 tiles_v0=jnp.zeros((0, 128, 3)), tiles_e1=jnp.zeros((0, 128, 3)),
                 tiles_e2=jnp.zeros((0, 128, 3)),
                 tiles_prim=jnp.zeros((0, 128), jnp.int32),
                 tiles_shape=jnp.zeros((0, 128), jnp.int32),
-                tiles_lo=jnp.zeros((0, 3)), tiles_hi=jnp.zeros((0, 3)))
+                tiles_lo=jnp.zeros((0, 3)), tiles_hi=jnp.zeros((0, 3)),
+                bvh_box=jnp.zeros((0, 1, 8)),
+                bvh_meta=jnp.zeros((0, 4), jnp.int32))
 
         geo = Geometry(
             **tile_args,

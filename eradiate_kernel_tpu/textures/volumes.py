@@ -29,13 +29,71 @@ def _axis_weights(g, n_axis):
     return jnp.where(ar == i1[..., None], w + f, w)
 
 
+# Voxel-count threshold between the einsum path (O(D*H*W) MACs/lane, wins
+# for tiny grids where everything stays in registers/VMEM and lands on the
+# MXU) and the 8-corner gather path (grid3d.cpp:254-295 analog, O(8)
+# loads/lane, the only viable scheme at production grid sizes like 64^3+).
+EINSUM_MAX_VOXELS = 4096
+
+
 def _trilinear(grid, vslot, pl):
+    """Trilinear interpolation with a static grid-size policy (see
+    EINSUM_MAX_VOXELS). grid: (S, D, H, W, C); pl: (..., 3) in [0,1]^3
+    local coordinates; vslot: (...,) volume slot. Returns (..., C)."""
+    S, D, H, W, C = grid.shape
+    if D * H * W > EINSUM_MAX_VOXELS:
+        return _trilinear_gather(grid, vslot, pl)
+    return _trilinear_einsum(grid, vslot, pl)
+
+
+def _trilinear_gather(grid, vslot, pl):
+    """8-voxel gather + lerp (the direct grid3d.cpp:254-295 analog). Scales
+    to arbitrary grid sizes: per lane it loads exactly 8 corner voxels from
+    the flattened grid instead of contracting the whole volume."""
+    S, D, H, W, C = grid.shape
+    gx = jnp.clip(pl[..., 0], 0.0, 1.0) * (W - 1)
+    gy = jnp.clip(pl[..., 1], 0.0, 1.0) * (H - 1)
+    gz = jnp.clip(pl[..., 2], 0.0, 1.0) * (D - 1)
+    x0 = jnp.clip(gx.astype(jnp.int32), 0, max(W - 2, 0))
+    y0 = jnp.clip(gy.astype(jnp.int32), 0, max(H - 2, 0))
+    z0 = jnp.clip(gz.astype(jnp.int32), 0, max(D - 2, 0))
+    fx = (gx - x0)[..., None]
+    fy = (gy - y0)[..., None]
+    fz = (gz - z0)[..., None]
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    z1 = jnp.minimum(z0 + 1, D - 1)
+
+    flat = grid.reshape(S * D * H * W, C)
+    base = vslot * (D * H * W)
+
+    def corner(z, y, x):
+        idx = base + (z * H + y) * W + x
+        return flat[idx]                     # (..., C) native gather
+
+    c000 = corner(z0, y0, x0)
+    c001 = corner(z0, y0, x1)
+    c010 = corner(z0, y1, x0)
+    c011 = corner(z0, y1, x1)
+    c100 = corner(z1, y0, x0)
+    c101 = corner(z1, y0, x1)
+    c110 = corner(z1, y1, x0)
+    c111 = corner(z1, y1, x1)
+    c00 = c000 * (1 - fx) + c001 * fx
+    c01 = c010 * (1 - fx) + c011 * fx
+    c10 = c100 * (1 - fx) + c101 * fx
+    c11 = c110 * (1 - fx) + c111 * fx
+    c0 = c00 * (1 - fy) + c01 * fy
+    c1 = c10 * (1 - fy) + c11 * fy
+    return c0 * (1 - fz) + c1 * fz
+
+
+def _trilinear_einsum(grid, vslot, pl):
     """Factorized trilinear interpolation: three tiny per-axis weight
     vectors contracted against the grid in one dense einsum (MXU work)
     instead of 8 voxel-count-wide one-hot gathers — the compare cost drops
     from 8 x n_voxels to W + H + D per lane and the MACs land on the
-    systolic array. grid: (S, D, H, W, C); pl: (..., 3) in [0,1]^3 local
-    coordinates; vslot: (...,) volume slot. Returns (..., C)."""
+    systolic array. Only viable for small grids (see EINSUM_MAX_VOXELS)."""
     S, D, H, W, C = grid.shape
     wx = _axis_weights(jnp.clip(pl[..., 0], 0.0, 1.0) * (W - 1), W)
     wy = _axis_weights(jnp.clip(pl[..., 1], 0.0, 1.0) * (H - 1), H)

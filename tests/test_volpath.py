@@ -103,6 +103,60 @@ def test_heterogeneous_constant_grid_matches_homogeneous():
     assert abs(center - expected) < 0.05, (center, expected)
 
 
+def test_trilinear_gather_matches_einsum():
+    """The 8-corner gather path (grid3d.cpp:254-295 analog, used for large
+    grids) must agree with the tiny-grid einsum path to float tolerance."""
+    import jax.numpy as jnp
+
+    from eradiate_kernel_tpu.textures.volumes import (
+        _trilinear_einsum, _trilinear_gather)
+
+    rng = np.random.default_rng(0)
+    grid = jnp.asarray(rng.random((2, 7, 5, 9, 3)), jnp.float32)
+    pl = jnp.asarray(rng.uniform(-0.1, 1.1, (500, 3)), jnp.float32)
+    vslot = jnp.asarray(rng.integers(0, 2, 500), jnp.int32)
+    a = np.asarray(_trilinear_einsum(grid, vslot, pl))
+    b = np.asarray(_trilinear_gather(grid, vslot, pl))
+    assert np.allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_large_grid_volpath():
+    """A 24^3 gridvolume (> EINSUM_MAX_VOXELS, so the gather path runs in
+    the real integrator) with constant density must still match the
+    homogeneous analytic transmittance."""
+    from eradiate_kernel_tpu.core.transform import Transform
+    from eradiate_kernel_tpu.textures.volumes import EINSUM_MAX_VOXELS
+
+    sigma_t = 0.8
+    n = 24
+    assert n ** 3 > EINSUM_MAX_VOXELS
+    grid = np.full((n, n, n), sigma_t, np.float32)
+    het = {
+        "type": "heterogeneous",
+        "sigma_t": {"type": "gridvolume", "data": grid,
+                    "to_world": (Transform.translate([-1, -1, -1])
+                                 @ Transform.scale([2, 2, 2])).m},
+        "albedo": 0.0,
+        "scale": 1.0,
+    }
+    scene_h = load_dict({
+        "type": "scene",
+        "integrator": {"type": "volpath", "max_depth": 64, "rr_depth": 1000},
+        "sensor": {"type": "perspective", "fov": 25.0,
+                   "to_world": Transform.look_at([0, 0, -4], [0, 0, 0],
+                                                 [0, 1, 0]).m,
+                   "film": {"type": "hdrfilm", "width": 8, "height": 8,
+                            "rfilter": {"type": "box"}},
+                   "sampler": {"type": "independent", "sample_count": 256}},
+        "bound": {"type": "cube", "interior": het},
+        "env": {"type": "constant", "radiance": 1.0},
+    })
+    img = np.asarray(integrators.render(scene_h, seed=5))
+    center = img[3:5, 3:5].mean()
+    expected = np.exp(-sigma_t * 2.0)
+    assert abs(center - expected) < 0.05, (center, expected)
+
+
 def test_volpathmis_chromatic_absorption_unbiased():
     """volpathmis on a strongly chromatic absorbing slab: unbiased with far
     lower variance than volpath's single-channel ratio tracking (the point
