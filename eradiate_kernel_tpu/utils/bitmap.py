@@ -1,20 +1,27 @@
 """Image IO — the Bitmap analog (reference: src/libcore/bitmap.cpp).
 
 The reference links OpenEXR/libpng/libjpeg; this environment has no EXR
-backend, so HDR output uses a self-contained OpenEXR codec (uncompressed
-scanline float32 — readable by every EXR consumer; reading supports the
-same subset, which covers files we wrote and most reference dumps once
-decompressed). LDR paths go through PIL with sRGB gamma.
+backend, so HDR IO uses a self-contained OpenEXR codec. Writing supports
+NONE/RLE/ZIPS/ZIP compression in f32 or f16 (scanline images); reading
+supports the same set, which covers the overwhelming majority of real-world
+EXR assets (envmaps, measured data — ZIP is the OpenEXR default). PIZ/B44/
+DWA remain unsupported. LDR paths go through PIL with sRGB gamma.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
 _EXR_MAGIC = 20000630
+_PIXEL_HALF = 1   # OpenEXR HALF (f16)
 _PIXEL_FLOAT = 2  # OpenEXR FLOAT (f32)
+
+# compression enum (OpenEXR ImfCompression.h) -> scanlines per chunk
+_COMPRESSION = {"none": 0, "rle": 1, "zips": 2, "zip": 3}
+_LINES_PER_BLOCK = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32}
 
 
 def _attr(name: str, type_: str, payload: bytes) -> bytes:
@@ -22,12 +29,136 @@ def _attr(name: str, type_: str, payload: bytes) -> bytes:
             + struct.pack("<i", len(payload)) + payload)
 
 
-def write_exr(path: str, img, channel_names=None):
-    """Write (H, W) or (H, W, C) float data as an uncompressed f32 EXR."""
+# --- OpenEXR ZIP/RLE byte transforms (ImfZip.cpp / ImfRle.cpp) ---------------
+#
+# Both codecs pre-transform the raw chunk bytes: de-interleave even/odd bytes
+# into two halves, then delta-encode (d[i] = b[i] - b[i-1] + 128 mod 256).
+# The transforms below are vectorized NumPy re-derivations of that public
+# spec, not ports of the C++.
+
+def _predictor_encode(b: np.ndarray) -> np.ndarray:
+    d = b.astype(np.int16)
+    d[1:] = d[1:] - d[:-1] + 128
+    return (d % 256).astype(np.uint8)
+
+
+def _predictor_decode(b: np.ndarray) -> np.ndarray:
+    # t[i] = t[i-1] + b[i] - 128  =>  prefix sum
+    c = np.cumsum(b.astype(np.int64)) - 128 * np.arange(len(b), dtype=np.int64)
+    return (c % 256).astype(np.uint8)
+
+
+def _interleave_split(b: np.ndarray) -> np.ndarray:
+    """Even bytes first, odd bytes second (compress direction)."""
+    return np.concatenate([b[0::2], b[1::2]])
+
+
+def _interleave_merge(b: np.ndarray) -> np.ndarray:
+    """Inverse of _interleave_split (decompress direction)."""
+    n = len(b)
+    h = (n + 1) // 2
+    out = np.empty(n, np.uint8)
+    out[0::2] = b[:h]
+    out[1::2] = b[h:]
+    return out
+
+
+def _exr_pack(raw: bytes) -> bytes:
+    return _predictor_encode(
+        _interleave_split(np.frombuffer(raw, np.uint8))).tobytes()
+
+
+def _exr_unpack(buf: bytes) -> bytes:
+    return _interleave_merge(
+        _predictor_decode(np.frombuffer(buf, np.uint8))).tobytes()
+
+
+def _rle_compress(data: bytes) -> bytes:
+    """OpenEXR RLE: signed count byte; < 0 -> -count literals, >= 0 ->
+    count+1 repeats of the next byte (ImfRle.cpp contract)."""
+    out = bytearray()
+    b = np.frombuffer(data, np.uint8)
+    n = len(b)
+    i = 0
+    MAX_RUN = 127
+    while i < n:
+        run = 1
+        while i + run < n and b[i + run] == b[i] and run < MAX_RUN + 1:
+            run += 1
+        if run >= 3:
+            out.append(run - 1)
+            out.append(int(b[i]))
+            i += run
+        else:
+            # literal run: until the next >=3 repeat or MAX_RUN
+            j = i
+            while (j < n and j - i < MAX_RUN
+                   and not (j + 2 < n and b[j] == b[j + 1] == b[j + 2])):
+                j += 1
+            out.append(256 - (j - i))  # -(count) as unsigned byte
+            out.extend(b[i:j].tobytes())
+            i = j
+    return bytes(out)
+
+
+def _rle_decompress(data: bytes, out_size: int) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < out_size:
+        count = data[i]
+        i += 1
+        if count > 127:           # negative int8: literal copy
+            c = 256 - count
+            out.extend(data[i:i + c])
+            i += c
+        else:                     # repeat next byte count+1 times
+            out.extend(data[i:i + 1] * (count + 1))
+            i += 1
+    if len(out) != out_size:
+        raise ValueError(f"RLE output size {len(out)} != {out_size}")
+    return bytes(out)
+
+
+def _compress_chunk(raw: bytes, compression: int) -> bytes:
+    if compression == 0:
+        return raw
+    if compression == 1:
+        packed = _rle_compress(_exr_pack(raw))
+    else:  # 2/3: zips/zip
+        packed = zlib.compress(_exr_pack(raw))
+    # OpenEXR stores raw when compression does not shrink the chunk
+    return packed if len(packed) < len(raw) else raw
+
+
+def _decompress_chunk(buf: bytes, raw_size: int, compression: int) -> bytes:
+    if compression == 0 or len(buf) >= raw_size:
+        return buf
+    if compression == 1:
+        return _exr_unpack(_rle_decompress(buf, raw_size))
+    if compression in (2, 3):
+        return _exr_unpack(zlib.decompress(buf))
+    raise ValueError(
+        f"unsupported EXR compression {compression} (supported: "
+        f"none/rle/zips/zip; piz/pxr24/b44/dwa are not)")
+
+
+def write_exr(path: str, img, channel_names=None, compression="zip",
+              pixel_type="f32"):
+    """Write (H, W) or (H, W, C) float data as a scanline EXR.
+
+    compression: 'none' | 'rle' | 'zips' | 'zip' (OpenEXR default: zip).
+    pixel_type: 'f32' | 'f16'.
+    """
     img = np.asarray(img, np.float32)
     if img.ndim == 2:
         img = img[..., None]
     H, W, C = img.shape
+    comp = _COMPRESSION[compression]
+    lines_pb = _LINES_PER_BLOCK[comp]
+    ptype = _PIXEL_FLOAT if pixel_type == "f32" else _PIXEL_HALF
+    dtype = np.float32 if pixel_type == "f32" else np.float16
+    psize = dtype().itemsize
     if channel_names is None:
         channel_names = {1: ["Y"], 2: ["R", "G"], 3: ["R", "G", "B"],
                          4: ["R", "G", "B", "A"]}.get(C) or \
@@ -39,12 +170,12 @@ def write_exr(path: str, img, channel_names=None):
     chan_payload = b""
     for i in order:
         chan_payload += (channel_names[i].encode() + b"\x00"
-                         + struct.pack("<iiii", _PIXEL_FLOAT, 0, 1, 1))
+                         + struct.pack("<iiii", ptype, 0, 1, 1))
     chan_payload += b"\x00"
 
     header = b""
     header += _attr("channels", "chlist", chan_payload)
-    header += _attr("compression", "compression", b"\x00")  # NO_COMPRESSION
+    header += _attr("compression", "compression", bytes([comp]))
     header += _attr("dataWindow", "box2i",
                     struct.pack("<iiii", 0, 0, W - 1, H - 1))
     header += _attr("displayWindow", "box2i",
@@ -56,25 +187,36 @@ def write_exr(path: str, img, channel_names=None):
     header += b"\x00"
 
     head = struct.pack("<ii", _EXR_MAGIC, 2) + header
-    line_size = 8 + W * C * 4
-    offset0 = len(head) + 8 * H
-    offsets = [offset0 + y * line_size for y in range(H)]
+    n_blocks = -(-H // lines_pb)
 
+    chunks = []
+    for bi in range(n_blocks):
+        y0 = bi * lines_pb
+        ny = min(lines_pb, H - y0)
+        raw = b"".join(
+            np.ascontiguousarray(img[y0 + dy, :, i]).astype(dtype).tobytes()
+            for dy in range(ny) for i in order)
+        chunks.append((y0, _compress_chunk(raw, comp)))
+
+    offset = len(head) + 8 * n_blocks
     with open(path, "wb") as f:
         f.write(head)
-        f.write(struct.pack("<" + "Q" * H, *offsets))
-        for y in range(H):
-            f.write(struct.pack("<ii", y, W * C * 4))
-            for i in order:
-                f.write(np.ascontiguousarray(img[y, :, i]).tobytes())
+        for y0, payload in chunks:
+            f.write(struct.pack("<Q", offset))
+            offset += 8 + len(payload)
+        for y0, payload in chunks:
+            f.write(struct.pack("<ii", y0, len(payload)))
+            f.write(payload)
 
 
 def read_exr(path: str):
-    """Read an uncompressed f32/f16 scanline EXR -> (img (H, W, C), names)."""
+    """Read a scanline EXR (none/rle/zips/zip; f32/f16/u32 channels)
+    -> (img (H, W, C) f32, names)."""
     with open(path, "rb") as f:
         data = f.read()
     magic, _version = struct.unpack_from("<ii", data, 0)
     assert magic == _EXR_MAGIC, "not an EXR file"
+    assert _version & 0x200 == 0, "tiled EXRs not supported"
     pos = 8
     channels = []
     compression = None
@@ -102,34 +244,53 @@ def read_exr(path: str):
             while payload[p] != 0:
                 e = payload.index(b"\x00", p)
                 cname = payload[p:e].decode()
-                ptype = struct.unpack_from("<i", payload, e + 1)[0]
+                ptype, _plin, sx, sy = struct.unpack_from("<iiii", payload,
+                                                          e + 1)
+                assert sx == 1 and sy == 1, "subsampled channels unsupported"
                 channels.append((cname, ptype))
                 p = e + 1 + 16
         elif name == "compression":
             compression = payload[0]
         elif name == "dataWindow":
             dw = struct.unpack("<iiii", payload)
-    assert compression == 0, \
-        f"only uncompressed EXRs supported (compression={compression})"
+    if compression not in (0, 1, 2, 3):
+        raise ValueError(
+            f"unsupported EXR compression {compression} (supported: "
+            f"none/rle/zips/zip; piz/pxr24/b44/dwa are not)")
+    lines_pb = _LINES_PER_BLOCK[compression]
     x0, y0, x1, y1 = dw
     W = x1 - x0 + 1
     H = y1 - y0 + 1
     C = len(channels)
-    offsets = struct.unpack_from("<" + "Q" * H, data, pos)
+    psizes = [{_PIXEL_HALF: 2, _PIXEL_FLOAT: 4, 0: 4}[pt]
+              for _n, pt in channels]
+    line_bytes = W * sum(psizes)
+    n_blocks = -(-H // lines_pb)
+    offsets = struct.unpack_from("<" + "Q" * n_blocks, data, pos)
     img = np.zeros((H, W, C), np.float32)
-    for yi, off in enumerate(offsets):
-        y, _size = struct.unpack_from("<ii", data, off)
-        p = off + 8
-        for ci, (cname, ptype) in enumerate(channels):
-            if ptype == _PIXEL_FLOAT:
-                row = np.frombuffer(data, np.float32, W, p)
-                p += 4 * W
-            elif ptype == 1:  # HALF
-                row = np.frombuffer(data, np.float16, W, p).astype(np.float32)
-                p += 2 * W
-            else:
-                raise ValueError(f"unsupported pixel type {ptype}")
-            img[y - y0, :, ci] = row
+    for off in offsets:
+        y, size = struct.unpack_from("<ii", data, off)
+        yb = y - y0
+        ny = min(lines_pb, H - yb)
+        raw = _decompress_chunk(data[off + 8:off + 8 + size],
+                                ny * line_bytes, compression)
+        p = 0
+        for dy in range(ny):
+            for ci, (_cname, ptype) in enumerate(channels):
+                if ptype == _PIXEL_FLOAT:
+                    row = np.frombuffer(raw, np.float32, W, p)
+                    p += 4 * W
+                elif ptype == _PIXEL_HALF:
+                    row = np.frombuffer(raw, np.float16, W,
+                                        p).astype(np.float32)
+                    p += 2 * W
+                elif ptype == 0:  # UINT
+                    row = np.frombuffer(raw, np.uint32, W,
+                                        p).astype(np.float32)
+                    p += 4 * W
+                else:
+                    raise ValueError(f"unsupported pixel type {ptype}")
+                img[yb + dy, :, ci] = row
     names = [c[0] for c in channels]
     # reorder RGB(A) conventionally if present
     want = [n for n in ("R", "G", "B", "A") if n in names]
