@@ -314,6 +314,31 @@ KIND_SAMPLERS = {
     "envmap": envmap_sample_direction,
 }
 
+# User-registered emitter kinds (register_emitter — the trampoline analog,
+# integrator_v.cpp:167 pattern applied to emitters).
+CUSTOM = {}
+
+
+def register_emitter(name, module):
+    """Extension hook for user-defined *NEE-sampled* emitters (the point/
+    spot/directional family: delta or finite-direction emitters picked up by
+    next-event estimation; emitters needing ray-hit or escaped-ray eval —
+    the area/envmap family — are structural and not registrable).
+
+    ``module`` must provide:
+
+      build(props, builder) -> row dict    (scene-build time, NumPy; use
+                                            builder.texture/spectrum for
+                                            radiometric values)
+      sample_direction(scene, params, slot, ref_p, wavelengths, s1, s2,
+                       active) -> (DirectionSample, value)
+        value = radiance/intensity with any finite pdf already divided out
+        (the point_sample_direction contract); ds.delta marks delta
+        directions; ds.pdf is the solid-angle density (0 for delta).
+    """
+    CUSTOM[name] = module
+    KIND_SAMPLERS[name] = module.sample_direction
+
 
 # =============================================================================
 # scene-level operations

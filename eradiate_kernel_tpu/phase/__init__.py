@@ -24,6 +24,26 @@ from ..core.math import dot, safe_sqrt
 
 INV_FOUR_PI = 1.0 / (4.0 * jnp.pi)
 
+# User-registered phase kinds (register_phasefunction — the analog of the
+# reference's Python trampolines, src/librender/python/phase_v.cpp pattern).
+CUSTOM = {}
+
+
+def register_phasefunction(name, module):
+    """Extension hook: register a user-defined azimuthally-symmetric phase
+    function. ``module`` is any namespace with three functions:
+
+      build(props, builder) -> row dict      (scene-build time, NumPy)
+      eval_cos(params, slot, ct) -> value    (ct = dot(wi, wo), wi = -ray.d;
+                                              value = normalized pdf)
+      sample_cos(params, slot, s1) -> cos    (inverse CDF of the angle to
+                                              +ray.d — the hg convention:
+                                              eval receives -sample's cos)
+
+    Rows registered by build() become traced device arrays addressable via
+    the ParameterMap like built-in kinds."""
+    CUSTOM[name] = module
+
 
 def _hg(cos_theta, g):
     temp = 1.0 + g * g + 2.0 * g * cos_theta
@@ -95,6 +115,8 @@ def _sample_cos_theta(kind, params, slot, s1):
         t = jnp.where(jnp.abs(slope) * dx < 1e-9 * jnp.maximum(y0, 1e-9),
                       t_lin, tq)
         return jnp.clip(x0 + jnp.clip(t, 0.0, dx), -1.0, 1.0)
+    if kind in CUSTOM:
+        return CUSTOM[kind].sample_cos(params, slot, s1)
     raise ValueError(kind)
 
 
@@ -134,6 +156,8 @@ def phase_eval(scene, phase_idx, wi, wo, active=True):
                         v2 = _rayleigh(ct)
                     elif kn2 == "tabphase":
                         v2 = _tab_eval(p2, cs, -ct)
+                    elif kn2 in CUSTOM:
+                        v2 = CUSTOM[kn2].eval_cos(p2, cs, ct)
                     else:
                         raise ValueError(kn2)
                     out_c = jnp.where(m2, v2, out_c)
@@ -149,6 +173,8 @@ def phase_eval(scene, phase_idx, wi, wo, active=True):
         elif kname == "tabphase":
             # tabulated over the scattering angle: cos = dot(ray.d, wo) = -ct
             v = _tab_eval(params, slot, -ct)
+        elif kname in CUSTOM:
+            v = CUSTOM[kname].eval_cos(params, slot, ct)
         else:
             raise ValueError(kname)
         out = jnp.where(m, v, out)

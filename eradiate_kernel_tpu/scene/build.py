@@ -24,6 +24,11 @@ _SHAPE_TYPES = ("rectangle", "disk", "sphere", "cylinder", "cone", "cube",
                 "mesh", "obj", "ply", "serialized", "instance")
 _EMITTER_SCENE_TYPES = ("constant", "point", "directional", "spot",
                         "projector", "envmap")
+
+
+def _custom_emitter_types():
+    from ..emitters import CUSTOM
+    return CUSTOM
 _SENSOR_TYPES = ("perspective", "thinlens", "radiancemeter", "mradiancemeter",
                  "distant", "mdistant", "distantflux", "irradiancemeter")
 
@@ -330,6 +335,9 @@ class SceneBuilder:
                 "cdf": cdf.astype(np.float32),
                 "integral": np.float32(cdf[-1]),
                 "count": np.int32(len(values))})
+        from ..phase import CUSTOM as _custom_phase
+        if t in _custom_phase:
+            return self.add_phase_row(t, _custom_phase[t].build(d, self))
         raise ValueError(f"unknown phase type {t!r}")
 
     def volume(self, v):
@@ -988,6 +996,9 @@ def _build_scene_emitter(builder: SceneBuilder, d):
             "col_cdf": col_cdf.astype(np.float32)})
         builder.env_emitter = idx
         return idx
+    from ..emitters import CUSTOM as _custom_emitter
+    if t in _custom_emitter:
+        return builder.add_emitter_row(t, _custom_emitter[t].build(d, builder))
     raise ValueError(f"unknown emitter type {t!r}")
 
 
@@ -1131,7 +1142,7 @@ def load_dict(d: dict, variant: Variant | None = None) -> Scene:
         if t in _SHAPE_TYPES:
             idx = _build_shape(b, val)
             b.named[key] = ("shape", idx)
-        elif t in _EMITTER_SCENE_TYPES:
+        elif t in _EMITTER_SCENE_TYPES or t in _custom_emitter_types():
             _build_scene_emitter(b, val)
         elif t in _SENSOR_TYPES:
             # defer building until all shapes exist (irradiancemeter refs)
