@@ -195,3 +195,57 @@ def square_to_von_mises_fisher_pdf(d, kappa):
 
 
 # --- rough fresnel / GGX visible normals live in render/microfacet ------------
+
+
+# --- linear / bilinear interpolant warps (warp.h:356-434) ---------------------
+
+def interval_to_linear(a, b, u):
+    """Sample t in [0,1] with density proportional to lerp(a, b, t)
+    (warp.h interval_to_linear)."""
+    denom = b - a
+    t = (safe_sqrt(a * a + (b * b - a * a) * u) - a) / jnp.where(
+        jnp.abs(denom) < 1e-12, 1e-12, denom)
+    return jnp.where(jnp.abs(denom) < 1e-12 * (a + b), u,
+                     jnp.clip(t, 0.0, 1.0))
+
+
+def linear_to_interval(a, b, t):
+    """Inverse of interval_to_linear: the CDF of the linear density."""
+    denom = a + b
+    u = t * (2.0 * a + (b - a) * t) / jnp.where(jnp.abs(denom) < 1e-12,
+                                                1e-12, denom)
+    return jnp.where(jnp.abs(denom) < 1e-12, t, jnp.clip(u, 0.0, 1.0))
+
+
+def square_to_bilinear(v00, v10, v01, v11, sample):
+    """Sample [0,1]^2 with density prop. to the bilinear interpolant with
+    corner values v00 (x0,y0), v10 (x1,y0), v01 (x0,y1), v11 (x1,y1)
+    (warp.h:393-407). Returns (position, interpolant value at position)."""
+    r0 = v00 + v10
+    r1 = v01 + v11
+    y = interval_to_linear(r0, r1, sample[..., 1])
+    c0 = v00 * (1 - y) + v01 * y
+    c1 = v10 * (1 - y) + v11 * y
+    x = interval_to_linear(c0, c1, sample[..., 0])
+    pdf = c0 * (1 - x) + c1 * x
+    return jnp.stack([x, y], -1), pdf
+
+
+def bilinear_to_square(v00, v10, v01, v11, pos):
+    """Inverse of square_to_bilinear (warp.h:409-426)."""
+    x = pos[..., 0]
+    y = pos[..., 1]
+    r0 = v00 + v10
+    r1 = v01 + v11
+    c0 = v00 * (1 - y) + v01 * y
+    c1 = v10 * (1 - y) + v11 * y
+    pdf = c0 * (1 - x) + c1 * x
+    return jnp.stack([linear_to_interval(c0, c1, x),
+                      linear_to_interval(r0, r1, y)], -1), pdf
+
+
+def square_to_bilinear_pdf(v00, v10, v01, v11, pos):
+    x = pos[..., 0]
+    y = pos[..., 1]
+    return ((v00 * (1 - x) + v10 * x) * (1 - y)
+            + (v01 * (1 - x) + v11 * x) * y)

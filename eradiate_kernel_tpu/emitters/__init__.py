@@ -207,14 +207,17 @@ def _envmap_uv_to_dir(params, slot, uv):
 
 
 def _envmap_bilinear(params, slot, uv, wavelengths, nc):
-    img = _tg(params["image"], slot)  # (H, W, 3)
+    # vertex-aligned bilinear (envmap.cpp convention): texels are vertex
+    # samples; the stored image carries a duplicated wrap column so
+    # u in [0,1] spans the azimuth seam and v in [0,1] spans pole to pole
+    img = _tg(params["image"], slot)  # (H, W+1, 3)
     H, W = img.shape[-3], img.shape[-2]
-    u = jnp.clip(uv[..., 0], 0.0, 1.0 - 1e-6) * W - 0.5
-    v = jnp.clip(uv[..., 1], 0.0, 1.0 - 1e-6) * H - 0.5
-    x0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, W - 1)
-    y0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, H - 1)
-    x1 = jnp.minimum(x0 + 1, W - 1)
-    y1 = jnp.minimum(y0 + 1, H - 1)
+    u = jnp.clip(uv[..., 0], 0.0, 1.0) * (W - 1)
+    v = jnp.clip(uv[..., 1], 0.0, 1.0) * (H - 1)
+    x0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, W - 2)
+    y0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, H - 2)
+    x1 = x0 + 1
+    y1 = y0 + 1
     fx = jnp.clip(u - x0, 0.0, 1.0)[..., None]
     fy = jnp.clip(v - y0, 0.0, 1.0)[..., None]
     if img.ndim == 3:  # single slot selected per lane
@@ -244,53 +247,30 @@ def envmap_eval(scene, params, slot, d, wavelengths, active):
 
 
 def envmap_pdf_direction(scene, params, slot, d, active):
+    """Hierarchical2D bilinear density / spherical Jacobian
+    (envmap.cpp:205-207: warp.eval(uv) / (2 pi^2 sin theta))."""
+    from ..core.hierarchical2d import h2d_pdf
+
     uv, theta = _envmap_dir_to_uv(params, slot, d)
-    lum = _tg(params["lum"], slot)       # (H, W) sin-weighted sampling density
-    norm = _tg(params["lum_sum"], slot)  # scalar: sum of lum
-    H, W = lum.shape[-2], lum.shape[-1]
-    x = jnp.clip((uv[..., 0] * W).astype(jnp.int32), 0, W - 1)
-    y = jnp.clip((uv[..., 1] * H).astype(jnp.int32), 0, H - 1)
-    cell = (lum[y, x] if lum.ndim == 2
-            else lum[jnp.arange(lum.shape[0]), y, x])
-    # pdf over the sphere: cell/norm per texel, texel solid angle =
-    # (2 pi / W)(pi / H) sin(theta)
+    p = h2d_pdf(params, slot, uv, prefix="h2d_")
     st = jnp.maximum(jnp.sin(theta), 1e-6)
-    pdf = cell / jnp.maximum(norm, 1e-20) * (W * H) \
-        / (2.0 * jnp.pi * jnp.pi * st)
+    pdf = p / (2.0 * jnp.pi * jnp.pi * st)
     return jnp.where(active, pdf, 0.0)
 
 
 def envmap_sample_direction(scene, params, slot, ref_p, wavelengths, s1, s2,
                             active):
-    lum = _tg(params["lum"], slot)          # (..., H, W) per-lane gathered
-    row_cdf = _tg(params["row_cdf"], slot)  # (..., H)
-    col_cdf = _tg(params["col_cdf"], slot)  # (..., H, W)
-    H, W = lum.shape[-2], lum.shape[-1]
-    batch = s2.shape[:-1]
-    row_cdf = jnp.broadcast_to(row_cdf, batch + (H,))
-    # invert the marginal row CDF with s2[...,1], conditional with s2[...,0]
-    # (vectorized per-lane binary search via counting)
-    y = jnp.sum((row_cdf < s2[..., 1:2]).astype(jnp.int32), axis=-1)
-    y = jnp.clip(y, 0, H - 1)
-    cc = jnp.take_along_axis(
-        jnp.broadcast_to(col_cdf, batch + (H, W)),
-        y[..., None, None], axis=-2)[..., 0, :]  # (..., W)
-    x = jnp.sum((cc < s2[..., 0:1]).astype(jnp.int32), axis=-1)
-    x = jnp.clip(x, 0, W - 1)
-    # in-texel jitter: the CDF-inversion residuals are fresh uniforms
-    # (sample reuse, distr_2d.h invert-and-rescale pattern)
-    take = lambda a, i: jnp.take_along_axis(a, i[..., None], -1)[..., 0]
-    y0 = jnp.where(y > 0, take(row_cdf, jnp.maximum(y - 1, 0)), 0.0)
-    y1 = take(row_cdf, y)
-    jv = jnp.clip((s2[..., 1] - y0) / jnp.maximum(y1 - y0, 1e-12), 0.0, 1.0)
-    x0 = jnp.where(x > 0, take(cc, jnp.maximum(x - 1, 0)), 0.0)
-    x1 = take(cc, x)
-    ju = jnp.clip((s2[..., 0] - x0) / jnp.maximum(x1 - x0, 1e-12), 0.0, 1.0)
-    u = (x.astype(jnp.float32) + ju) / W
-    v = (y.astype(jnp.float32) + jv) / H
-    uv = jnp.stack([u, v], -1)
+    """Hierarchical2D mip warp (envmap.cpp:160-180): uv sampled with density
+    proportional to the bilinearly-interpolated sin-weighted luminance, so
+    value/pdf is exactly the color/luminance ratio — bounded even for a
+    single hot sun texel."""
+    from ..core.hierarchical2d import h2d_sample
+
+    uv, p2 = h2d_sample(params, slot, s2, prefix="h2d_")
     d, theta = _envmap_uv_to_dir(params, slot, uv)
-    pdf = envmap_pdf_direction(scene, params, slot, d, active)
+    st = jnp.maximum(jnp.sin(theta), 1e-6)
+    pdf = jnp.where(p2 > 0, p2 / (2.0 * jnp.pi * jnp.pi * st), 0.0)
+    pdf = jnp.where(active, pdf, 0.0)
     nc = wavelengths.shape[-1] if scene.config.variant.is_spectral \
         else scene.config.variant.n_channels
     value = _envmap_bilinear(params, slot, uv, wavelengths, nc)

@@ -971,29 +971,23 @@ def _build_scene_emitter(builder: SceneBuilder, d):
         tw = as_transform(d.get("to_world"))
         w2l = tw.inverse()
         H, W = data.shape[:2]
-        lum = (0.212671 * data[..., 0] + 0.715160 * data[..., 1]
-               + 0.072169 * data[..., 2]).astype(np.float64)
-        # 3x3 max-pool: the bilinear eval reads neighboring texels, so the
-        # sampling density must dominate them or value/pdf spikes at sharp
-        # edges (the Hierarchical2D bilinear-patch property, distr_2d.h)
-        lp = np.pad(lum, 1, mode="edge")
-        lum = np.max(np.stack([lp[i:i + H, j:j + W]
-                               for i in range(3) for j in range(3)]), axis=0)
-        # sin(theta)-weighted sampling density over texel centers
-        theta = (np.arange(H) + 0.5) / H * np.pi
-        lum = np.maximum(lum, 1e-12) * np.sin(theta)[:, None]
-        row_mass = lum.sum(axis=1)
-        row_cdf = np.cumsum(row_mass) / row_mass.sum()
-        col_cdf = np.cumsum(lum, axis=1) / row_mass[:, None]
-        idx = builder.add_emitter_row("envmap", {
-            "image": data,
+        # vertex convention (envmap.cpp:90,233): texels are bilinear vertex
+        # samples; row y sits at theta = y/(H-1)*pi (rows 0/H-1 = poles) and
+        # a duplicated wrap column closes the azimuth seam
+        img_p = np.concatenate([data, data[:, :1]], axis=1)  # (H, W+1, 3)
+        lum = (0.212671 * img_p[..., 0] + 0.715160 * img_p[..., 1]
+               + 0.072169 * img_p[..., 2]).astype(np.float64)
+        theta_v = np.arange(H) / max(H - 1, 1) * np.pi
+        vert = lum * np.sin(theta_v)[:, None]  # sampling density vertices
+        from ..core.hierarchical2d import build_hierarchical2d
+        h2d = build_hierarchical2d(vert)
+        row = {
+            "image": img_p,
             "scale": np.float32(scale),
             "w2l_m": np.asarray(w2l.m, np.float32),
-            "w2l_it": np.asarray(w2l.inv_t, np.float32),
-            "lum": lum.astype(np.float32),
-            "lum_sum": np.float32(lum.sum()),
-            "row_cdf": row_cdf.astype(np.float32),
-            "col_cdf": col_cdf.astype(np.float32)})
+            "w2l_it": np.asarray(w2l.inv_t, np.float32)}
+        row.update({f"h2d_{k}": v[0] for k, v in h2d.items()})
+        idx = builder.add_emitter_row("envmap", row)
         builder.env_emitter = idx
         return idx
     from ..emitters import CUSTOM as _custom_emitter

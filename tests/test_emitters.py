@@ -33,7 +33,10 @@ def test_spot_inverse_square_and_cone():
 
 
 def _gradient_env(H=32, W=64):
-    th = (np.arange(H) + 0.5) / H * np.pi
+    # vertex convention (envmap.cpp:90): row y sits at theta = y/(H-1)*pi,
+    # so sampling the analytic gradient at vertex angles keeps the
+    # piecewise-bilinear radiance equal to the closed form
+    th = np.arange(H) / (H - 1) * np.pi
     env = np.zeros((H, W, 3), np.float32)
     env[..., :] = (0.2 + 0.8 * np.cos(th)[:, None, None] ** 2)
     return env
