@@ -240,3 +240,188 @@ def texture_eval(scene, tex_index, si_uv, wavelengths, active=True,
             raise ValueError(f"unknown texture kind {kind}")
         out = jnp.where(m[..., None], v, out)
     return out
+
+
+# =============================================================================
+# Spectral importance sampling (Texture::sample_spectrum / pdf_spectrum,
+# texture.h:23-201). Every continuous spectrum kind carries a build-time
+# piecewise-linear sampling table (scene/build.py:_spectrum_sampling_table);
+# sampling inverts that table's CDF (quadratic within a segment) and the pdf
+# is the same table's density — one masked-sweep branch for all kinds.
+# =============================================================================
+
+def _table_invert_cdf(nodes, pdfv, cdf, u):
+    """Invert the piecewise-linear-density CDF. nodes/pdfv/cdf: (..., P);
+    u: (..., nw) uniforms. Returns wavelengths (..., nw)."""
+    P = nodes.shape[-1]
+    u_ = u[..., None, :]
+    seg = jnp.clip(jnp.sum((u_ >= cdf[..., :, None]).astype(jnp.int32),
+                           axis=-2) - 1, 0, P - 2)
+    take = lambda a, i: jnp.take_along_axis(a, i, axis=-1)
+    c0 = take(cdf, seg)
+    x0 = take(nodes, seg)
+    x1 = take(nodes, seg + 1)
+    y0 = take(pdfv, seg)
+    y1 = take(pdfv, seg + 1)
+    dx = jnp.maximum(x1 - x0, 1e-9)
+    du = u - c0
+    slope = (y1 - y0) / dx
+    disc = jnp.maximum(y0 * y0 + 2.0 * slope * du, 0.0)
+    t_quad = 2.0 * du / jnp.maximum(y0 + jnp.sqrt(disc), 1e-12)
+    t_lin = du / jnp.maximum(y0, 1e-12)
+    t = jnp.where(jnp.abs(slope) * dx < 1e-9 * jnp.maximum(y0, 1e-9),
+                  t_lin, t_quad)
+    return x0 + jnp.clip(t, 0.0, dx)
+
+
+def _table_pdf(nodes, pdfv, lam):
+    """Density of the sampling table at wavelengths lam (..., nw)."""
+    P = nodes.shape[-1]
+    lam_ = lam[..., None, :]
+    seg = jnp.clip(jnp.sum((lam_ >= nodes[..., :, None]).astype(jnp.int32),
+                           axis=-2) - 1, 0, P - 2)
+    take = lambda a, i: jnp.take_along_axis(a, i, axis=-1)
+    x0 = take(nodes, seg)
+    x1 = take(nodes, seg + 1)
+    y0 = take(pdfv, seg)
+    y1 = take(pdfv, seg + 1)
+    f = jnp.clip((lam - x0) / jnp.maximum(x1 - x0, 1e-9), 0.0, 1.0)
+    p = y0 * (1 - f) + y1 * f
+    inside = (lam >= nodes[..., 0:1]) & (lam <= nodes[..., P - 1:P])
+    return jnp.where(inside, p, 0.0)
+
+
+def spectrum_sample(spectra, spec_kind, spec_slot, kinds, sample):
+    """Importance-sample hero wavelengths from spectrum objects.
+
+    sample: (...,) uniform; returns (wavelengths (..., nw), weight (..., nw))
+    with weight = eval / pdf (regular.cpp:87-97 contract: for an exactly
+    table-resolved spectrum the weight equals its integral). Discrete line
+    spectra return their lines with weight = sum of line values."""
+    ws = sp.sample_shifted(sample)                       # (..., nw) strata
+    nw = ws.shape[-1]
+    lam = jnp.broadcast_to(
+        sp.WAVELENGTH_MIN + ws * (sp.WAVELENGTH_MAX - sp.WAVELENGTH_MIN),
+        spec_kind.shape + (nw,))
+    pdf = jnp.full_like(lam, 1.0 / (sp.WAVELENGTH_MAX - sp.WAVELENGTH_MIN))
+    w_discrete = jnp.zeros_like(lam)
+    is_discrete = jnp.zeros(spec_kind.shape + (1,), bool)
+    for k, kind in enumerate(kinds):
+        m = (spec_kind == k)
+        p = spectra[kind]
+        if kind == "baked":
+            continue  # non-spectral variants never reach here
+        if kind == "discrete":
+            lines = tg(p["wavelengths"], spec_slot)      # (..., K)
+            vals = tg(p["values"], spec_slot)
+            cnt = tg(p["count"], spec_slot)[..., None]
+            K = lines.shape[-1]
+            valid = jnp.arange(K) < cnt
+            vv = jnp.where(valid, vals, 0.0)
+            total = jnp.sum(vv, -1, keepdims=True)
+            cdf = jnp.cumsum(vv, -1) / jnp.maximum(total, 1e-20)
+            idx = jnp.clip(jnp.sum((ws[..., None, :] >= cdf[..., :, None])
+                                   .astype(jnp.int32), axis=-2), 0, K - 1)
+            l_k = jnp.take_along_axis(lines, idx, -1)
+            lam = jnp.where(m[..., None], l_k, lam)
+            w_discrete = jnp.where(m[..., None],
+                                   jnp.broadcast_to(total, l_k.shape),
+                                   w_discrete)
+            is_discrete = is_discrete | m[..., None]
+        else:
+            nodes = tg(p["smp_nodes"], spec_slot)
+            pdfv = tg(p["smp_pdf"], spec_slot)
+            cdf = tg(p["smp_cdf"], spec_slot)
+            l_k = _table_invert_cdf(nodes, pdfv, cdf,
+                                    jnp.broadcast_to(ws, nodes.shape[:-1] + (nw,)))
+            p_k = _table_pdf(nodes, pdfv, l_k)
+            lam = jnp.where(m[..., None], l_k, lam)
+            pdf = jnp.where(m[..., None], p_k, pdf)
+    val = spectrum_eval(spectra, spec_kind, spec_slot, kinds, lam, nw)
+    weight = jnp.where(is_discrete, w_discrete,
+                       val / jnp.maximum(pdf, 1e-20))
+    return lam, weight
+
+
+def spectrum_pdf(spectra, spec_kind, spec_slot, kinds, wavelengths):
+    """Density of spectrum_sample at the given wavelengths (pdf_spectrum,
+    texture.h contract; 0 for discrete kinds whose measure has atoms)."""
+    pdf = jnp.full(spec_kind.shape + (wavelengths.shape[-1],),
+                   1.0 / (sp.WAVELENGTH_MAX - sp.WAVELENGTH_MIN))
+    for k, kind in enumerate(kinds):
+        m = (spec_kind == k)
+        p = spectra[kind]
+        if kind == "baked":
+            continue
+        if kind == "discrete":
+            pdf = jnp.where(m[..., None], 0.0, pdf)
+        else:
+            nodes = tg(p["smp_nodes"], spec_slot)
+            pdfv = tg(p["smp_pdf"], spec_slot)
+            p_k = _table_pdf(nodes, pdfv, wavelengths)
+            pdf = jnp.where(m[..., None], p_k, pdf)
+    return pdf
+
+
+def scene_spectrum_sample(scene, spec_idx, sample):
+    cfg = scene.config
+    return spectrum_sample(scene.spectra, tg(scene.spec_kind, spec_idx),
+                           tg(scene.spec_slot, spec_idx), cfg.spectrum_kinds,
+                           sample)
+
+
+def scene_spectrum_pdf(scene, spec_idx, wavelengths):
+    cfg = scene.config
+    return spectrum_pdf(scene.spectra, tg(scene.spec_kind, spec_idx),
+                        tg(scene.spec_slot, spec_idx), cfg.spectrum_kinds,
+                        wavelengths)
+
+
+def texture_sample_spectrum(scene, tex_index, si_uv, sample, active=True):
+    """Texture::sample_spectrum: 'constant' textures importance-sample their
+    underlying spectrum; spatially-varying kinds (bitmap/checkerboard/
+    mesh_attribute) sample uniformly over the global range with weight =
+    eval * range (their spectral axis is flat)."""
+    cfg = scene.config
+    tex_kind = tg(scene.tex_kind, tex_index)
+    tex_slot = tg(scene.tex_slot, tex_index)
+    rng_w = sp.WAVELENGTH_MAX - sp.WAVELENGTH_MIN
+    ws = sp.sample_shifted(sample)
+    lam = jnp.broadcast_to(sp.WAVELENGTH_MIN + ws * rng_w,
+                           tex_kind.shape + (ws.shape[-1],))
+    weight = None
+    for k, kind in enumerate(cfg.texture_kinds):
+        m = (tex_kind == k)
+        if kind == "constant":
+            spec = tg(scene.textures["constant"]["spec"], tex_slot)
+            l_k, w_k = scene_spectrum_sample(scene, spec, sample)
+            lam = jnp.where(m[..., None], l_k, lam)
+        else:
+            w_k = None
+        if weight is None and w_k is not None:
+            weight = jnp.where(m[..., None], w_k, 0.0)
+        elif w_k is not None:
+            weight = jnp.where(m[..., None], w_k, weight)
+    uni = texture_eval(scene, tex_index, si_uv, lam, active) * rng_w
+    if weight is None:
+        weight = uni
+    else:
+        const_k = cfg.texture_kinds.index("constant") \
+            if "constant" in cfg.texture_kinds else -1
+        weight = jnp.where((tex_kind == const_k)[..., None], weight, uni)
+    return lam, jnp.where(active[..., None] if hasattr(active, "ndim")
+                          else jnp.asarray(active)[..., None], weight, 0.0)
+
+
+def texture_pdf_spectrum(scene, tex_index, si_uv, wavelengths):
+    cfg = scene.config
+    tex_kind = tg(scene.tex_kind, tex_index)
+    tex_slot = tg(scene.tex_slot, tex_index)
+    pdf = jnp.full(tex_kind.shape + (wavelengths.shape[-1],),
+                   1.0 / (sp.WAVELENGTH_MAX - sp.WAVELENGTH_MIN))
+    if "constant" in cfg.texture_kinds:
+        k = cfg.texture_kinds.index("constant")
+        spec = tg(scene.textures["constant"]["spec"], tex_slot)
+        p_c = scene_spectrum_pdf(scene, spec, wavelengths)
+        pdf = jnp.where((tex_kind == k)[..., None], p_c, pdf)
+    return pdf

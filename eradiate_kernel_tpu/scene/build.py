@@ -191,6 +191,63 @@ def _srgb_const_coeff(l):
 
 AXPROF_BINS = 64  # fixed per-axis majorant profile resolution (media)
 
+SMP_TABLE_N = 96  # spectrum sampling-table resolution (sample_spectrum)
+
+
+def _spectrum_sampling_table(kind, row):
+    """Piecewise-linear wavelength importance-sampling table for a spectral
+    row — the Texture::sample_spectrum / pdf_spectrum machinery
+    (texture.h:23-201; regular.cpp:87-97 ContinuousDistribution,
+    blackbody.cpp:149+ analytic CDF both collapse to this one table form).
+
+    The sampler draws from the table's own piecewise-linear density and
+    reports exactly that density as the pdf, so eval/pdf stays unbiased even
+    where the table under-resolves the true spectrum. Returns smp_nodes /
+    smp_pdf (normalized density) / smp_cdf, each (SMP_TABLE_N,)."""
+    from ..core import spectrum as spmod
+
+    P = SMP_TABLE_N
+    wmin, wmax = spmod.WAVELENGTH_MIN, spmod.WAVELENGTH_MAX
+
+    if kind == "uniform":
+        nodes = np.linspace(wmin, wmax, P)
+        f = np.full(P, float(row["value"]))
+    elif kind == "regular":
+        lo, hi = float(row["lo"]), float(row["hi"])
+        vals = np.asarray(row["values"], np.float64)
+        nodes = np.linspace(lo, hi, P)
+        f = np.interp(nodes, np.linspace(lo, hi, len(vals)), vals)
+    elif kind == "irregular":
+        nd = np.asarray(row["nodes"], np.float64)
+        vals = np.asarray(row["values"], np.float64)
+        nodes = np.linspace(nd[0], nd[-1], P)
+        f = np.interp(nodes, nd, vals)
+    elif kind in ("srgb", "srgb_d65", "blackbody", "d65"):
+        from ..render.texture import d65_approx, srgb_model_eval
+
+        nodes = np.linspace(wmin, wmax, P)
+        lam = jnp.asarray(nodes, jnp.float32)
+        if kind == "blackbody":
+            f = np.asarray(spmod.blackbody_radiance(
+                lam, float(row["temperature"]))) * float(row["scale"])
+        else:
+            f = np.ones(P)
+            if kind in ("srgb", "srgb_d65"):
+                f = f * np.asarray(srgb_model_eval(
+                    jnp.asarray(row["coeff"], jnp.float32)[None], lam)[0])
+            if kind in ("d65", "srgb_d65"):
+                f = f * np.asarray(d65_approx(lam)) * float(row["scale"])
+    else:
+        raise ValueError(kind)
+
+    f = np.maximum(np.asarray(f, np.float64), 1e-12)
+    seg = 0.5 * (f[1:] + f[:-1]) * np.diff(nodes)
+    integral = seg.sum()
+    cdf = np.concatenate([[0.0], np.cumsum(seg)]) / integral
+    return {"smp_nodes": nodes.astype(np.float32),
+            "smp_pdf": (f / integral).astype(np.float32),
+            "smp_cdf": cdf.astype(np.float32)}
+
 
 def _axis_majorant_profiles(vol_row, vmax):
     """Conservative per-axis slab-max profiles of a sigma_t volume — the
@@ -275,6 +332,9 @@ class SceneBuilder:
         return len(table) - 1
 
     def add_spectrum_row(self, kind, row):
+        if self.variant.is_spectral and kind not in ("baked", "discrete"):
+            row = dict(row)
+            row.update(_spectrum_sampling_table(kind, row))
         return self._add(self.spectra, self.spec_table, kind, row)
 
     def add_texture_row(self, kind, row):
