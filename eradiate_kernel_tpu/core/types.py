@@ -59,6 +59,11 @@ class Variant:
     polarized: bool = False
 
     def __post_init__(self):
+        # precision suffix (mitsuba.conf.template:57-63 float/double axis):
+        # Variant("rgb_double") == Variant("rgb", dtype=jnp.float64)
+        if self.mode.endswith("_double"):
+            object.__setattr__(self, "mode", self.mode[:-len("_double")])
+            object.__setattr__(self, "dtype", jnp.float64)
         if self.mode not in _MODE_CHANNELS:
             raise ValueError(f"unknown mode {self.mode!r}")
 

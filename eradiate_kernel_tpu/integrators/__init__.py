@@ -236,7 +236,8 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
         its = its + 1
         # per-lane iteration cap (the scan-trip cap of _trace_full)
         vp = vp.replace(active=vp.active & (its < max_iterations))
-        return (vp, pos, rw, occupied, its, next_sample, image, rays, it + 1)
+        out = (vp, pos, rw, occupied, its, next_sample, image, rays, it + 1)
+        return volpath.match_dtypes(out, st)
 
     final = jax.lax.while_loop(cond, body, state0)
     # The iteration cap (cond) is a runaway backstop; hitting it drops

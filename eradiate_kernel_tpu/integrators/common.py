@@ -38,4 +38,15 @@ def remat_scan_body(scene, scan_body, batch, max_iterations):
         use = lanes * max_iterations > (1 << 23)
     else:
         use = bool(remat)
-    return jax.checkpoint(scan_body) if use else scan_body
+
+    # pin the output carry to the input carry's dtypes: under
+    # jax_enable_x64, default-dtype intermediates would otherwise promote
+    # pieces of an f32 carry to f64 (and the f64 variant needs its
+    # f32-seeded pieces promoted back up) — see volpath.match_dtypes
+    from .volpath import match_dtypes
+
+    def stable_body(s, x):
+        out, y = scan_body(s, x)
+        return match_dtypes(out, s), y
+
+    return jax.checkpoint(stable_body) if use else stable_body

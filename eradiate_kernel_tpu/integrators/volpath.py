@@ -48,6 +48,18 @@ def _merge_si(si_new, si_old, mask):
         si_new, si_old)
 
 
+def match_dtypes(out, ref):
+    """Cast ``out``'s array leaves to ``ref``'s dtypes (no-op when equal).
+
+    Keeps loop carries dtype-stable: under jax_enable_x64, default-dtype
+    intermediates (jnp.zeros, literals) would otherwise promote pieces of an
+    f32 carry to f64 mid-loop — and under the double-precision variant the
+    f32-seeded pieces (rng uniforms) must be promoted up to the f64 carry."""
+    return jax.tree_util.tree_map(
+        lambda o, r: o if o.dtype == r.dtype else o.astype(r.dtype),
+        out, ref)
+
+
 def _cond_any(mask, fn, fallback):
     """Run ``fn()`` only if any lane of ``mask`` is live, else return
     ``fallback`` (same pytree structure). XLA lowers a scalar-predicate cond
@@ -56,7 +68,16 @@ def _cond_any(mask, fn, fallback):
     ``none(active)`` early-outs (volpath.cpp while-loop guards). Every
     consumer of the result is masked by a subset of ``mask``, so the
     fallback values never reach the estimate. Stays reverse-differentiable
-    (unlike a while_loop early exit)."""
+    (unlike a while_loop early exit).
+
+    The fallback is built with default (f32/i32) dtypes; under the double-
+    precision variant the live branch promotes to f64/i64, so cast the
+    fallback to the live branch's abstract output types (eval_shape is a
+    trace, not a compile — free at jit time)."""
+    out_avals = jax.eval_shape(fn)
+    fallback = jax.tree_util.tree_map(
+        lambda f, a: f if f.dtype == a.dtype else f.astype(a.dtype),
+        fallback, out_avals)
     return jax.lax.cond(jnp.any(mask), fn, lambda: fallback)
 
 
@@ -200,7 +221,7 @@ def _run_walk(body, state, nee_steps, use_while):
     is not reverse-differentiable."""
     if not use_while:
         def scan_body(s, _):
-            return body(s), None
+            return match_dtypes(body(s), s), None
 
         final, _ = jax.lax.scan(scan_body, state, None, length=nee_steps)
         return final
@@ -213,7 +234,7 @@ def _run_walk(body, state, nee_steps, use_while):
 
     def w_body(carry):
         s, k = carry
-        return body(s), k + 1
+        return match_dtypes(body(s), s), k + 1
 
     final, _k = jax.lax.while_loop(w_cond, w_body, (state, jnp.int32(0)))
     return final.replace(
@@ -385,7 +406,9 @@ def _pseudo_si(p, n, wavelengths, time):
 def _invalid_si_like(scene, ray):
     from ..render.records import invalid_si
 
-    return invalid_si(ray.o.shape[:-1], ray.wavelengths.shape[-1])
+    # dtype follows the ray (f64 under the double-precision variant)
+    return invalid_si(ray.o.shape[:-1], ray.wavelengths.shape[-1],
+                      dtype=ray.o.dtype)
 
 
 # =============================================================================

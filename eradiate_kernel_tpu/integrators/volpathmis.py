@@ -210,8 +210,10 @@ def _sample_emitter_mis(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
                           pf_uni=pf_uni, total_dist=total_dist,
                           active=active)
 
-    final, _ = jax.lax.scan(lambda s, _: (body(s), None), state, None,
-                            length=nee_steps)
+    from .volpath import match_dtypes
+
+    final, _ = jax.lax.scan(lambda s, _: (match_dtypes(body(s), s), None),
+                            state, None, length=nee_steps)
     # unconverged lanes contribute nothing (conservative)
     emitter_val = jnp.where(final.active[..., None], 0.0, emitter_val)
     return final.pf_nee, final.pf_uni, emitter_val, ds, final.sampler

@@ -390,7 +390,11 @@ def ray_intersect_preliminary(geo: Geometry, ray: Ray) -> PreliminaryIntersectio
         merge(_intersect_cones(geo, ray))
 
     shape = jnp.where(jnp.isfinite(t), shape, -1)
-    return PreliminaryIntersection(t=t, prim_uv=uv, prim_index=prim, shape_index=shape)
+    # indices stay i32 regardless of jax_enable_x64 (argmin/arange widen
+    # to i64 under the double-precision variant otherwise)
+    return PreliminaryIntersection(t=t, prim_uv=uv,
+                                   prim_index=prim.astype(jnp.int32),
+                                   shape_index=shape.astype(jnp.int32))
 
 
 def ray_test(geo: Geometry, ray: Ray):
@@ -416,13 +420,14 @@ def compute_surface_interaction(geo: Geometry, ray: Ray,
     # clamp the detached hit distance before ANY differentiable use: inf on
     # missed lanes would make 0-cotangent chains NaN in reverse mode
     pit = jnp.where(valid, jnp.minimum(jax.lax.stop_gradient(pi.t), INVALID_T), 0.0)
-    t = jnp.where(valid, pit, INVALID_T)
+    dt = ray.o.dtype  # variant precision (f32 default, f64 double variant)
+    t = jnp.where(valid, pit, INVALID_T).astype(dt)
     p = ray.at(pit)
-    n = jnp.zeros(batch + (3,)).at[..., 2].set(1.0)
+    n = jnp.zeros(batch + (3,), dt).at[..., 2].set(1.0)
     sh_n = n
-    uv = pi.prim_uv
-    dp_du = jnp.zeros(batch + (3,)).at[..., 0].set(1.0)
-    dp_dv = jnp.zeros(batch + (3,)).at[..., 1].set(1.0)
+    uv = pi.prim_uv.astype(dt)
+    dp_du = jnp.zeros(batch + (3,), dt).at[..., 0].set(1.0)
+    dp_dv = jnp.zeros(batch + (3,), dt).at[..., 1].set(1.0)
 
     def sel(mask, new, old):
         if new.ndim > mask.ndim:
@@ -588,11 +593,17 @@ def compute_surface_interaction(geo: Geometry, ray: Ray,
     # Frame(sh_n).  The shading frame:
     sh_frame = Frame.from_normal(sh_n)
     wi = sh_frame.to_local(-ray.d)
-    return SurfaceInteraction(
+    si = SurfaceInteraction(
         t=t, p=p, n=n, sh_frame=sh_frame, uv=uv, prim_uv=pi.prim_uv,
         dp_du=dp_du, dp_dv=dp_dv,
         wi=wi, wavelengths=ray.wavelengths, time=ray.time,
         prim_index=pi.prim_index, shape_index=pi.shape_index)
+    # pin float fields to the ray's precision: under jax_enable_x64 the
+    # default-dtype intermediates above would otherwise leak f64 into f32
+    # variants (and loop carries would type-mismatch)
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dt) if jnp.issubdtype(a.dtype, jnp.floating)
+        else a, si)
 
 
 def ray_intersect(geo: Geometry, ray: Ray) -> SurfaceInteraction:

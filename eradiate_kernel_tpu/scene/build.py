@@ -9,6 +9,7 @@ the result is a frozen Scene pytree of device arrays + static config.
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -1264,4 +1265,21 @@ def load_dict(d: dict, variant: Variant | None = None) -> Scene:
             "tan_half_fov": jnp.asarray(np.tan(np.deg2rad(34.0) / 2), jnp.float32),
         }
 
-    return b.finalize(sensor_kind, sensor_params, film_cfg, integrator_cfg, spp)
+    scene = b.finalize(sensor_kind, sensor_params, film_cfg, integrator_cfg,
+                       spp)
+    # float/double precision axis (mitsuba.conf.template:57-63): scene float
+    # leaves are pinned to the variant dtype; under jax_enable_x64 the
+    # integrators' intermediates follow by promotion, giving a true
+    # double-precision render path (trace-time static, like everything
+    # about the variant). The f32 pin also keeps single-precision variants
+    # honest inside an x64-enabled process (np.float64 scene inputs would
+    # otherwise leak f64 into the trace).
+    if variant.dtype == jnp.float64 and not jax.config.jax_enable_x64:
+        raise RuntimeError(
+            "double-precision variants need jax_enable_x64=True "
+            "(jax.config.update('jax_enable_x64', True) at startup)")
+    scene = jax.tree_util.tree_map(
+        lambda a: a.astype(variant.dtype)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a, scene)
+    return scene
