@@ -7,10 +7,17 @@ reported against the first recorded value of this same bench (self-baseline,
 stored in bench_baseline.json at first run of this metric).
 
 Workload (BASELINE.json north star): plane-parallel Rayleigh atmosphere —
-gridvolume sigma_t with an exponential profile, ratio-tracked transmittance,
-Rayleigh phase, RPV ground, directional sun — rendered with the
-null-scattering volpath integrator. The ray count is exact: every masked
-ray_intersect issued by the main loop and both NEE transmittance walks.
+gridvolume sigma_t with a production-resolution exponential profile (64
+vertical cells, the realistic Eradiate profile scale; round 1 benched a
+16x4x4 toy grid — re-baselined under a new metric name), ratio-tracked
+transmittance, Rayleigh phase, RPV ground, directional sun — rendered with
+the null-scattering volpath integrator. The ray count is exact: every
+masked ray_intersect issued by the main loop and both NEE transmittance
+walks.
+
+BENCH_SCENE=large3d switches to the 64^3 heterogeneous grid (the 8-corner
+gather path; horizontal density modulation) under its own metric name.
+BENCH_SIZE=WxHxSPP overrides the film/sample load (smoke testing).
 """
 
 import json
@@ -28,7 +35,17 @@ def main():
 
     W = H = 256
     spp = 8
-    scene = load_dict(atmosphere(width=W, height=H, spp=spp, max_depth=12))
+    if os.environ.get("BENCH_SIZE"):
+        W, H, spp = (int(x) for x in os.environ["BENCH_SIZE"].split("x"))
+    scene_kind = os.environ.get("BENCH_SCENE", "flagship")
+    if scene_kind == "large3d":
+        grid = (64, 64, 64)
+        metric = "atmosphere3d64_volpath_mrays_per_s_per_chip"
+    else:
+        grid = 64
+        metric = "atmosphere64_volpath_mrays_per_s_per_chip"
+    scene = load_dict(atmosphere(width=W, height=H, spp=spp, max_depth=12,
+                                 grid_res=grid))
     # regenerating wavefront: the 512k-sample workload streams through a
     # smaller resident lane pool; terminated paths are harvested and their
     # lanes refilled immediately, so every bounce runs near full occupancy
@@ -57,7 +74,6 @@ def main():
     mrays_per_s = rays / dt / 1e6
     baseline_path = os.path.join(os.path.dirname(__file__),
                                  "bench_baseline.json")
-    metric = "atmosphere_volpath_mrays_per_s_per_chip"
     base = None
     if os.path.exists(baseline_path):
         data = json.load(open(baseline_path))
@@ -65,8 +81,13 @@ def main():
             base = data["value"]
     if base is None:
         base = mrays_per_s
-        json.dump({"metric": metric, "value": base,
-                   "note": "first recorded run"}, open(baseline_path, "w"))
+        # only a full-size run on real TPU hardware may set the baseline
+        # (a CPU smoke run would inflate every later vs_baseline)
+        if (jax.devices()[0].platform == "tpu"
+                and not os.environ.get("BENCH_SIZE")):
+            json.dump({"metric": metric, "value": base,
+                       "note": "first recorded run (v5e, 64-cell profile)"},
+                      open(baseline_path, "w"))
     print(json.dumps({
         "metric": metric,
         "value": round(mrays_per_s, 3),

@@ -96,11 +96,25 @@ def atmosphere(width=64, height=64, spp=16, max_depth=16, grid_res=16,
     """
     import numpy as np
 
-    z = (np.arange(grid_res) + 0.5) / grid_res
+    # grid_res: int D -> (D, 4, 4) plane-parallel profile; tuple (D, H, W)
+    # -> full 3D grid with a mild horizontal density modulation (broken
+    # clouds / aerosol patchiness) so large grids exercise real 3D lookups
+    if isinstance(grid_res, (tuple, list)):
+        D, Hc, Wc = grid_res
+    else:
+        D, Hc, Wc = grid_res, 4, 4
+    z = (np.arange(D) + 0.5) / D
     profile = np.exp(-z / 0.25)
     profile *= tau / (profile.mean() * 1.0)  # unit slab height
     sigma = np.broadcast_to(profile[:, None, None],
-                            (grid_res, 4, 4)).astype(np.float32)
+                            (D, Hc, Wc)).astype(np.float32)
+    if Hc > 4 or Wc > 4:
+        yy = (np.arange(Hc) + 0.5) / Hc
+        xx = (np.arange(Wc) + 0.5) / Wc
+        mod = (1.0 + 0.5 * np.sin(2 * np.pi * 3 * xx)[None, None, :]
+               * np.sin(2 * np.pi * 3 * yy)[None, :, None]
+               * np.exp(-z / 0.5)[:, None, None])
+        sigma = (sigma * mod).astype(np.float32)
 
     if sensor == "distant":
         sensor_dict = {
