@@ -38,6 +38,19 @@ FAMILY_RECT = 2
 FAMILY_DISK = 3
 FAMILY_CYLINDER = 4
 FAMILY_CONE = 5
+FAMILY_IMESH = 6  # instanced mesh (two-level: shared group geometry)
+
+import dataclasses as _dc
+
+
+def _dfield(shape, integer=False):
+    return _dc.field(default_factory=lambda: jnp.zeros(
+        shape, jnp.int32 if integer else jnp.float32))
+
+
+def _tfield():
+    return _dc.field(default_factory=lambda: Transform(
+        m=jnp.zeros((0, 4, 4)), inv_t=jnp.zeros((0, 4, 4))))
 
 
 @pytree_dataclass
@@ -92,6 +105,24 @@ class Geometry:
     bvh_box: jnp.ndarray       # (2T-1, 1, 8) f32 node AABBs (ops/bvh.py)
     bvh_meta: jnp.ndarray      # (2T-1, 4) i32 [left, right, tile, 0]
 
+    # two-level instancing (shapegroup.h:6-62, shapes/instance.cpp:53-77):
+    # group mesh geometry is stored ONCE in local space; instances are
+    # (transform, group face range) records. N instances of a canopy cost
+    # N transform rows, not N geometry copies.
+    ig_vertices: jnp.ndarray = _dfield((0, 3))      # (Vg, 3) group-local
+    ig_normals: jnp.ndarray = _dfield((0, 3))       # (Vg, 3)
+    ig_uvs: jnp.ndarray = _dfield((0, 2))           # (Vg, 2)
+    ig_faces: jnp.ndarray = _dfield((0, 3), True)   # (Fg, 3) i32
+    ig_face_sub: jnp.ndarray = _dfield((0,), True)  # (Fg,) i32 sub-shape ord
+    inst_l2w: Transform = _tfield()                 # (I, 4, 4) stacked
+    inst_w2l: Transform = _tfield()                 # (I, 4, 4) stacked
+    inst_f_off: jnp.ndarray = _dfield((0,), True)   # (I,) i32
+    inst_f_count: jnp.ndarray = _dfield((0,), True)  # (I,) i32
+    inst_shape_base: jnp.ndarray = _dfield((0,), True)  # (I,) i32
+    inst_lo: jnp.ndarray = _dfield((0, 3))          # (I, 3) world AABB
+    inst_hi: jnp.ndarray = _dfield((0, 3))          # (I, 3)
+    shape_inst: jnp.ndarray = _dfield((0,), True)   # (n_shapes,) i32 or -1
+
     @property
     def n_shapes(self):
         return self.shape_family.shape[0]
@@ -99,6 +130,10 @@ class Geometry:
     @property
     def has_tiles(self):
         return self.tiles_v0.shape[0] > 0
+
+    @property
+    def n_instances(self):
+        return self.inst_f_off.shape[0]
 
 
 def empty_geometry(n_shapes=0):
@@ -164,6 +199,72 @@ def _intersect_meshes(geo: Geometry, ray: Ray):
     vb = select_along_axis(vv, best)
     return tb, jnp.stack([ub, vb], -1), best.astype(jnp.int32), \
         tg(geo.face_shape, best)
+
+
+def _intersect_instanced(geo: Geometry, ray: Ray):
+    """Two-level instanced meshes (shapegroup.h:6-62 / instance.cpp:53-77).
+
+    Group geometry lives ONCE in local space (ig_* pools); a lax.scan walks
+    the instances: per step the ray is transformed into instance space
+    (affine, so the t parameterization is preserved) and tested against the
+    instance's group face range, gated by a per-lane world-AABB slab test
+    (a whole step collapses to the reduction when no lane touches the
+    instance — the scalar-cond analog of the reference's top-level accel)."""
+    batch = ray.o.shape[:-1]
+    Fg = geo.ig_faces.shape[0]
+    v0g = geo.ig_vertices[geo.ig_faces[:, 0]]  # (Fg, 3) local space
+    v1g = geo.ig_vertices[geo.ig_faces[:, 1]]
+    v2g = geo.ig_vertices[geo.ig_faces[:, 2]]
+
+    inv_d =1.0 / jnp.where(jnp.abs(ray.d) < 1e-20,
+                            jnp.where(ray.d < 0, -1e-20, 1e-20), ray.d)
+
+    init = (jnp.full(batch, jnp.inf), jnp.zeros(batch + (2,)),
+            jnp.zeros(batch, jnp.int32), jnp.full(batch, -1, jnp.int32))
+
+    def body(carry, i):
+        t_b, uv_b, prim_b, shape_b = carry
+        lo = geo.inst_lo[i]
+        hi = geo.inst_hi[i]
+        t0 = (lo - ray.o) * inv_d
+        t1 = (hi - ray.o) * inv_d
+        near = jnp.max(jnp.minimum(t0, t1), -1)
+        farr = jnp.min(jnp.maximum(t0, t1), -1)
+        touch = (jnp.maximum(near, ray.mint)
+                 <= jnp.minimum(farr, jnp.minimum(ray.maxt, t_b)))
+
+        def hit_inst():
+            w2l = Transform(m=geo.inst_w2l.m[i],
+                            inv_t=geo.inst_w2l.inv_t[i])
+            o_l = w2l.transform_affine_point(ray.o)[..., None, :]
+            d_l = w2l.transform_vector(ray.d)[..., None, :]
+            t, u, vv, ok = moller_trumbore(o_l, d_l, v0g, v1g, v2g)
+            fidx = jnp.arange(Fg)
+            in_rng = (fidx >= geo.inst_f_off[i]) \
+                & (fidx < geo.inst_f_off[i] + geo.inst_f_count[i])
+            ok = ok & in_rng & touch[..., None] \
+                & (t >= ray.mint[..., None]) \
+                & (t < jnp.minimum(ray.maxt, t_b)[..., None])
+            t = jnp.where(ok, t, jnp.inf)
+            best = jnp.argmin(t, axis=-1)
+            tb = jnp.min(t, axis=-1)
+            closer = tb < t_b
+            ub = select_along_axis(u, best)
+            vb = select_along_axis(vv, best)
+            sub = tg(geo.ig_face_sub, best)
+            return (jnp.where(closer, tb, t_b),
+                    jnp.where(closer[..., None],
+                              jnp.stack([ub, vb], -1), uv_b),
+                    jnp.where(closer, best.astype(jnp.int32), prim_b),
+                    jnp.where(closer, geo.inst_shape_base[i] + sub,
+                              shape_b))
+
+        out = jax.lax.cond(jnp.any(touch), hit_inst, lambda: carry)
+        return out, None
+
+    (t_b, uv_b, prim_b, shape_b), _ = jax.lax.scan(
+        body, init, jnp.arange(geo.n_instances))
+    return t_b, uv_b, prim_b, shape_b
 
 
 def _sphere_roots(center, radius, o, d):
@@ -378,6 +479,8 @@ def ray_intersect_preliminary(geo: Geometry, ray: Ray) -> PreliminaryIntersectio
                    tprim.reshape(flat_shape), tshape.reshape(flat_shape)))
         else:
             merge(_intersect_meshes(geo, ray))
+    if geo.n_instances > 0:
+        merge(_intersect_instanced(geo, ray))
     if geo.sph_center.shape[0] > 0:
         merge(_intersect_spheres(geo, ray))
     if geo.rect_shape.shape[0] > 0:
@@ -465,6 +568,50 @@ def compute_surface_interaction(geo: Geometry, ray: Ray,
         uv = sel(m, jnp.stack([u, v], -1) * 0 + uvm, uv)
         dp_du = sel(m, v1 - v0, dp_du)
         dp_dv = sel(m, v2 - v0, dp_dv)
+
+    if geo.n_instances > 0:
+        m = (family == FAMILY_IMESH) & valid
+        inst = jnp.maximum(tg(geo.shape_inst, shape_idx), 0)
+        w2l = Transform(m=tg(geo.inst_w2l.m, inst),
+                        inv_t=tg(geo.inst_w2l.inv_t, inst))
+        l2w = Transform(m=tg(geo.inst_l2w.m, inst),
+                        inv_t=tg(geo.inst_l2w.inv_t, inst))
+        prim = jnp.clip(pi.prim_index, 0, geo.ig_faces.shape[0] - 1)
+        f = tg(geo.ig_faces, prim)
+        v0 = tg(geo.ig_vertices, f[..., 0])  # group-local space
+        v1 = tg(geo.ig_vertices, f[..., 1])
+        v2 = tg(geo.ig_vertices, f[..., 2])
+        # differentiable re-intersection in instance space (affine map
+        # preserves the ray parameter t, instance.cpp:53-77)
+        o_l = w2l.transform_affine_point(ray.o)
+        d_l = w2l.transform_vector(ray.d)
+        tm, u, v, _ok = moller_trumbore(o_l, d_l, v0, v1, v2)
+        w = 1.0 - u - v
+        pm_l = v0 * w[..., None] + v1 * u[..., None] + v2 * v[..., None]
+        pm = l2w.transform_affine_point(pm_l)
+        ng = normalize(l2w.transform_normal(cross(v1 - v0, v2 - v0)))
+        vn0 = tg(geo.ig_normals, f[..., 0])
+        vn1 = tg(geo.ig_normals, f[..., 1])
+        vn2 = tg(geo.ig_normals, f[..., 2])
+        has_vn = (jnp.sum(sqr(vn0), -1) > 1e-12)
+        vn_interp = vn0 * w[..., None] + vn1 * u[..., None] + vn2 * v[..., None]
+        ns_l = jnp.where(has_vn[..., None], vn_interp,
+                         cross(v1 - v0, v2 - v0))
+        ns = normalize(l2w.transform_normal(
+            jnp.where(jnp.sum(sqr(ns_l), -1, keepdims=True) > 1e-20,
+                      ns_l, jnp.ones_like(ns_l))))
+        ns = sel(has_vn, ns, ng)
+        uv0 = tg(geo.ig_uvs, f[..., 0])
+        uv1 = tg(geo.ig_uvs, f[..., 1])
+        uv2 = tg(geo.ig_uvs, f[..., 2])
+        uvm = uv0 * w[..., None] + uv1 * u[..., None] + uv2 * v[..., None]
+        t = sel(m, tm, t)
+        p = sel(m, pm, p)
+        n = sel(m, ng, n)
+        sh_n = sel(m, ns, sh_n)
+        uv = sel(m, uvm, uv)
+        dp_du = sel(m, l2w.transform_vector(v1 - v0), dp_du)
+        dp_dv = sel(m, l2w.transform_vector(v2 - v0), dp_dv)
 
     if geo.sph_center.shape[0] > 0:
         m = (family == FAMILY_SPHERE) & valid

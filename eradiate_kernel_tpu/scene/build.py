@@ -17,8 +17,8 @@ from ..core import spectrum as sp
 from ..core.transform import Transform, as_transform
 from ..core.types import Variant
 from ..render.geometry import (FAMILY_CONE, FAMILY_CYLINDER, FAMILY_DISK,
-                               FAMILY_MESH, FAMILY_RECT, FAMILY_SPHERE,
-                               Geometry)
+                               FAMILY_IMESH, FAMILY_MESH, FAMILY_RECT,
+                               FAMILY_SPHERE, Geometry)
 from .scene import IntegratorConfig, Scene, SceneConfig
 
 _SHAPE_TYPES = ("rectangle", "disk", "sphere", "cylinder", "cone", "cube",
@@ -323,6 +323,15 @@ class SceneBuilder:
         self.cones = []     # (transform, length, radius)
         self.shape_rows = []  # dicts
         self.env_emitter = -1
+        # two-level instancing: shared group-local mesh pools + instances
+        self.ig_vertices = []
+        self.ig_normals = []
+        self.ig_uvs = []
+        self.ig_faces = []
+        self.ig_face_sub = []
+        self.group_records = {}   # key -> dict(f_off, f_count, subs, lo, hi)
+        self.instances = []       # dicts(l2w, w2l, f_off, f_count,
+        #                           shape_base, lo, hi)
 
     # --- registry helpers ----------------------------------------------------
     def _add(self, rows_dict, table, kind, row):
@@ -635,6 +644,40 @@ class SceneBuilder:
         return np.bool_(props.get("_twosided", False))
 
     # --- geometry ----------------------------------------------------------------
+    def _instancing_args(self):
+        """Geometry kwargs for the two-level instancing pools."""
+        if not self.instances:
+            return {}
+        IGV = np.concatenate(self.ig_vertices)
+        IGN = np.concatenate(self.ig_normals)
+        IGU = np.concatenate(self.ig_uvs)
+        IGF = np.concatenate(self.ig_faces)
+        IGS = np.concatenate(self.ig_face_sub)
+        shape_inst = np.asarray(
+            [r["prim_slot"] if r["family"] == FAMILY_IMESH else -1
+             for r in self.shape_rows], np.int32)
+        return dict(
+            ig_vertices=jnp.asarray(IGV), ig_normals=jnp.asarray(IGN),
+            ig_uvs=jnp.asarray(IGU), ig_faces=jnp.asarray(IGF),
+            ig_face_sub=jnp.asarray(IGS),
+            inst_l2w=Transform(
+                m=jnp.stack([i["l2w"].m for i in self.instances]),
+                inv_t=jnp.stack([i["l2w"].inv_t for i in self.instances])),
+            inst_w2l=Transform(
+                m=jnp.stack([i["w2l"].m for i in self.instances]),
+                inv_t=jnp.stack([i["w2l"].inv_t for i in self.instances])),
+            inst_f_off=jnp.asarray(np.asarray(
+                [i["f_off"] for i in self.instances], np.int32)),
+            inst_f_count=jnp.asarray(np.asarray(
+                [i["f_count"] for i in self.instances], np.int32)),
+            inst_shape_base=jnp.asarray(np.asarray(
+                [i["shape_base"] for i in self.instances], np.int32)),
+            inst_lo=jnp.asarray(np.stack(
+                [i["lo"] for i in self.instances])),
+            inst_hi=jnp.asarray(np.stack(
+                [i["hi"] for i in self.instances])),
+            shape_inst=jnp.asarray(shape_inst))
+
     def _new_shape(self, family, prim_slot, area, face_offset=0, face_count=0):
         self.shape_rows.append(dict(
             family=family, prim_slot=prim_slot, bsdf=-1, emitter=-1,
@@ -844,10 +887,13 @@ class SceneBuilder:
                 [i for i, r in enumerate(self.shape_rows)
                  if r["family"] == FAMILY_CONE], np.int32)),
             shape_family=jnp.asarray(np.asarray(
-                [r["family"] for r in self.shape_rows], np.int32)))
+                [r["family"] for r in self.shape_rows], np.int32)),
+            **self._instancing_args())
 
         # bounding sphere of the scene
         pts = [V] if len(V) else []
+        for inst in self.instances:
+            pts.append(np.stack([inst["lo"], inst["hi"]]))
         for c, r, _ in self.spheres:
             pts.append(c[None] + np.array([[r, r, r], [-r, -r, -r]], np.float32) * 1.0)
         for t in self.rects + self.disks:
@@ -1066,28 +1112,149 @@ _CUBE_F = np.array(
      [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7]], np.int32)  # +x, -x
 
 
+_GROUP_MESH_TYPES = ("mesh", "cube", "obj", "ply", "serialized")
+
+
+def _load_mesh_arrays(d):
+    """(verts, faces, normals, uvs) for a mesh-typed dict in its own frame
+    (the child's to_world applied to the vertices). None for non-meshes."""
+    t = d["type"]
+    tw = as_transform(d.get("to_world"))
+    m = np.asarray(tw.m)
+
+    def xf(verts, normals=None):
+        verts = np.asarray(verts, np.float32) @ m[:3, :3].T + m[:3, 3]
+        if normals is not None:
+            inv_t = np.linalg.inv(m[:3, :3]).T
+            normals = np.asarray(normals, np.float32) @ inv_t.T
+        return verts.astype(np.float32), normals
+
+    if t == "cube":
+        v, _ = xf(_CUBE_V)
+        return v, _CUBE_F.copy(), None, None
+    if t == "mesh":
+        v, n = xf(d["vertices"], d.get("normals"))
+        return v, np.asarray(d["faces"], np.int32), n, d.get("uvs")
+    if t == "obj":
+        from ..utils.meshio import load_obj
+
+        verts, faces, normals, uvs = load_obj(d["filename"])
+        v, n = xf(verts, normals)
+        return v, faces, n, uvs
+    if t == "ply":
+        from ..utils.meshio import load_ply
+
+        verts, faces = load_ply(d["filename"])
+        v, _ = xf(verts)
+        return v, faces, None, None
+    if t == "serialized":
+        from ..utils.meshio import load_serialized
+
+        verts, faces, normals, uvs = load_serialized(
+            d["filename"], int(d.get("shape_index", 0)))
+        v, n = xf(verts, normals)
+        return v, faces, n, uvs
+    return None
+
+
+def _build_group_geom(builder: SceneBuilder, key, children):
+    """Load a shapegroup's mesh children ONCE into the shared group-local
+    pools (shapegroup.h:6-62: a sub-accel per group). Non-mesh children are
+    returned for per-instance flattening (analytic shapes carry their
+    transform in their parameterization, so sharing buys nothing there).
+    Emitters/media on group children are rejected like the reference
+    (shapegroup.cpp refuses emitter children)."""
+    if key in builder.group_records:
+        return builder.group_records[key]
+    mesh_children = [c for c in children if c["type"] in _GROUP_MESH_TYPES]
+    other = [c for c in children if c["type"] not in _GROUP_MESH_TYPES]
+    f_off = sum(len(f) for f in builder.ig_faces)
+    subs = []
+    lo = np.full(3, np.inf, np.float32)
+    hi = np.full(3, -np.inf, np.float32)
+    for sub_ord, c in enumerate(mesh_children):
+        for bad in ("emitter", "interior", "exterior"):
+            assert bad not in c, \
+                f"shapegroup children cannot carry {bad!r} (shapegroup.cpp)"
+        verts, faces, normals, uvs = _load_mesh_arrays(c)
+        v_off = sum(len(v) for v in builder.ig_vertices)
+        builder.ig_vertices.append(verts)
+        builder.ig_normals.append(
+            np.zeros_like(verts) if normals is None
+            else np.asarray(normals, np.float32))
+        builder.ig_uvs.append(
+            np.zeros((len(verts), 2), np.float32) if uvs is None
+            else np.asarray(uvs, np.float32))
+        builder.ig_faces.append(np.asarray(faces, np.int32) + v_off)
+        builder.ig_face_sub.append(np.full(len(faces), sub_ord, np.int32))
+        e1 = verts[faces[:, 1]] - verts[faces[:, 0]]
+        e2 = verts[faces[:, 2]] - verts[faces[:, 0]]
+        area = float(0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1).sum())
+        subs.append({"bsdf": c.get("bsdf"), "area": area})
+        lo = np.minimum(lo, verts.min(0))
+        hi = np.maximum(hi, verts.max(0))
+    rec = dict(f_off=f_off,
+               f_count=sum(len(f) for f in builder.ig_faces) - f_off,
+               subs=subs, lo=lo, hi=hi, flatten=other)
+    builder.group_records[key] = rec
+    return rec
+
+
 def _build_shape(builder: SceneBuilder, d):
     t = d["type"]
     tw = as_transform(d.get("to_world"))
     if t == "instance":
-        # two-level instancing (shapegroup.h:6-62, shapes/instance.cpp:53-77)
-        # realized by FLATTENING: each instance re-emits the group's shapes
-        # with the composed transform — trace-time uniform SoA pools instead
-        # of a nested accel; memory trades for zero-indirection traversal
+        # two-level instancing (shapegroup.h:6-62, shapes/instance.cpp:53-77):
+        # mesh children live ONCE in group-local pools; the instance is a
+        # (transform, face-range, shape-base) record traversed by
+        # render/geometry._intersect_instanced. Analytic children are
+        # flattened per instance (their transforms compose for free).
         ref = d.get("shapegroup")
         if isinstance(ref, dict) and ref.get("type") == "ref":
             kind, children = builder.named[ref["id"]]
             assert kind == "shapegroup"
+            group_key = ref["id"]
         else:
             children = [v for v in d.values()
                         if isinstance(v, dict) and v.get("type") in
                         _SHAPE_TYPES and v.get("type") != "instance"]
+            group_key = ("anon", id(d.get("shapegroup")) if ref else
+                         tuple(sorted(str(c) for c in children)))
+        rec = _build_group_geom(builder, group_key, children)
+
         idx = -1
-        for child in children:
+        for child in rec["flatten"]:
             child = dict(child)
             child_tw = as_transform(child.get("to_world"))
             child["to_world"] = tw @ child_tw
             idx = _build_shape(builder, child)
+
+        if rec["f_count"] > 0:
+            inst_id = len(builder.instances)
+            m = np.asarray(tw.m)
+            # surface-area scale under the linear map (exact for uniform
+            # scale; instanced shapes cannot be emitters, so the area only
+            # feeds diagnostics)
+            ascale = abs(np.linalg.det(m[:3, :3])) ** (2.0 / 3.0)
+            shape_base = None
+            for sub in rec["subs"]:
+                sidx = builder._new_shape(FAMILY_IMESH, inst_id,
+                                          sub["area"] * ascale)
+                bsdf_d = sub["bsdf"] or {"type": "diffuse"}
+                builder.shape_rows[sidx]["bsdf"] = _build_bsdf(builder,
+                                                               bsdf_d)
+                if shape_base is None:
+                    shape_base = sidx
+            # world AABB: transform the 8 local corners
+            corners = np.stack(np.meshgrid(*zip(rec["lo"], rec["hi"]),
+                                           indexing="ij"), -1).reshape(-1, 3)
+            wc = corners @ m[:3, :3].T + m[:3, 3]
+            builder.instances.append(dict(
+                l2w=tw, w2l=tw.inverse(), f_off=rec["f_off"],
+                f_count=rec["f_count"], shape_base=shape_base,
+                lo=wc.min(0).astype(np.float32),
+                hi=wc.max(0).astype(np.float32)))
+            idx = shape_base
         return idx
     if t == "rectangle":
         idx = builder.add_rectangle(tw)
@@ -1111,8 +1278,16 @@ def _build_shape(builder: SceneBuilder, d):
         verts = _CUBE_V @ m[:3, :3].T + m[:3, 3]
         idx = builder.add_mesh(verts, _CUBE_F)
     elif t == "mesh":
-        idx = builder.add_mesh(d["vertices"], d["faces"],
-                               d.get("normals"), d.get("uvs"),
+        verts = np.asarray(d["vertices"], np.float32)
+        normals = d.get("normals")
+        if "to_world" in d:
+            m = np.asarray(tw.m)
+            verts = verts @ m[:3, :3].T + m[:3, 3]
+            if normals is not None:
+                inv_t = np.linalg.inv(m[:3, :3]).T
+                normals = np.asarray(normals, np.float32) @ inv_t.T
+        idx = builder.add_mesh(verts, d["faces"],
+                               normals, d.get("uvs"),
                                d.get("attributes"))
     elif t == "obj":
         from ..utils.meshio import load_obj

@@ -1,0 +1,145 @@
+"""True two-level instancing (shapegroup.h:6-62, instance.cpp:53-77):
+group mesh geometry stored once, instances as transform records."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from eradiate_kernel_tpu.scene import load_dict
+from eradiate_kernel_tpu import integrators
+from eradiate_kernel_tpu.core.transform import Transform
+
+
+def _tri_bump(nx=6):
+    """A little pyramid-field mesh, local frame centered at origin."""
+    xs = np.linspace(-0.5, 0.5, nx)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    Z = 0.25 * np.cos(np.pi * X) * np.cos(np.pi * Y)
+    V = np.stack([X, Y, Z], -1).reshape(-1, 3).astype(np.float32)
+    idx = np.arange(nx * nx).reshape(nx, nx)
+    a, b, c, d = idx[:-1, :-1], idx[1:, :-1], idx[:-1, 1:], idx[1:, 1:]
+    F = np.concatenate([np.stack([a, b, c], -1).reshape(-1, 3),
+                        np.stack([b, d, c], -1).reshape(-1, 3)]).astype(
+        np.int32)
+    return V, F
+
+
+def _instanced_scene(transforms, spp=16, bsdf=None):
+    V, F = _tri_bump()
+    d = {
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 3},
+        "sensor": {"type": "perspective", "fov": 55.0,
+                   "to_world": Transform.look_at([0, -2.2, 2.2], [0, 0, 0],
+                                                 [0, 0, 1]).m,
+                   "film": {"type": "hdrfilm", "width": 24, "height": 24,
+                            "rfilter": {"type": "box"}},
+                   "sampler": {"type": "independent", "sample_count": spp}},
+        "grp": {"type": "shapegroup",
+                "bump": {"type": "mesh", "vertices": V, "faces": F,
+                         "bsdf": bsdf or {"type": "diffuse",
+                                          "reflectance": 0.6}}},
+        "env": {"type": "constant", "radiance": 1.0},
+    }
+    for i, tw in enumerate(transforms):
+        d[f"inst{i}"] = {"type": "instance",
+                         "shapegroup": {"type": "ref", "id": "grp"},
+                         "to_world": tw}
+    return d
+
+
+def _flattened_scene(transforms, spp=16, bsdf=None):
+    V, F = _tri_bump()
+    d = _instanced_scene([], spp=spp)
+    del d["grp"]
+    for i, tw in enumerate(transforms):
+        m = np.asarray(Transform.from_any(tw).m) \
+            if hasattr(Transform, "from_any") else None
+        d[f"mesh{i}"] = {"type": "mesh", "vertices": V, "faces": F,
+                         "to_world": tw,
+                         "bsdf": bsdf or {"type": "diffuse",
+                                          "reflectance": 0.6}}
+    return d
+
+
+TRANSFORMS = [
+    [{"type": "translate", "value": [-0.7, 0.0, 0.0]}],
+    [{"type": "translate", "value": [0.7, 0.3, 0.1]},
+     {"type": "rotate", "axis": [0, 0, 1], "angle": 40.0}],
+    [{"type": "translate", "value": [0.0, -0.6, 0.3]},
+     {"type": "rotate", "axis": [1, 0, 0], "angle": 25.0},
+     {"type": "scale", "value": 0.7}],
+]
+
+
+def test_instanced_matches_flattened_render():
+    """N instances must render identically to N pre-transformed mesh
+    copies (the flatten path is the oracle)."""
+    img_i = np.asarray(integrators.render(
+        load_dict(_instanced_scene(TRANSFORMS)), seed=5))
+    img_f = np.asarray(integrators.render(
+        load_dict(_flattened_scene(TRANSFORMS)), seed=5))
+    assert img_i.shape == img_f.shape
+    assert np.allclose(img_i, img_f, atol=2e-3), np.abs(img_i - img_f).max()
+
+
+def test_instancing_shares_geometry():
+    """Geometry memory must NOT scale with the instance count — that is the
+    point of two-level instancing (VERDICT missing #7)."""
+    s1 = load_dict(_instanced_scene(TRANSFORMS[:1]))
+    s3 = load_dict(_instanced_scene(TRANSFORMS))
+    assert s3.geo.ig_vertices.shape == s1.geo.ig_vertices.shape
+    assert s3.geo.ig_faces.shape == s1.geo.ig_faces.shape
+    assert s3.geo.n_instances == 3 and s1.geo.n_instances == 1
+    # the flat (top-level) mesh pool stays empty
+    assert s3.geo.faces.shape[0] == 0
+
+
+def test_instanced_shadows():
+    """An instance must occlude: a rotated instanced slab between a point
+    light and the ground darkens the shadowed region."""
+    V, F = _tri_bump()
+    base = {
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 3},
+        "sensor": {"type": "perspective", "fov": 50.0,
+                   "to_world": Transform.look_at([0, 0, 3], [0, 0, 0],
+                                                 [0, 1, 0]).m,
+                   "film": {"type": "hdrfilm", "width": 16, "height": 16,
+                            "rfilter": {"type": "box"}},
+                   "sampler": {"type": "independent", "sample_count": 64}},
+        "floor": {"type": "rectangle",
+                  "to_world": {"type": "scale", "value": 3.0},
+                  "bsdf": {"type": "diffuse", "reflectance": 0.8}},
+        "lamp": {"type": "point", "position": [0, 0, 2.0],
+                 "intensity": 20.0},
+    }
+    lit = np.asarray(integrators.render(load_dict(base), seed=3))
+    occ = dict(base)
+    occ["grp"] = {"type": "shapegroup",
+                  "blk": {"type": "cube",
+                          "to_world": {"type": "scale",
+                                       "value": [0.4, 0.4, 0.02]},
+                          "bsdf": {"type": "diffuse", "reflectance": 0.0}}}
+    occ["blocker"] = {"type": "instance",
+                      "shapegroup": {"type": "ref", "id": "grp"},
+                      "to_world": {"type": "translate",
+                                   "value": [0.0, 0.0, 1.0]}}
+    dark = np.asarray(integrators.render(load_dict(occ), seed=3))
+    c = lit.shape[0] // 2
+    assert dark[c, c].mean() < 0.35 * lit[c, c].mean(), \
+        (lit[c, c].mean(), dark[c, c].mean())
+    # corners outside the shadow stay lit
+    assert dark[0, 0].mean() > 0.6 * lit[0, 0].mean()
+
+
+def test_instanced_normals_rotation():
+    """Shading normals must rotate with the instance: the same face seen
+    through a 180-degree-rotated instance of a tilted slab reflects the
+    directional light differently, matching the flattened equivalent."""
+    tfs = [[{"type": "rotate", "axis": [0, 1, 0], "angle": 30.0}]]
+    img_i = np.asarray(integrators.render(
+        load_dict(_instanced_scene(tfs, spp=32)), seed=7))
+    img_f = np.asarray(integrators.render(
+        load_dict(_flattened_scene(tfs, spp=32)), seed=7))
+    assert np.allclose(img_i, img_f, atol=2e-3), np.abs(img_i - img_f).max()
