@@ -37,22 +37,28 @@ def film_put(image, pos, values, rfilter_kind: str, rfilter_params=None):
     # lowest tap index: floor(pos - radius + 0.5) in pixel-index space
     base_x = jnp.floor(pos[:, 0] - radius + 0.5).astype(jnp.int32)
     base_y = jnp.floor(pos[:, 1] - radius + 0.5).astype(jnp.int32)
-    for dy in range(n):
-        tap_y = base_y + dy
-        wy = eval_filter(rfilter_kind, (tap_y.astype(jnp.float32) + 0.5) - pos[:, 1],
-                         rfilter_params)
-        iy = jnp.clip(tap_y, 0, H - 1)
-        ok_y = (tap_y >= 0) & (tap_y < H)
-        for dx in range(n):
-            tap_x = base_x + dx
-            wx = eval_filter(rfilter_kind,
-                             (tap_x.astype(jnp.float32) + 0.5) - pos[:, 0],
-                             rfilter_params)
-            ix = jnp.clip(tap_x, 0, W - 1)
-            ok = ok_y & (tap_x >= 0) & (tap_x < W)
-            w = jnp.where(ok, wx * wy, 0.0)
-            image = image.at[iy, ix].add(values * w[:, None])
-    return image
+    # one batched (N, n, n) scatter-add instead of n^2 sequential sweeps:
+    # the separable weights evaluate as (N, n) per axis and outer-product;
+    # a single flattened scatter lets XLA sort/accumulate once
+    taps = jnp.arange(n, dtype=jnp.int32)
+    tap_y = base_y[:, None] + taps                     # (N, n)
+    tap_x = base_x[:, None] + taps
+    wy = eval_filter(rfilter_kind,
+                     (tap_y.astype(jnp.float32) + 0.5) - pos[:, 1:2],
+                     rfilter_params)
+    wx = eval_filter(rfilter_kind,
+                     (tap_x.astype(jnp.float32) + 0.5) - pos[:, 0:1],
+                     rfilter_params)
+    wy = jnp.where((tap_y >= 0) & (tap_y < H), wy, 0.0)
+    wx = jnp.where((tap_x >= 0) & (tap_x < W), wx, 0.0)
+    w = wy[:, :, None] * wx[:, None, :]                # (N, n, n)
+    iy = jnp.clip(tap_y, 0, H - 1)
+    ix = jnp.clip(tap_x, 0, W - 1)
+    lin = iy[:, :, None] * W + ix[:, None, :]          # (N, n, n)
+    contrib = values[:, None, None, :] * w[..., None]  # (N, n, n, C)
+    flat = image.reshape(H * W, C).at[lin.reshape(-1)].add(
+        contrib.reshape(-1, C))
+    return flat.reshape(H, W, C)
 
 
 def develop(image, mode: str = "rgb", pixel_format: str = "rgb"):

@@ -219,3 +219,59 @@ def test_runtime_controller_and_progress(tmp_path, capsys):
     img2 = runtime.render(scene, seed=1, samples_per_pass=1024,
                           controller=ctl2, develop_film=False)
     assert float(np.asarray(img2).sum()) == 0.0  # stopped before any pass
+
+
+@pytest.mark.parametrize("kind", ["gaussian", "mitchell", "tent", "lanczos"])
+def test_wide_filter_splat_matches_reference(kind):
+    """The single-scatter batched splat equals a per-tap NumPy reference
+    (imageblock.cpp:80-170 footprint/weight semantics, incl. border clip)."""
+    import jax.numpy as jnp
+
+    from eradiate_kernel_tpu.films import film_put
+    from eradiate_kernel_tpu.rfilters import eval_filter, filter_radius
+
+    rng = np.random.default_rng(0)
+    H, W, C = 9, 11, 5
+    N = 300
+    pos = rng.uniform(0, [W, H], (N, 2)).astype(np.float32)
+    vals = rng.random((N, C)).astype(np.float32)
+    img = np.asarray(film_put(jnp.zeros((H, W, C)), jnp.asarray(pos),
+                              jnp.asarray(vals), kind))
+    r = filter_radius(kind, None)
+    n = int(2 * r + 0.999) + 1
+    ref = np.zeros((H, W, C))
+    bx = np.floor(pos[:, 0] - r + 0.5).astype(int)
+    by = np.floor(pos[:, 1] - r + 0.5).astype(int)
+    for i in range(N):
+        for dy in range(n):
+            ty = by[i] + dy
+            if not 0 <= ty < H:
+                continue
+            wy = float(eval_filter(kind, jnp.asarray(ty + 0.5 - pos[i, 1])))
+            for dx in range(n):
+                tx = bx[i] + dx
+                if not 0 <= tx < W:
+                    continue
+                wx = float(eval_filter(kind,
+                                       jnp.asarray(tx + 0.5 - pos[i, 0])))
+                ref[ty, tx] += vals[i] * wx * wy
+    assert np.allclose(img, ref, atol=1e-5), np.abs(img - ref).max()
+
+
+def test_gaussian_filter_render_flat_field():
+    """A constant-radiance env rendered with the (default) gaussian filter
+    must develop to the constant — filter weights normalize out."""
+    from eradiate_kernel_tpu.scene import load_dict
+    from eradiate_kernel_tpu import integrators
+
+    scene = load_dict({
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 2},
+        "sensor": {"type": "perspective",
+                   "film": {"width": 12, "height": 12,
+                            "rfilter": {"type": "gaussian"}},
+                   "sampler": {"sample_count": 16}},
+        "env": {"type": "constant", "radiance": 0.7},
+    })
+    img = np.asarray(integrators.render(scene, seed=2))
+    assert np.allclose(img, 0.7, atol=1e-3), (img.min(), img.max())
