@@ -97,3 +97,67 @@ def test_render_with_each_sampler():
         })
         img = np.asarray(integrators.render(scene))
         assert np.allclose(img, 0.7, atol=1e-3), (kind, img.mean())
+
+
+# --- variance reduction (the POINT of stratified samplers) ----------------------
+
+def _integration_variance(kind, spp, n_pixels=4096, seed=0, dims_2d=True):
+    """Per-pixel MC estimates of a smooth integral; returns the empirical
+    variance of the per-pixel means across pixels (the pixel-noise proxy)."""
+    n = n_pixels * spp
+    smp = Sampler.seed(seed, jnp.arange(n, dtype=jnp.uint32),
+                       kind=kind, spp=spp)
+    if dims_2d:
+        smp, s2 = smp.next_2d()
+        # smooth 2D integrand: E = 0 after subtracting the true integral
+        f = jnp.sin(2 * jnp.pi * s2[:, 0]) * jnp.cos(2 * jnp.pi * s2[:, 1]) \
+            + s2[:, 0] * s2[:, 1]
+        true = 0.25
+    else:
+        smp, s1 = smp.next_1d()
+        f = s1 * s1
+        true = 1.0 / 3.0
+    means = f.reshape(n_pixels, spp).mean(axis=1)
+    return float(jnp.mean((means - true) ** 2))
+
+
+@pytest.mark.parametrize("kind,factor", [
+    # measured reductions at these settings: stratified 3.2x, multijitter /
+    # orthogonal 3.3x, ldsampler 6.2x (the integrand has a full sine period
+    # per 4-cell span, so within-cell variance bounds the gain); thresholds
+    # sit ~25% below measured
+    ("stratified", 2.4), ("multijitter", 2.4), ("orthogonal", 2.4),
+    ("ldsampler", 4.5)])
+def test_sampler_variance_reduction_2d(kind, factor):
+    """Stratified kinds must beat independent sampling by a large factor on
+    a smooth 2D integrand at spp=16 (stratified.cpp / multijitter.cpp /
+    orthogonal.cpp / ldsampler.cpp exist exactly for this; the reference
+    asserts only uniformity, this pins the variance property itself)."""
+    spp = 16
+    v_ind = _integration_variance("independent", spp)
+    v_kind = _integration_variance(kind, spp)
+    assert v_kind * factor < v_ind, (kind, v_kind, v_ind)
+
+
+def test_sampler_variance_reduction_1d():
+    spp = 16
+    v_ind = _integration_variance("independent", spp, dims_2d=False)
+    for kind in ("stratified", "multijitter", "ldsampler"):
+        v = _integration_variance(kind, spp, dims_2d=False)
+        assert v * 4.0 < v_ind, (kind, v, v_ind)
+
+
+def test_sampler_estimates_unbiased():
+    """Variance reduction must not buy bias: every kind's grand mean over
+    many pixels matches the true integral."""
+    spp = 16
+    for kind in ("independent", "stratified", "multijitter", "orthogonal",
+                 "ldsampler"):
+        n_pixels, n = 8192, 8192 * spp
+        smp = Sampler.seed(3, jnp.arange(n, dtype=jnp.uint32),
+                           kind=kind, spp=spp)
+        smp, s2 = smp.next_2d()
+        f = jnp.sin(2 * jnp.pi * s2[:, 0]) * jnp.cos(2 * jnp.pi * s2[:, 1]) \
+            + s2[:, 0] * s2[:, 1]
+        err = abs(float(f.mean()) - 0.25)
+        assert err < 2e-3, (kind, err)
