@@ -29,13 +29,25 @@ MAX_DEPTH = 48      # traversal stack bound (stack size 64 in the kernel)
 N_BINS = 16
 
 
-def build_tile_bvh(tile_lo: np.ndarray, tile_hi: np.ndarray):
+def build_tile_bvh(tile_lo: np.ndarray, tile_hi: np.ndarray,
+                   leaf_tile: np.ndarray | None = None,
+                   leaf_inst: np.ndarray | None = None):
     """Build the flattened BVH. tile_lo/hi: (T, 3) leaf AABBs.
+
+    leaf_tile/leaf_inst: optional per-leaf payloads — leaf i stores
+    (leaf_tile[i], leaf_inst[i]) in nmeta[:, 2:4] instead of (i, -1).
+    Instanced leaves (shapegroup.h two-level accel) reuse one group tile
+    under many instances: same tile id, different instance id, AABBs
+    already world-transformed by the caller.
 
     Returns (nbox (N,1,8) f32, nmeta (N,4) i32, max_depth int).
     """
     T = len(tile_lo)
     assert T >= 1
+    if leaf_tile is None:
+        leaf_tile = np.arange(T, dtype=np.int32)
+    if leaf_inst is None:
+        leaf_inst = np.full(T, -1, np.int32)
     cent = 0.5 * (tile_lo + tile_hi)
     N = 2 * T - 1
     nbox = np.zeros((N, 8), np.float32)
@@ -55,7 +67,8 @@ def build_tile_bvh(tile_lo: np.ndarray, tile_hi: np.ndarray):
         nbox[node, 0:3] = lo
         nbox[node, 3:6] = hi
         if len(ids) == 1:
-            nmeta[node] = (0, 0, ids[0], 0)
+            nmeta[node] = (0, 0, leaf_tile[ids[0]],
+                           leaf_inst[ids[0]])
             continue
         order, split = _choose_split(tile_lo[ids], tile_hi[ids], cent[ids],
                                      force_median=depth >= MAX_DEPTH - 2)
@@ -64,7 +77,7 @@ def build_tile_bvh(tile_lo: np.ndarray, tile_hi: np.ndarray):
         li = next_node[0]
         ri = next_node[0] + 1
         next_node[0] += 2
-        nmeta[node] = (li, ri, -1, 0)
+        nmeta[node] = (li, ri, -1, -1)
         work.append((li, left_ids, depth + 1))
         work.append((ri, right_ids, depth + 1))
 

@@ -32,9 +32,12 @@ from .accel import TILE_K
 RAY_BLOCK = 512  # rays per kernel program
 
 
-def _intersect_tile(j, rays, tris_ref, prim_ref, shape_ref, carry):
+def _intersect_tile(j, rays, tris_ref, prim_ref, shape_ref, carry,
+                    shape_off=0):
     """Dense (B x K) Moller-Trumbore batch of tile j against the ray block;
-    folds min-t hits into the carry (best_t, u, v, prim, shape)."""
+    folds min-t hits into the carry (best_t, u, v, prim, shape).
+    ``shape_off`` shifts the stored shape id (instanced tiles store the
+    group-local sub ordinal; the offset is the instance's shape base)."""
     ox, oy, oz, dx, dy, dz, mint, _maxt = rays
     best_t, best_u, best_v, best_prim, best_shape = carry
     tri = tris_ref[j]              # (9, K)
@@ -80,7 +83,7 @@ def _intersect_tile(j, rays, tris_ref, prim_ref, shape_ref, carry):
             jnp.where(hit, pick(u), best_u),
             jnp.where(hit, pick(v), best_v),
             jnp.where(hit, ipick(prim), best_prim),
-            jnp.where(hit, ipick(shape_ref[j]), best_shape))
+            jnp.where(hit, ipick(shape_ref[j]) + shape_off, best_shape))
 
 
 def _kernel(rays_ref, ids_ref, count_ref, tris_ref, prim_ref, shape_ref,
@@ -167,7 +170,8 @@ def _run(rays, ids, count, tris, prim, shape, interpret=False):
 STACK_SIZE = 64  # >= bvh.MAX_DEPTH + margin; traversal pushes <=1 deferred/level
 
 
-def _bvh_kernel(rays_ref, nbox_ref, nmeta_ref, tris_ref, prim_ref, shape_ref,
+def _bvh_kernel(rays_ref, nbox_ref, nmeta_ref, xf_ref, base_ref,
+                tris_ref, prim_ref, shape_ref,
                 t_ref, uv_ref, prim_out_ref, shape_out_ref, stack_ref):
     """Per-ray-block BVH traversal (the kd-tree/OptiX analog,
     kdtree.h:2068-2301 / optix_rt.cu:9-64, re-designed for the VPU).
@@ -176,6 +180,14 @@ def _bvh_kernel(rays_ref, nbox_ref, nmeta_ref, tris_ref, prim_ref, shape_ref,
     SMEM, node AABB slab tests vectorized over the block's rays with
     per-ray best-t culling, near-child-first ordering by the block's
     minimum entry distance, and dense (B x K) Moller-Trumbore at leaves.
+
+    Two-level instancing (shapegroup.h / scene_optix.inl IAS analog):
+    leaves carry an instance id (nmeta[:, 3], -1 = none); at an instanced
+    leaf the block's rays are transformed into instance space by the
+    world-to-local affine row in SMEM (xf_ref, row inst+1; row 0 is the
+    identity) — affine maps preserve the ray parameter t, so the best-t
+    carry works across spaces — and the stored group-local sub-shape id is
+    shifted by the instance's shape base (base_ref).
     """
     ox = rays_ref[:, 0:1]        # (B, 1)
     oy = rays_ref[:, 1:2]
@@ -228,11 +240,32 @@ def _bvh_kernel(rays_ref, nbox_ref, nmeta_ref, tris_ref, prim_ref, shape_ref,
         left = nmeta_ref[node, 0]
         right = nmeta_ref[node, 1]
         tile = nmeta_ref[node, 2]
+        inst = nmeta_ref[node, 3]
         is_leaf = tile >= 0
 
         def do_leaf(c):
-            return _intersect_tile(tile, rays, tris_ref, prim_ref,
-                                   shape_ref, c)
+            k = inst + 1  # row 0 = identity (non-instanced leaves)
+            m00 = xf_ref[k, 0]
+            m01 = xf_ref[k, 1]
+            m02 = xf_ref[k, 2]
+            m03 = xf_ref[k, 3]
+            m10 = xf_ref[k, 4]
+            m11 = xf_ref[k, 5]
+            m12 = xf_ref[k, 6]
+            m13 = xf_ref[k, 7]
+            m20 = xf_ref[k, 8]
+            m21 = xf_ref[k, 9]
+            m22 = xf_ref[k, 10]
+            m23 = xf_ref[k, 11]
+            lox = m00 * ox + m01 * oy + m02 * oz + m03
+            loy = m10 * ox + m11 * oy + m12 * oz + m13
+            loz = m20 * ox + m21 * oy + m22 * oz + m23
+            ldx = m00 * dx + m01 * dy + m02 * dz
+            ldy = m10 * dx + m11 * dy + m12 * dz
+            ldz = m20 * dx + m21 * dy + m22 * dz
+            rays_l = (lox, loy, loz, ldx, ldy, ldz, mint, maxt)
+            return _intersect_tile(tile, rays_l, tris_ref, prim_ref,
+                                   shape_ref, c, shape_off=base_ref[k])
 
         best = jax.lax.cond(
             is_leaf, do_leaf, lambda c: c,
@@ -282,10 +315,12 @@ def _bvh_kernel(rays_ref, nbox_ref, nmeta_ref, tris_ref, prim_ref, shape_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _run_bvh(rays, nbox, nmeta, tris, prim, shape, interpret=False):
+def _run_bvh(rays, nbox, nmeta, xf, sbase, tris, prim, shape,
+             interpret=False):
     n = rays.shape[0]
     T = tris.shape[0]
     N = nbox.shape[0]
+    I1 = xf.shape[0]
     grid = (n // RAY_BLOCK,)
 
     t, uv, prim_o, shape_o = pl.pallas_call(
@@ -297,6 +332,10 @@ def _run_bvh(rays, nbox, nmeta, tris, prim, shape, interpret=False):
             pl.BlockSpec((N, 1, 8), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((N, 4), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((I1, 12), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((I1,), lambda i: (0,),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((T, 9, TILE_K), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -323,15 +362,28 @@ def _run_bvh(rays, nbox, nmeta, tris, prim, shape, interpret=False):
         ],
         scratch_shapes=[pltpu.SMEM((STACK_SIZE,), jnp.int32)],
         interpret=interpret,
-    )(rays, nbox, nmeta, tris, prim, shape)
+    )(rays, nbox, nmeta, xf, sbase, tris, prim, shape)
     return t[:, 0], uv, prim_o[:, 0], shape_o[:, 0]
+
+
+_IDENTITY_XF = None
+
+
+def _identity_xf():
+    global _IDENTITY_XF
+    if _IDENTITY_XF is None:
+        _IDENTITY_XF = jnp.asarray(
+            [[1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0]], jnp.float32)
+    return _IDENTITY_XF
 
 
 def intersect_bvh(tiles, ray, interpret=False):
     """Closest-hit query through the tile BVH (ops/bvh.py layout).
 
-    tiles: dict with pack_tiles arrays plus 'nbox' (N,1,8) / 'nmeta' (N,4).
-    Same contract as intersect_tiles.
+    tiles: dict with pack_tiles arrays plus 'nbox' (N,1,8) / 'nmeta' (N,4);
+    instanced scenes add 'xf' (I+1, 12) world-to-local affine rows (row 0
+    identity) and 'sbase' (I+1,) shape-base offsets. Same contract as
+    intersect_tiles.
     """
     n = ray.o.shape[0]
     n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
@@ -347,8 +399,15 @@ def intersect_bvh(tiles, ray, interpret=False):
         rays = jnp.concatenate([rays, filler], axis=0)
 
     tris, prim, shape = _device_layout(tiles)
+    xf = tiles.get("xf")
+    if xf is None:
+        xf = _identity_xf()
+        sbase = jnp.zeros((1,), jnp.int32)
+    else:
+        sbase = tiles["sbase"]
     t, uv, prim_o, shape_o = _run_bvh(rays, tiles["nbox"], tiles["nmeta"],
-                                      tris, prim, shape, interpret=interpret)
+                                      xf, sbase, tris, prim, shape,
+                                      interpret=interpret)
     return t[:n], uv[:n], prim_o[:n], shape_o[:n]
 
 

@@ -103,7 +103,11 @@ class Geometry:
     tiles_lo: jnp.ndarray      # (T, 3)
     tiles_hi: jnp.ndarray      # (T, 3)
     bvh_box: jnp.ndarray       # (2T-1, 1, 8) f32 node AABBs (ops/bvh.py)
-    bvh_meta: jnp.ndarray      # (2T-1, 4) i32 [left, right, tile, 0]
+    bvh_meta: jnp.ndarray      # (2T-1, 4) i32 [left, right, tile, inst]
+    tiles_xf: jnp.ndarray = _dc.field(default_factory=lambda: jnp.asarray(
+        [[1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0]],
+        jnp.float32))                             # (I+1, 12) w2l affine rows
+    tiles_sbase: jnp.ndarray = _dfield((1,), True)  # (I+1,) shape bases
 
     # two-level instancing (shapegroup.h:6-62, shapes/instance.cpp:53-77):
     # group mesh geometry is stored ONCE in local space; instances are
@@ -429,12 +433,18 @@ def _accel_mode(geo: Geometry) -> str:
     if mode == "naive" or not geo.has_tiles:
         return "naive"
     if mode in ("tiles", "bvh"):
+        # instanced leaves only exist in the BVH (nmeta inst column); the
+        # flat sweep would hit group tiles without their transforms
+        if geo.n_instances > 0 and mode == "tiles":
+            return "bvh"
         return mode
     try:
         platform = jax.devices()[0].platform
     except Exception:
         platform = "cpu"
-    if platform == "tpu" and geo.faces.shape[0] >= 1024:
+    eff_tris = geo.faces.shape[0] \
+        + geo.n_instances * max(geo.ig_faces.shape[0], 0)
+    if platform == "tpu" and eff_tris >= 1024:
         return "bvh" if geo.bvh_box.shape[0] > 0 else "tiles"
     return "naive"
 
@@ -457,8 +467,8 @@ def ray_intersect_preliminary(geo: Geometry, ray: Ray) -> PreliminaryIntersectio
         prim = jnp.where(closer, primf, prim)
         shape = jnp.where(closer, shapef, shape)
 
-    if geo.faces.shape[0] > 0:
-        mode = _accel_mode(geo)
+    mode = _accel_mode(geo) if geo.has_tiles else "naive"
+    if geo.faces.shape[0] > 0 or (geo.n_instances > 0 and mode == "bvh"):
         if mode != "naive":
             import os
 
@@ -468,7 +478,8 @@ def ray_intersect_preliminary(geo: Geometry, ray: Ray) -> PreliminaryIntersectio
                      "e2": geo.tiles_e2, "prim": geo.tiles_prim,
                      "shape": geo.tiles_shape, "lo": geo.tiles_lo,
                      "hi": geo.tiles_hi, "nbox": geo.bvh_box,
-                     "nmeta": geo.bvh_meta}
+                     "nmeta": geo.bvh_meta, "xf": geo.tiles_xf,
+                     "sbase": geo.tiles_sbase}
             interp = os.environ.get("ERT_ACCEL_INTERPRET", "") != ""
             flat_shape = batch
             ray_flat = jax.tree_util.tree_map(
@@ -479,7 +490,7 @@ def ray_intersect_preliminary(geo: Geometry, ray: Ray) -> PreliminaryIntersectio
                    tprim.reshape(flat_shape), tshape.reshape(flat_shape)))
         else:
             merge(_intersect_meshes(geo, ray))
-    if geo.n_instances > 0:
+    if geo.n_instances > 0 and mode != "bvh":
         merge(_intersect_instanced(geo, ray))
     if geo.sph_center.shape[0] > 0:
         merge(_intersect_spheres(geo, ray))

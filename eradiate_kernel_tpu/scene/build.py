@@ -828,23 +828,83 @@ class SceneBuilder:
             return Transform(m=jnp.stack([t.m for t in transforms]),
                              inv_t=jnp.stack([t.inv_t for t in transforms]))
 
-        # triangle-tile accelerator arrays (ops/accel.py; native builder)
-        if len(F) > 0:
+        # triangle-tile accelerator arrays (ops/accel.py; native builder).
+        # Instanced groups pack their tiles per group in LOCAL space (one
+        # copy); the BVH gets one leaf per (group tile, instance) with a
+        # world-transformed AABB and the instance id in nmeta[:, 3]
+        # (the IAS/GAS split of scene_optix.inl, data stored once).
+        have_inst = bool(self.instances)
+        if len(F) > 0 or have_inst:
             from ..ops import accel as _accel
-
-            _tiles = _accel.pack_tiles(V, N, F, FS)
             from ..ops.bvh import build_tile_bvh
-            _nbox, _nmeta, _depth = build_tile_bvh(_tiles["lo"], _tiles["hi"])
+
+            parts = []
+            leaf_lo, leaf_hi, leaf_tile, leaf_inst = [], [], [], []
+            T_off = 0
+            if len(F) > 0:
+                t0 = _accel.pack_tiles(V, N, F, FS)
+                T0 = t0["lo"].shape[0]
+                parts.append(t0)
+                leaf_lo.append(t0["lo"])
+                leaf_hi.append(t0["hi"])
+                leaf_tile.append(np.arange(T0, dtype=np.int32))
+                leaf_inst.append(np.full(T0, -1, np.int32))
+                T_off = T0
+            if have_inst:
+                IGV = np.concatenate(self.ig_vertices)
+                IGF = np.concatenate(self.ig_faces)
+                IGS = np.concatenate(self.ig_face_sub)
+                group_tiles = {}  # f_off -> (tile_start, count, lo, hi)
+                for key, rec in self.group_records.items():
+                    if rec["f_count"] == 0:
+                        continue
+                    fsl = slice(rec["f_off"], rec["f_off"] + rec["f_count"])
+                    tgp = _accel.pack_tiles(IGV, None, IGF[fsl], IGS[fsl])
+                    tgp["prim"] = np.where(tgp["prim"] >= 0,
+                                           tgp["prim"] + rec["f_off"],
+                                           tgp["prim"])
+                    group_tiles[rec["f_off"]] = (
+                        T_off, tgp["lo"].shape[0], tgp["lo"], tgp["hi"])
+                    parts.append(tgp)
+                    T_off += tgp["lo"].shape[0]
+                for i, inst in enumerate(self.instances):
+                    t_start, t_cnt, glo, ghi = group_tiles[inst["f_off"]]
+                    m = np.asarray(inst["l2w"].m)
+                    A, bvec = m[:3, :3], m[:3, 3]
+                    c = 0.5 * (glo + ghi)
+                    e = 0.5 * (ghi - glo)
+                    wc = c @ A.T + bvec
+                    we = e @ np.abs(A).T
+                    leaf_lo.append((wc - we).astype(np.float32))
+                    leaf_hi.append((wc + we).astype(np.float32))
+                    leaf_tile.append(np.arange(t_start, t_start + t_cnt,
+                                               dtype=np.int32))
+                    leaf_inst.append(np.full(t_cnt, i, np.int32))
+
+            tiles_cat = {k: np.concatenate([p[k] for p in parts])
+                         for k in parts[0]}
+            _nbox, _nmeta, _depth = build_tile_bvh(
+                np.concatenate(leaf_lo), np.concatenate(leaf_hi),
+                np.concatenate(leaf_tile), np.concatenate(leaf_inst))
+            xf_rows = [np.asarray(
+                [1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0], np.float32)]
+            sbase = [0]
+            for inst in self.instances:
+                w = np.asarray(inst["w2l"].m, np.float32)
+                xf_rows.append(w[:3, :4].reshape(12))
+                sbase.append(inst["shape_base"])
             tile_args = dict(
-                tiles_v0=jnp.asarray(_tiles["v0"]),
-                tiles_e1=jnp.asarray(_tiles["e1"]),
-                tiles_e2=jnp.asarray(_tiles["e2"]),
-                tiles_prim=jnp.asarray(_tiles["prim"]),
-                tiles_shape=jnp.asarray(_tiles["shape"]),
-                tiles_lo=jnp.asarray(_tiles["lo"]),
-                tiles_hi=jnp.asarray(_tiles["hi"]),
+                tiles_v0=jnp.asarray(tiles_cat["v0"]),
+                tiles_e1=jnp.asarray(tiles_cat["e1"]),
+                tiles_e2=jnp.asarray(tiles_cat["e2"]),
+                tiles_prim=jnp.asarray(tiles_cat["prim"]),
+                tiles_shape=jnp.asarray(tiles_cat["shape"]),
+                tiles_lo=jnp.asarray(tiles_cat["lo"]),
+                tiles_hi=jnp.asarray(tiles_cat["hi"]),
                 bvh_box=jnp.asarray(_nbox),
-                bvh_meta=jnp.asarray(_nmeta))
+                bvh_meta=jnp.asarray(_nmeta),
+                tiles_xf=jnp.asarray(np.stack(xf_rows)),
+                tiles_sbase=jnp.asarray(np.asarray(sbase, np.int32)))
         else:
             tile_args = dict(
                 tiles_v0=jnp.zeros((0, 128, 3)), tiles_e1=jnp.zeros((0, 128, 3)),

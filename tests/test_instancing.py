@@ -143,3 +143,52 @@ def test_instanced_normals_rotation():
     img_f = np.asarray(integrators.render(
         load_dict(_flattened_scene(tfs, spp=32)), seed=7))
     assert np.allclose(img_i, img_f, atol=2e-3), np.abs(img_i - img_f).max()
+
+
+def test_instanced_bvh_kernel_matches_naive():
+    """The Pallas BVH path (interpret mode) with instanced leaves — ray
+    transform at the leaf, shape-base offset — must reproduce the naive
+    scan-over-instances render exactly."""
+    import os
+
+    d = _instanced_scene(TRANSFORMS)
+    scene = load_dict(d)
+    os.environ["ERT_ACCEL"] = "naive"
+    try:
+        ref = np.asarray(integrators.render(scene, seed=9))
+    finally:
+        os.environ.pop("ERT_ACCEL", None)
+    os.environ["ERT_ACCEL"] = "bvh"
+    os.environ["ERT_ACCEL_INTERPRET"] = "1"
+    try:
+        img = np.asarray(integrators.render(scene, seed=9))
+    finally:
+        os.environ.pop("ERT_ACCEL", None)
+        os.environ.pop("ERT_ACCEL_INTERPRET", None)
+    assert np.allclose(img, ref, atol=1e-4), np.abs(img - ref).max()
+
+
+def test_instanced_bvh_kernel_mixed_scene():
+    """Instances + a regular top-level mesh in one BVH: identity leaves and
+    instanced leaves coexist."""
+    import os
+
+    d = _instanced_scene(TRANSFORMS[:2])
+    V, F = _tri_bump()
+    d["plain"] = {"type": "mesh", "vertices": V + [0.0, 1.2, 0.0],
+                  "faces": F,
+                  "bsdf": {"type": "diffuse", "reflectance": 0.3}}
+    scene = load_dict(d)
+    os.environ["ERT_ACCEL"] = "naive"
+    try:
+        ref = np.asarray(integrators.render(scene, seed=11))
+    finally:
+        os.environ.pop("ERT_ACCEL", None)
+    os.environ["ERT_ACCEL"] = "bvh"
+    os.environ["ERT_ACCEL_INTERPRET"] = "1"
+    try:
+        img = np.asarray(integrators.render(scene, seed=11))
+    finally:
+        os.environ.pop("ERT_ACCEL", None)
+        os.environ.pop("ERT_ACCEL_INTERPRET", None)
+    assert np.allclose(img, ref, atol=1e-4), np.abs(img - ref).max()
