@@ -108,6 +108,65 @@ def main():
         "value": round(results["bvh_primary"], 2), "unit": "Mrays/s",
         "vs_baseline": round(speedup, 2)}))
 
+    # instanced forest: one 2k-tri canopy crown instanced N times — the
+    # two-level path (geometry stored once, per-leaf ray transform)
+    bench_forest()
+
+
+def bench_forest(n_inst=256, n_rays=1 << 19, reps=10):
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    os.environ.setdefault("ERT_ACCEL", "bvh")  # the two-level kernel path
+
+    from eradiate_kernel_tpu.core.ray import Ray
+    from eradiate_kernel_tpu.render.geometry import ray_intersect_preliminary
+    from eradiate_kernel_tpu.scene import load_dict
+    from eradiate_kernel_tpu.core.transform import Transform
+
+    rng = np.random.default_rng(4)
+    V, F = terrain(33)  # ~2k-tri crown
+    d = {"type": "scene",
+         "sensor": {"type": "perspective", "film": {"width": 2, "height": 2}},
+         "grp": {"type": "shapegroup",
+                 "crown": {"type": "mesh",
+                           "vertices": V * 0.5, "faces": F,
+                           "bsdf": {"type": "diffuse"}}}}
+    for i in range(n_inst):
+        x, y = rng.uniform(-8, 8, 2)
+        d[f"i{i}"] = {"type": "instance",
+                      "shapegroup": {"type": "ref", "id": "grp"},
+                      "to_world": [
+                          {"type": "translate",
+                           "value": [float(x), float(y),
+                                     float(rng.uniform(0, 0.3))]},
+                          {"type": "rotate", "axis": [0, 0, 1],
+                           "angle": float(rng.uniform(0, 360))}]}
+    scene = load_dict(d)
+    n_tris = int(scene.geo.ig_faces.shape[0])
+    print(f"# forest: {n_inst} instances x {n_tris} shared tris "
+          f"(= {n_inst * n_tris} effective)")
+
+    o, dr = make_rays(n_rays, "primary")
+    o = o * np.float32([8, 8, 1])  # widen the camera footprint
+    ray = Ray.make(jnp.asarray(o), jnp.asarray(dr),
+                   wavelengths=jnp.zeros((n_rays, 0)))
+    run = jax.jit(lambda r: ray_intersect_preliminary(scene.geo, r).t)
+    t = run(ray)
+    t.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        t = run(ray)
+    t.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    print(json.dumps({
+        "metric": "instanced_forest_mrays_per_s",
+        "value": round(n_rays / dt / 1e6, 2), "unit": "Mrays/s",
+        "n_instances": n_inst, "shared_tris": n_tris,
+        "hit_frac": round(float(jnp.isfinite(t).mean()), 3)}))
+
 
 if __name__ == "__main__":
     main()

@@ -482,8 +482,11 @@ def ray_intersect_preliminary(geo: Geometry, ray: Ray) -> PreliminaryIntersectio
                      "sbase": geo.tiles_sbase}
             interp = os.environ.get("ERT_ACCEL_INTERPRET", "") != ""
             flat_shape = batch
+            flat_n = int(np.prod(batch)) if batch else 1
+            # explicit leading size: reshape(-1) cannot infer through
+            # zero-size trailing axes (rgb rays carry (N, 0) wavelengths)
             ray_flat = jax.tree_util.tree_map(
-                lambda a: a.reshape((-1,) + a.shape[len(batch):]), ray)
+                lambda a: a.reshape((flat_n,) + a.shape[len(batch):]), ray)
             fn = intersect_bvh if mode == "bvh" else intersect_tiles
             tt, tuv, tprim, tshape = fn(tiles, ray_flat, interpret=interp)
             merge((tt.reshape(flat_shape), tuv.reshape(flat_shape + (2,)),
