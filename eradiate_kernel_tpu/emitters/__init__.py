@@ -224,18 +224,35 @@ def _envmap_bilinear(params, slot, uv, wavelengths, nc):
         gather = lambda y, x: img[y, x]
     else:
         gather = lambda y, x: img[jnp.arange(img.shape[0]), y, x]
+    if "spec_coeff" in params:  # spectral variants (build-time static)
+        # rgb2spec upsampling (envmap.cpp:69-89): bilinear interp of the
+        # per-texel sigmoid-poly coeffs + brightness scale, evaluated at
+        # the ray's hero wavelengths
+        from ..render.texture import srgb_model_eval
+
+        cf = _tg(params["spec_coeff"], slot)
+        sc = _tg(params["spec_scale"], slot)
+        if cf.ndim == 3:
+            gc = lambda y, x: cf[y, x]
+            gs = lambda y, x: sc[y, x]
+        else:
+            ar = jnp.arange(cf.shape[0])
+            gc = lambda y, x: cf[ar, y, x]
+            gs = lambda y, x: sc[ar, y, x]
+        fx1 = fx[..., 0]
+        fy1 = fy[..., 0]
+        coeff = (gc(y0, x0) * (1 - fx) * (1 - fy) + gc(y0, x1) * fx * (1 - fy)
+                 + gc(y1, x0) * (1 - fx) * fy + gc(y1, x1) * fx * fy)
+        s = (gs(y0, x0) * (1 - fx1) * (1 - fy1) + gs(y0, x1) * fx1 * (1 - fy1)
+             + gs(y1, x0) * (1 - fx1) * fy1 + gs(y1, x1) * fx1 * fy1)
+        return (srgb_model_eval(coeff, wavelengths)
+                * (s * _tg(params["scale"], slot))[..., None])
     c = (gather(y0, x0) * (1 - fx) * (1 - fy) + gather(y0, x1) * fx * (1 - fy)
          + gather(y1, x0) * (1 - fx) * fy + gather(y1, x1) * fx * fy)
     rgb = c * _tg(params["scale"], slot)[..., None]
     if nc == 3:
         return rgb
-    if nc == 1:
-        return jnp.mean(rgb, -1, keepdims=True)
-    # spectral: flat-luminance placeholder (full spectral upsampling of env
-    # maps lands with the rgb2spec table work)
-    lum = (0.212671 * rgb[..., 0] + 0.715160 * rgb[..., 1]
-           + 0.072169 * rgb[..., 2])
-    return jnp.broadcast_to(lum[..., None], lum.shape + (nc,))
+    return jnp.mean(rgb, -1, keepdims=True)  # mono
 
 
 def envmap_eval(scene, params, slot, d, wavelengths, active):

@@ -196,20 +196,39 @@ def texture_eval(scene, tex_index, si_uv, wavelengths, active=True,
             fy = (v_ - y0)[..., None]
             x1 = jnp.minimum(x0 + 1, W - 1)
             y1 = jnp.minimum(y0 + 1, H - 1)
-            c00 = data[img, y0, x0]
-            c01 = data[img, y0, x1]
-            c10 = data[img, y1, x0]
-            c11 = data[img, y1, x1]
-            rgb = (c00 * (1 - fx) * (1 - fy) + c01 * fx * (1 - fy)
-                   + c10 * (1 - fx) * fy + c11 * fx * fy)
             if cfg.variant.is_spectral:
-                # cheap on-the-fly upsampling: treat rgb as smooth reflectance
-                # via per-lane sigmoid fit is future work; broadcast luminance
-                v = jnp.mean(rgb, axis=-1, keepdims=True) * jnp.ones((1,) * (rgb.ndim - 1) + (nc,))
-            elif cfg.variant.is_monochromatic:
-                v = jnp.mean(rgb, axis=-1, keepdims=True)
+                # rgb2spec upsampling baked at scene build (bitmap_coeff/
+                # scale pools, envmap.cpp:69-89 scheme): interpolate the
+                # sigmoid-poly coefficients + brightness scale bilinearly,
+                # then evaluate at the ray's hero wavelengths
+                cf = scene.bitmap_coeff
+                sc = scene.bitmap_scale
+                k00 = cf[img, y0, x0]
+                k01 = cf[img, y0, x1]
+                k10 = cf[img, y1, x0]
+                k11 = cf[img, y1, x1]
+                coeff = (k00 * (1 - fx) * (1 - fy) + k01 * fx * (1 - fy)
+                         + k10 * (1 - fx) * fy + k11 * fx * fy)
+                s00 = sc[img, y0, x0]
+                s01 = sc[img, y0, x1]
+                s10 = sc[img, y1, x0]
+                s11 = sc[img, y1, x1]
+                fx1 = fx[..., 0]
+                fy1 = fy[..., 0]
+                scale = (s00 * (1 - fx1) * (1 - fy1) + s01 * fx1 * (1 - fy1)
+                         + s10 * (1 - fx1) * fy1 + s11 * fx1 * fy1)
+                v = srgb_model_eval(coeff, wavelengths) * scale[..., None]
             else:
-                v = rgb
+                c00 = data[img, y0, x0]
+                c01 = data[img, y0, x1]
+                c10 = data[img, y1, x0]
+                c11 = data[img, y1, x1]
+                rgb = (c00 * (1 - fx) * (1 - fy) + c01 * fx * (1 - fy)
+                       + c10 * (1 - fx) * fy + c11 * fx * fy)
+                if cfg.variant.is_monochromatic:
+                    v = jnp.mean(rgb, axis=-1, keepdims=True)
+                else:
+                    v = rgb
         elif kind == "mesh_attribute":
             # barycentric interpolation of per-vertex data
             # (mesh_attribute.cpp; mesh.h attribute system)

@@ -1006,6 +1006,19 @@ class SceneBuilder:
 
         bitmaps = (np.stack(self.bitmaps) if self.bitmaps
                    else np.zeros((1, 1, 1, 3), np.float32))
+        # spectral: per-texel rgb2spec upsampling of the whole bitmap pool
+        # (envmap.cpp:69-89 / grid3d.cpp:69-89 scheme: coeff of rgb/scale
+        # + brightness scale; evaluated at the ray's hero wavelengths)
+        if self.variant.is_spectral and self.bitmaps:
+            from ..utils.rgb2spec import fit_srgb_coeff_batch
+
+            bm_scale = np.maximum(2.0 * bitmaps.max(-1), 1e-8)
+            bm_coeff = fit_srgb_coeff_batch(
+                (bitmaps / bm_scale[..., None]).reshape(-1, 3)
+            ).reshape(bitmaps.shape)
+        else:
+            bm_scale = np.ones((1, 1, 1), np.float32)
+            bm_coeff = np.zeros((1, 1, 1, 3), np.float32)
 
         # per-vertex attribute pools (mesh_attribute texture)
         if self.mesh_attr_names:
@@ -1050,6 +1063,8 @@ class SceneBuilder:
             volumes=stack_rows(self.volume_rows),
             vol_kind=vol_kind_arr, vol_slot=vol_slot_arr,
             bitmap_data=jnp.asarray(bitmaps),
+            bitmap_coeff=jnp.asarray(bm_coeff),
+            bitmap_scale=jnp.asarray(bm_scale.astype(np.float32)),
             mesh_attr_data=jnp.asarray(attr_data),
             sensor=sensor_params,
             bsphere_center=jnp.asarray(center),
@@ -1154,6 +1169,16 @@ def _build_scene_emitter(builder: SceneBuilder, d):
             "w2l_m": np.asarray(w2l.m, np.float32),
             "w2l_it": np.asarray(w2l.inv_t, np.float32)}
         row.update({f"h2d_{k}": v[0] for k, v in h2d.items()})
+        if builder.variant.is_spectral:
+            # per-texel rgb2spec upsampling (envmap.cpp:69-89): the fit
+            # reproduces rgb/spec_scale; eval multiplies the scale back
+            from ..utils.rgb2spec import fit_srgb_coeff_batch
+
+            sscale = np.maximum(2.0 * img_p.max(-1), 1e-8)
+            row["spec_coeff"] = fit_srgb_coeff_batch(
+                (img_p / sscale[..., None]).reshape(-1, 3)
+            ).reshape(img_p.shape)
+            row["spec_scale"] = sscale.astype(np.float32)
         idx = builder.add_emitter_row("envmap", row)
         builder.env_emitter = idx
         return idx

@@ -115,3 +115,10 @@ class Scene:
     bsphere_radius: jnp.ndarray  # ()
 
     config: SceneConfig
+
+    # spectral variants: per-texel rgb2spec upsampling of the bitmap pool
+    # (sigmoid-poly coeffs + brightness scale, envmap.cpp:69-89 scheme)
+    bitmap_coeff: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros((1, 1, 1, 3)))
+    bitmap_scale: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.ones((1, 1, 1)))

@@ -87,3 +87,103 @@ def fit_srgb_coeff(r, g, b):
             if lam_damp > 1e6:
                 break
     return tuple(np.asarray(coeff, np.float32))
+
+
+def fit_srgb_coeff_batch(rgb: np.ndarray) -> np.ndarray:
+    """Vectorized sigmoid-polynomial fit for (N, 3) linear-sRGB reflectances
+    (the whole-image analog of fit_srgb_coeff — one damped Gauss-Newton over
+    all texels at once; used to upsample envmaps/bitmaps at scene build,
+    envmap.cpp:69-89 / bitmap spectral conversion)."""
+    rgb = np.asarray(rgb, np.float64).reshape(-1, 3)
+    target = np.clip(rgb, 1e-4, 0.9999)
+    N = len(target)
+    P = _projection()                                  # (3, K)
+    K = P.shape[1]
+
+    lum = target @ np.array([0.2126, 0.7152, 0.0722])
+    y = 2.0 * lum - 1.0
+    coeff = np.zeros((N, 3))
+    coeff[:, 2] = y / np.sqrt(np.maximum(1.0 - y * y, 1e-9))
+
+    basis = np.stack([_LAM ** 2, _LAM, np.ones_like(_LAM)])  # (3, K)
+
+    def model(c):
+        x = c @ basis                                  # (N, K)
+        return 0.5 * x / np.sqrt(1.0 + x * x) + 0.5
+
+    def residual(c):
+        return model(c) @ P.T - target                 # (N, 3)
+
+    damp = np.full(N, 1e-4)
+    resid = residual(coeff)
+    err = np.einsum("ni,ni->n", resid, resid)
+    eye = np.eye(3)
+    for _ in range(120):
+        x = coeff @ basis
+        dsig = 0.5 / (1.0 + x * x) ** 1.5              # (N, K)
+        # J_n = P @ (dsig_n * basis).T  -> (N, 3, 3)
+        J = np.einsum("ok,nk,bk->nob", P, dsig, basis)
+        JtJ = np.einsum("nob,noc->nbc", J, J) \
+            + damp[:, None, None] * eye
+        g = np.einsum("nob,no->nb", J, resid)
+        step = np.linalg.solve(JtJ, g[..., None])[..., 0]
+        new = coeff - step
+        new_resid = residual(new)
+        new_err = np.einsum("ni,ni->n", new_resid, new_resid)
+        better = new_err < err
+        coeff = np.where(better[:, None], new, coeff)
+        resid = np.where(better[:, None], new_resid, resid)
+        err = np.where(better, new_err, err)
+        damp = np.where(better, np.maximum(damp * 0.5, 1e-8), damp * 4.0)
+        if err.max() < 1e-10:
+            break
+    # polish stragglers (the flat init traps a handful of saturated texels
+    # in a local minimum) with a multi-start Gauss-Newton
+    bad = np.where(err > 1e-8)[0]
+    for i in bad[:4096]:
+        coeff[i] = _fit_multistart(target[i])
+    return coeff.astype(np.float32)
+
+
+def _fit_multistart(target):
+    """27-start damped GN for colors the flat init cannot reach (saturated
+    hues need |coeff| ~ 10-100; cf. the spread of the reference's rgb2spec
+    table entries)."""
+    P = _projection()
+    basis = np.stack([_LAM ** 2, _LAM, np.ones_like(_LAM)])
+
+    def model(c):
+        x = c @ basis
+        return 0.5 * x / np.sqrt(1.0 + x * x) + 0.5
+
+    best, best_err = None, np.inf
+    for a in (-1e-5, 0.0, 1e-5):
+        for b in (-0.01, 0.0, 0.01):
+            for c0 in (-3.0, 0.0, 3.0):
+                c = np.array([a, b, c0])
+                damp = 1e-4
+                r = model(c) @ P.T - target
+                e = float(r @ r)
+                for _ in range(200):
+                    x = c @ basis
+                    dsig = 0.5 / (1.0 + x * x) ** 1.5
+                    J = P @ (dsig * basis).T
+                    step = np.linalg.solve(J.T @ J + damp * np.eye(3),
+                                           J.T @ r)
+                    cn = c - step
+                    rn = model(cn) @ P.T - target
+                    en = float(rn @ rn)
+                    if en < e:
+                        c, r, e = cn, rn, en
+                        damp = max(damp * 0.5, 1e-8)
+                        if e < 1e-14:
+                            break
+                    else:
+                        damp *= 4.0
+                        if damp > 1e8:
+                            break
+                if e < best_err:
+                    best, best_err = c, e
+                if best_err < 1e-14:
+                    return best
+    return best

@@ -42,3 +42,25 @@ def variant_rgb():
     from eradiate_kernel_tpu.core.types import Variant
 
     return Variant("rgb")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running tests (z-test regressions, multi-process "
+        "distributed, subprocess x64) — `-m 'not slow'` is the <10-min "
+        "smoke subset; CI should run the suite in two shards to keep any "
+        "single CPU process under the XLA-compile memory ceiling")
+
+
+def pytest_collection_modifyitems(config, items):
+    # auto-mark the statistically-heavy suites as slow so
+    # `pytest -m 'not slow'` stays a fast smoke subset
+    slow_files = ("test_regression", "test_distributed", "test_double",
+                  "test_sampling_chi2", "test_measured", "test_volpath",
+                  "test_instancing")
+    import pytest as _pytest
+
+    for item in items:
+        if any(s in str(item.fspath) for s in slow_files):
+            item.add_marker(_pytest.mark.slow)

@@ -181,3 +181,68 @@ def test_mesh_attribute_texture():
     top_center = img[3, 8]
     assert bottom_left[0] > bottom_left[2] * 2, bottom_left   # red-ish
     assert top_center[2] > top_center[0] * 2, top_center      # blue-ish
+
+
+def test_spectral_envmap_upsampling_roundtrip():
+    """Spectral variants upsample envmap texels to smooth spectra
+    (envmap.cpp:69-89 rgb2spec scheme); projecting the evaluated spectrum
+    back through the CIE/D65 matrix reproduces the texel rgb."""
+    import math
+
+    import jax.numpy as jnp
+
+    from eradiate_kernel_tpu import emitters
+    from eradiate_kernel_tpu.core.types import Variant
+    from eradiate_kernel_tpu.utils.rgb2spec import _LAM, _projection
+
+    rng = np.random.default_rng(0)
+    env = (0.1 + 0.8 * rng.random((8, 16, 3))).astype(np.float32)
+    scene = load_dict({
+        "type": "scene",
+        "sensor": {"type": "perspective", "film": {"width": 2, "height": 2}},
+        "sky": {"type": "envmap", "data": env},
+    }, Variant("spectral"))
+    texels = [(2, 3), (2, 10), (5, 3), (5, 10)]
+    d = jnp.asarray([[math.sin(y / 7 * math.pi) * math.cos(x / 16 * 2 * math.pi),
+                      math.sin(y / 7 * math.pi) * math.sin(x / 16 * 2 * math.pi),
+                      math.cos(y / 7 * math.pi)] for y, x in texels],
+                    jnp.float32)
+    n = len(_LAM)
+    wl = jnp.broadcast_to(jnp.asarray(_LAM, jnp.float32), (4, n))
+    spec = np.asarray(emitters.envmap_eval(
+        scene, scene.emitters["envmap"], jnp.zeros(4, jnp.int32), d, wl,
+        jnp.ones(4, bool)))
+    back = spec @ _projection().T
+    expect = np.stack([env[y, x] for y, x in texels])
+    assert np.abs(back - expect).max() < 1e-3
+
+
+def test_spectral_bitmap_upsampling_roundtrip():
+    """bitmap textures in spectral mode evaluate per-texel fitted spectra
+    whose CIE/D65 projection reproduces the texel rgb (grid3d.cpp:69-89
+    conversion applied to 2D textures)."""
+    import jax.numpy as jnp
+
+    from eradiate_kernel_tpu.core.types import Variant
+    from eradiate_kernel_tpu.render.texture import texture_eval
+    from eradiate_kernel_tpu.utils.rgb2spec import _LAM, _projection
+
+    rng = np.random.default_rng(1)
+    img = (0.05 + 0.9 * rng.random((6, 6, 3))).astype(np.float32)
+    scene = load_dict({
+        "type": "scene",
+        "sensor": {"type": "perspective", "film": {"width": 2, "height": 2}},
+        "r": {"type": "rectangle",
+              "bsdf": {"type": "diffuse",
+                       "reflectance": {"type": "bitmap", "data": img}}},
+    }, Variant("spectral"))
+    tk = np.asarray(scene.tex_kind)
+    kinds = scene.config.texture_kinds
+    bi = [i for i, k in enumerate(tk) if kinds[k] == "bitmap"][0]
+    n = len(_LAM)
+    uv = jnp.asarray([[3 / 5, 2 / 5]], jnp.float32)  # texel (2, 3) center
+    val = np.asarray(texture_eval(
+        scene, jnp.full(1, bi, jnp.int32), uv,
+        jnp.broadcast_to(jnp.asarray(_LAM, jnp.float32), (1, n))))
+    back = val @ _projection().T
+    assert np.abs(back[0] - img[2, 3]).max() < 1e-3
