@@ -190,6 +190,26 @@ def _srgb_const_coeff(l):
     return np.array([0.0, 0.0, y / np.sqrt(max(1.0 - y * y, 1e-9))], np.float32)
 
 
+def _image_data(d):
+    """Image payload for bitmap/envmap dicts: inline 'data' or 'filename'
+    (EXR incl. ZIP/RLE compression via utils.bitmap, or LDR via PIL —
+    bitmap.cpp's loader role)."""
+    if "data" in d:
+        return np.asarray(d["data"], np.float32)
+    fn = d["filename"]
+    from ..utils import bitmap as bm
+
+    low = fn.lower()
+    if low.endswith(".exr"):
+        img, _names = bm.read_exr(fn)
+        return img[..., :3] if img.shape[-1] >= 3 else img
+    if low.endswith(".pfm"):
+        return np.asarray(bm.read_pfm(fn), np.float32)
+    if low.endswith(".hdr") or low.endswith(".rgbe"):
+        return np.asarray(bm.read_rgbe(fn), np.float32)
+    return np.asarray(bm.read_image(fn), np.float32)
+
+
 AXPROF_BINS = 64  # fixed per-axis majorant profile resolution (media)
 
 SMP_TABLE_N = 96  # spectrum sampling-table resolution (sample_spectrum)
@@ -631,7 +651,7 @@ class SceneBuilder:
             return self.add_texture_row("checkerboard",
                                         {"spec0": np.int32(s0), "spec1": np.int32(s1)})
         if isinstance(value, dict) and value.get("type") == "bitmap":
-            data = np.asarray(value["data"], np.float32)
+            data = _image_data(value)
             if data.ndim == 2:
                 data = data[..., None].repeat(3, -1)
             self.bitmaps.append(data)
@@ -1146,7 +1166,7 @@ def _build_scene_emitter(builder: SceneBuilder, d):
             "aspect": np.float32(aspect),
             "irradiance": np.int32(builder.texture(irr, emitter=True))})
     if t == "envmap":
-        data = np.asarray(d["data"], np.float32)  # (H, W, 3) lat-long image
+        data = _image_data(d)  # (H, W, 3) lat-long image
         if data.ndim == 2:
             data = data[..., None].repeat(3, -1)
         scale = float(d.get("scale", 1.0))

@@ -138,3 +138,27 @@ def test_projector_frustum():
     assert (center_l[0] > 2 * center_l[1]) != (center_r[0] > 2 * center_r[1])
     # corners outside the 40-degree frustum are dark
     assert img[0, 0].max() < 0.02
+
+
+def test_envmap_from_compressed_exr_file(tmp_path):
+    """Real-asset path: a ZIP-compressed f16 EXR envmap loaded by filename
+    (the in-the-wild OpenEXR default the round-1 reader could not decode)."""
+    from eradiate_kernel_tpu.utils import bitmap
+
+    env = (0.2 + 0.6 * np.cos(np.linspace(0, np.pi, 16))[:, None, None] ** 2
+           * np.ones((16, 32, 3))).astype(np.float32)
+    p = str(tmp_path / "sky.exr")
+    bitmap.write_exr(p, env, compression="zip", pixel_type="f16")
+    scene = load_dict({
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 2},
+        "sensor": {"type": "radiancemeter",
+                   "to_world": {"type": "look_at", "origin": [0, 0, 0],
+                                "target": [0, 0, 5], "up": [0, 1, 0]},
+                   "film": {"width": 1, "height": 1,
+                            "rfilter": {"type": "box"}},
+                   "sampler": {"sample_count": 8}},
+        "sky": {"type": "envmap", "filename": p},
+    })
+    img = np.asarray(integrators.render(scene, seed=1))
+    assert img[0, 0, 1] == pytest.approx(0.8, abs=0.02)
