@@ -20,9 +20,17 @@ from ..render.geometry import (FAMILY_CONE, FAMILY_CYLINDER, FAMILY_DISK,
                                FAMILY_IMESH, FAMILY_MESH, FAMILY_RECT,
                                FAMILY_SPHERE, Geometry)
 from .scene import IntegratorConfig, Scene, SceneConfig
+from .build_sensors import _SENSOR_TYPES, _build_sensor, _build_srf  # noqa: F401
+from .build_spectra import (_axis_majorant_profiles,  # noqa: F401
+                            _cie_rgb_of_spectrum, _image_data,
+                            _spectrum_sampling_table, _srgb_const_coeff)
+from .build_emitters import (_build_bsdf,  # noqa: F401
+                             _build_emitter_for_shape, _build_scene_emitter)
+from .build_shapes import (_CUBE_F, _CUBE_V,  # noqa: F401
+                           _GROUP_MESH_TYPES, _SHAPE_TYPES,
+                           _build_group_geom, _build_shape,
+                           _load_mesh_arrays)
 
-_SHAPE_TYPES = ("rectangle", "disk", "sphere", "cylinder", "cone", "cube",
-                "mesh", "obj", "ply", "serialized", "instance")
 _EMITTER_SCENE_TYPES = ("constant", "point", "directional", "spot",
                         "projector", "envmap")
 
@@ -30,279 +38,6 @@ _EMITTER_SCENE_TYPES = ("constant", "point", "directional", "spot",
 def _custom_emitter_types():
     from ..emitters import CUSTOM
     return CUSTOM
-_SENSOR_TYPES = ("perspective", "thinlens", "radiancemeter", "mradiancemeter",
-                 "distant", "mdistant", "distantflux", "irradiancemeter")
-
-
-def _build_srf(spec, params):
-    """Discretize a spectral response function onto a uniform grid and build
-    the piecewise-constant sampling CDF (perspective.cpp:106-180 srf
-    importance sampling). Adds srf_nodes/srf_cdf/srf_integral to params."""
-    K = 257
-    t = spec["type"]
-    if t == "uniform":
-        lo, hi = spec.get("lambda_min", 360.0), spec.get("lambda_max", 830.0)
-        nodes = np.linspace(lo, hi, K)
-        vals = np.full(K, float(spec.get("value", 1.0)))
-    elif t == "regular":
-        lo, hi = spec["lambda_min"], spec["lambda_max"]
-        src = np.asarray(spec["values"], np.float64)
-        nodes = np.linspace(lo, hi, K)
-        vals = np.interp(nodes, np.linspace(lo, hi, len(src)), src)
-    elif t == "irregular":
-        wav = np.asarray(spec["wavelengths"], np.float64)
-        src = np.asarray(spec["values"], np.float64)
-        nodes = np.linspace(wav[0], wav[-1], K)
-        vals = np.interp(nodes, wav, src)
-    elif t == "discrete":
-        # exact line sampling (nbins.cpp companion, discrete.cpp pmf):
-        # hero wavelengths land exactly on the lines, weight = sum of line
-        # weights (the pmf cancels)
-        wav = np.asarray(spec["wavelengths"], np.float64)
-        w = np.asarray(spec.get("values", np.ones_like(wav)), np.float64)
-        cdf = np.concatenate([[0.0], np.cumsum(w)]) / w.sum()
-        params["srf_lines"] = jnp.asarray(wav, jnp.float32)
-        params["srf_line_cdf"] = jnp.asarray(cdf, jnp.float32)
-        params["srf_integral"] = jnp.asarray(float(w.sum()), jnp.float32)
-        return
-    else:
-        raise ValueError(f"unsupported srf spectrum type {t!r}")
-    # piecewise-constant cell masses -> exact linear CDF inversion
-    cell = 0.5 * (vals[1:] + vals[:-1]) * np.diff(nodes)
-    integral = float(cell.sum())
-    cdf = np.concatenate([[0.0], np.cumsum(cell)]) / max(integral, 1e-30)
-    params["srf_nodes"] = jnp.asarray(nodes, jnp.float32)
-    params["srf_cdf"] = jnp.asarray(cdf, jnp.float32)
-    params["srf_integral"] = jnp.asarray(integral, jnp.float32)
-
-
-def _build_sensor(b, t, val, film_cfg):
-    """Build (sensor_params, sensor_static) for sensor type ``t``."""
-    from ..core.transform import as_animated_transform
-
-    anim = as_animated_transform(val.get("to_world"))
-    if anim is not None:
-        # static fallback = first keyframe; sample_ray re-evaluates per-lane
-        # at the ray time when "to_world_anim" is present
-        tw = anim.eval(anim.times[0])
-    else:
-        tw = as_transform(val.get("to_world"))
-    params = {}
-    static = {}
-    if anim is not None:
-        params["to_world_anim"] = anim
-    if "shutter_open" in val or "shutter_close" in val:
-        so = float(val.get("shutter_open", 0.0))
-        sc_ = float(val.get("shutter_close", so))
-        params["shutter_open"] = jnp.asarray(so, jnp.float32)
-        params["shutter_span"] = jnp.asarray(sc_ - so, jnp.float32)
-    if t in ("perspective", "thinlens"):
-        fov = float(val.get("fov", 34.0))
-        params["to_world"] = tw
-        params["tan_half_fov"] = jnp.asarray(np.tan(np.deg2rad(fov) / 2),
-                                             jnp.float32)
-        if t == "thinlens":
-            params["aperture_radius"] = jnp.asarray(
-                float(val.get("aperture_radius", 0.1)), jnp.float32)
-            params["focus_distance"] = jnp.asarray(
-                float(val.get("focus_distance", 1.0)), jnp.float32)
-    elif t == "radiancemeter":
-        params["to_world"] = tw
-    elif t == "mradiancemeter":
-        origins = np.asarray(val["origins"], np.float32).reshape(-1, 3)
-        directions = np.asarray(val["directions"], np.float32).reshape(-1, 3)
-        assert len(origins) == len(directions)
-        params["origins"] = jnp.asarray(origins)
-        params["directions"] = jnp.asarray(directions)
-        film_cfg["width"] = len(origins)
-        film_cfg["height"] = 1
-        film_cfg["rfilter"] = "box"
-    elif t == "distant":
-        params["to_world"] = tw
-        params["direction"] = jnp.asarray(
-            np.asarray(val.get("direction", [0, 0, -1]), np.float32))
-        if "target" in val:
-            params["target"] = jnp.asarray(
-                np.asarray(val["target"], np.float32))
-            static["target_mode"] = "point"
-        else:
-            static["target_mode"] = "none"
-        w, h = film_cfg["width"], film_cfg["height"]
-        static["direction_mode"] = ("single" if (w, h) == (1, 1)
-                                    else "plane" if h == 1 else "hemisphere")
-    elif t == "mdistant":
-        directions = np.asarray(val["directions"], np.float32).reshape(-1, 3)
-        params["directions"] = jnp.asarray(directions)
-        if "target" in val:
-            params["target"] = jnp.asarray(
-                np.asarray(val["target"], np.float32))
-            static["target_mode"] = "point"
-        else:
-            static["target_mode"] = "none"
-        film_cfg["width"] = len(directions)
-        film_cfg["height"] = 1
-        film_cfg["rfilter"] = "box"
-    elif t == "distantflux":
-        params["to_world"] = tw
-        if "target" in val:
-            params["target"] = jnp.asarray(
-                np.asarray(val["target"], np.float32))
-            static["target_mode"] = "point"
-        else:
-            static["target_mode"] = "none"
-    elif t == "irradiancemeter":
-        sh = val.get("shape")
-        assert isinstance(sh, dict) and sh.get("type") == "ref", \
-            "irradiancemeter needs {'shape': {'type': 'ref', 'id': <name>}}"
-        kind, idx = b.named[sh["id"]]
-        assert kind == "shape"
-        params["shape"] = jnp.asarray(np.int32(idx))
-    else:
-        raise ValueError(f"unknown sensor type {t!r}")
-    if "srf" in val:
-        _build_srf(val["srf"], params)
-    return params, tuple(sorted(static.items()))
-
-
-def _cie_rgb_of_spectrum(eval_fn, emitter: bool) -> np.ndarray:
-    """Bake a spectrum (callable wavelength->value) to linear sRGB by CIE
-    integration — what the reference does for spectra in rgb variants
-    (spectrum.cpp spectrum_to_rgb). Reflectance spectra are weighted by the
-    D65 illuminant (bounded=True path)."""
-    lam = np.linspace(sp.CIE_MIN, sp.CIE_MAX, 471)
-    vals = np.asarray(eval_fn(lam), np.float64)
-    cie = np.asarray(sp.cie1931_xyz(jnp.asarray(lam, jnp.float32)), np.float64)
-    if emitter:
-        xyz = np.trapezoid(vals[:, None] * cie, lam, axis=0)
-    else:
-        from ..render.texture import d65_approx
-        d65 = np.asarray(d65_approx(jnp.asarray(lam, jnp.float32)), np.float64)
-        denom = np.trapezoid(d65 * cie[:, 1], lam)
-        xyz = np.trapezoid(vals[:, None] * d65[:, None] * cie, lam, axis=0) / denom
-    rgb = np.asarray(sp.xyz_to_srgb(jnp.asarray(xyz[None], jnp.float32)))[0]
-    return np.maximum(rgb, 0.0)
-
-
-def _srgb_const_coeff(l):
-    """Sigmoid-polynomial coeffs (0, 0, c) giving a flat reflectance l."""
-    l = float(np.clip(l, 1e-4, 1.0 - 1e-4))
-    y = 2.0 * l - 1.0
-    return np.array([0.0, 0.0, y / np.sqrt(max(1.0 - y * y, 1e-9))], np.float32)
-
-
-def _image_data(d):
-    """Image payload for bitmap/envmap dicts: inline 'data' or 'filename'
-    (EXR incl. ZIP/RLE compression via utils.bitmap, or LDR via PIL —
-    bitmap.cpp's loader role)."""
-    if "data" in d:
-        return np.asarray(d["data"], np.float32)
-    fn = d["filename"]
-    from ..utils import bitmap as bm
-
-    low = fn.lower()
-    if low.endswith(".exr"):
-        img, _names = bm.read_exr(fn)
-        return img[..., :3] if img.shape[-1] >= 3 else img
-    if low.endswith(".pfm"):
-        return np.asarray(bm.read_pfm(fn), np.float32)
-    if low.endswith(".hdr") or low.endswith(".rgbe"):
-        return np.asarray(bm.read_rgbe(fn), np.float32)
-    return np.asarray(bm.read_image(fn), np.float32)
-
-
-AXPROF_BINS = 64  # fixed per-axis majorant profile resolution (media)
-
-SMP_TABLE_N = 96  # spectrum sampling-table resolution (sample_spectrum)
-
-
-def _spectrum_sampling_table(kind, row):
-    """Piecewise-linear wavelength importance-sampling table for a spectral
-    row — the Texture::sample_spectrum / pdf_spectrum machinery
-    (texture.h:23-201; regular.cpp:87-97 ContinuousDistribution,
-    blackbody.cpp:149+ analytic CDF both collapse to this one table form).
-
-    The sampler draws from the table's own piecewise-linear density and
-    reports exactly that density as the pdf, so eval/pdf stays unbiased even
-    where the table under-resolves the true spectrum. Returns smp_nodes /
-    smp_pdf (normalized density) / smp_cdf, each (SMP_TABLE_N,)."""
-    from ..core import spectrum as spmod
-
-    P = SMP_TABLE_N
-    wmin, wmax = spmod.WAVELENGTH_MIN, spmod.WAVELENGTH_MAX
-
-    if kind == "uniform":
-        nodes = np.linspace(wmin, wmax, P)
-        f = np.full(P, float(row["value"]))
-    elif kind == "regular":
-        lo, hi = float(row["lo"]), float(row["hi"])
-        vals = np.asarray(row["values"], np.float64)
-        nodes = np.linspace(lo, hi, P)
-        f = np.interp(nodes, np.linspace(lo, hi, len(vals)), vals)
-    elif kind == "irregular":
-        nd = np.asarray(row["nodes"], np.float64)
-        vals = np.asarray(row["values"], np.float64)
-        nodes = np.linspace(nd[0], nd[-1], P)
-        f = np.interp(nodes, nd, vals)
-    elif kind in ("srgb", "srgb_d65", "blackbody", "d65"):
-        from ..render.texture import d65_approx, srgb_model_eval
-
-        nodes = np.linspace(wmin, wmax, P)
-        lam = jnp.asarray(nodes, jnp.float32)
-        if kind == "blackbody":
-            f = np.asarray(spmod.blackbody_radiance(
-                lam, float(row["temperature"]))) * float(row["scale"])
-        else:
-            f = np.ones(P)
-            if kind in ("srgb", "srgb_d65"):
-                f = f * np.asarray(srgb_model_eval(
-                    jnp.asarray(row["coeff"], jnp.float32)[None], lam)[0])
-            if kind in ("d65", "srgb_d65"):
-                f = f * np.asarray(d65_approx(lam)) * float(row["scale"])
-    else:
-        raise ValueError(kind)
-
-    f = np.maximum(np.asarray(f, np.float64), 1e-12)
-    seg = 0.5 * (f[1:] + f[:-1]) * np.diff(nodes)
-    integral = seg.sum()
-    cdf = np.concatenate([[0.0], np.cumsum(seg)]) / integral
-    return {"smp_nodes": nodes.astype(np.float32),
-            "smp_pdf": (f / integral).astype(np.float32),
-            "smp_cdf": cdf.astype(np.float32)}
-
-
-def _axis_majorant_profiles(vol_row, vmax):
-    """Conservative per-axis slab-max profiles of a sigma_t volume — the
-    TPU-native super-grid majorant (SURVEY §7 "Majorant quality"; the
-    reference's single global max, heterogeneous.cpp:29, forces null
-    collisions everywhere in exponential atmospheres).
-
-    For each local axis a and fixed bin i (covering local coord
-    [i/P, (i+1)/P]) the profile stores the max of the grid's node values
-    over every node whose trilinear support touches the bin: any
-    interpolated value inside the bin is bounded by it. min over the three
-    axis range-maxes is then a valid spatial majorant for a segment.
-
-    Returns (3, P) f32 NORMALIZED by vmax (values in [0, 1]): the traced
-    'majorant' row (= scale * vmax at build) sets the magnitude at query
-    time, so it remains the single ParameterMap knob that raises majorants
-    (e.g. to feed null-collision gradients) exactly as with the global
-    scheme."""
-    P = AXPROF_BINS
-    grid = vol_row.get("grid")
-    if grid is None or vmax <= 0:  # constvolume / empty: flat profiles
-        return np.ones((3, P), np.float32)
-    # grid (D, H, W, C): axis 0 = local z, 1 = local y, 2 = local x
-    out = np.empty((3, P), np.float32)
-    for a_out, a_grid in ((0, 2), (1, 1), (2, 0)):  # out rows: x, y, z
-        other = tuple(i for i in range(grid.ndim) if i != a_grid)
-        node_max = grid.max(axis=other)          # (n_nodes,)
-        n = len(node_max)
-        for i in range(P):
-            g0 = int(np.floor(i / P * (n - 1)))
-            g1 = int(np.ceil((i + 1) / P * (n - 1)))
-            out[a_out, i] = node_max[g0:g1 + 1].max()
-    # f32 safety margin so interpolation rounding can never exceed it
-    return out * np.float32((1.0 + 1e-4) / vmax)
 
 
 class SceneBuilder:
@@ -1095,351 +830,6 @@ class SceneBuilder:
 # =============================================================================
 # load_dict
 # =============================================================================
-
-def _build_bsdf(builder: SceneBuilder, d, twosided=False):
-    from .. import bsdfs as bsdf_pkg
-
-    t = d["type"]
-    if t == "ref":
-        kind, idx = builder.named[d["id"]]
-        assert kind == "bsdf"
-        return idx
-    if t == "twosided":
-        child = [v for k, v in d.items() if isinstance(v, dict) and "type" in v]
-        assert len(child) == 1, "twosided needs exactly one nested bsdf"
-        return _build_bsdf(builder, child[0], twosided=True)
-    mod = bsdf_pkg.REGISTRY[t]
-    props = dict(d)
-    props["_twosided"] = twosided
-    row = mod.build(props, builder)
-    return builder.add_bsdf_row(t, row, mod.FLAGS)
-
-
-def _build_emitter_for_shape(builder: SceneBuilder, d, shape_idx):
-    assert d["type"] == "area", f"shape emitter must be 'area', got {d['type']}"
-    row = {"radiance": np.int32(builder.texture(d.get("radiance", 1.0), emitter=True)),
-           "shape": np.int32(shape_idx)}
-    return builder.add_emitter_row("area", row)
-
-
-def _build_scene_emitter(builder: SceneBuilder, d):
-    t = d["type"]
-    if t == "constant":
-        idx = builder.add_emitter_row("constant", {
-            "radiance": np.int32(builder.texture(d.get("radiance", 1.0), emitter=True))})
-        builder.env_emitter = idx
-        return idx
-    if t == "point":
-        return builder.add_emitter_row("point", {
-            "position": np.asarray(d.get("position", [0, 0, 0]), np.float32),
-            "intensity": np.int32(builder.texture(d.get("intensity", 1.0), emitter=True))})
-    if t == "directional":
-        return builder.add_emitter_row("directional", {
-            "direction": np.asarray(d.get("direction", [0, 0, -1]), np.float32),
-            "irradiance": np.int32(builder.texture(d.get("irradiance", 1.0), emitter=True))})
-    if t == "spot":
-        tw = as_transform(d.get("to_world"))
-        m = np.asarray(tw.m)
-        cutoff = float(d.get("cutoff_angle", 20.0))
-        beam = float(d.get("beam_width", cutoff * 0.75))
-        return builder.add_emitter_row("spot", {
-            "position": np.asarray(d.get("position", m[:3, 3]), np.float32),
-            "direction": np.asarray(d.get("direction", m[:3, 2]), np.float32),
-            "cos_cutoff": np.float32(np.cos(np.deg2rad(cutoff))),
-            "cos_beam": np.float32(np.cos(np.deg2rad(beam))),
-            "intensity": np.int32(builder.texture(d.get("intensity", 1.0),
-                                                  emitter=True))})
-    if t == "projector":
-        tw = as_transform(d.get("to_world"))
-        w2l = tw.inverse()
-        fov = float(d.get("fov", 45.0))
-        irr = d.get("irradiance", 1.0)
-        data = (np.asarray(irr["data"], np.float32)
-                if isinstance(irr, dict) and irr.get("type") == "bitmap"
-                else None)
-        aspect = (data.shape[1] / data.shape[0]) if data is not None else 1.0
-        return builder.add_emitter_row("projector", {
-            "position": np.asarray(np.asarray(tw.m)[:3, 3], np.float32),
-            "w2l_m": np.asarray(w2l.m, np.float32),
-            "w2l_it": np.asarray(w2l.inv_t, np.float32),
-            "tan_half_fov": np.float32(np.tan(np.deg2rad(fov) / 2)),
-            "aspect": np.float32(aspect),
-            "irradiance": np.int32(builder.texture(irr, emitter=True))})
-    if t == "envmap":
-        data = _image_data(d)  # (H, W, 3) lat-long image
-        if data.ndim == 2:
-            data = data[..., None].repeat(3, -1)
-        scale = float(d.get("scale", 1.0))
-        tw = as_transform(d.get("to_world"))
-        w2l = tw.inverse()
-        H, W = data.shape[:2]
-        # vertex convention (envmap.cpp:90,233): texels are bilinear vertex
-        # samples; row y sits at theta = y/(H-1)*pi (rows 0/H-1 = poles) and
-        # a duplicated wrap column closes the azimuth seam
-        img_p = np.concatenate([data, data[:, :1]], axis=1)  # (H, W+1, 3)
-        lum = (0.212671 * img_p[..., 0] + 0.715160 * img_p[..., 1]
-               + 0.072169 * img_p[..., 2]).astype(np.float64)
-        theta_v = np.arange(H) / max(H - 1, 1) * np.pi
-        vert = lum * np.sin(theta_v)[:, None]  # sampling density vertices
-        from ..core.hierarchical2d import build_hierarchical2d
-        h2d = build_hierarchical2d(vert)
-        row = {
-            "image": img_p,
-            "scale": np.float32(scale),
-            "w2l_m": np.asarray(w2l.m, np.float32),
-            "w2l_it": np.asarray(w2l.inv_t, np.float32)}
-        row.update({f"h2d_{k}": v[0] for k, v in h2d.items()})
-        if builder.variant.is_spectral:
-            # per-texel rgb2spec upsampling (envmap.cpp:69-89): the fit
-            # reproduces rgb/spec_scale; eval multiplies the scale back
-            from ..utils.rgb2spec import fit_srgb_coeff_batch
-
-            sscale = np.maximum(2.0 * img_p.max(-1), 1e-8)
-            row["spec_coeff"] = fit_srgb_coeff_batch(
-                (img_p / sscale[..., None]).reshape(-1, 3)
-            ).reshape(img_p.shape)
-            row["spec_scale"] = sscale.astype(np.float32)
-        idx = builder.add_emitter_row("envmap", row)
-        builder.env_emitter = idx
-        return idx
-    from ..emitters import CUSTOM as _custom_emitter
-    if t in _custom_emitter:
-        return builder.add_emitter_row(t, _custom_emitter[t].build(d, builder))
-    raise ValueError(f"unknown emitter type {t!r}")
-
-
-_CUBE_V = np.array(
-    [[-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
-     [-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1]], np.float32)
-_CUBE_F = np.array(
-    [[0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7],   # -z, +z
-     [0, 1, 5], [0, 5, 4], [2, 3, 7], [2, 7, 6],   # -y, +y
-     [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7]], np.int32)  # +x, -x
-
-
-_GROUP_MESH_TYPES = ("mesh", "cube", "obj", "ply", "serialized")
-
-
-def _load_mesh_arrays(d):
-    """(verts, faces, normals, uvs) for a mesh-typed dict in its own frame
-    (the child's to_world applied to the vertices). None for non-meshes."""
-    t = d["type"]
-    tw = as_transform(d.get("to_world"))
-    m = np.asarray(tw.m)
-
-    def xf(verts, normals=None):
-        verts = np.asarray(verts, np.float32) @ m[:3, :3].T + m[:3, 3]
-        if normals is not None:
-            inv_t = np.linalg.inv(m[:3, :3]).T
-            normals = np.asarray(normals, np.float32) @ inv_t.T
-        return verts.astype(np.float32), normals
-
-    if t == "cube":
-        v, _ = xf(_CUBE_V)
-        return v, _CUBE_F.copy(), None, None
-    if t == "mesh":
-        v, n = xf(d["vertices"], d.get("normals"))
-        return v, np.asarray(d["faces"], np.int32), n, d.get("uvs")
-    if t == "obj":
-        from ..utils.meshio import load_obj
-
-        verts, faces, normals, uvs = load_obj(d["filename"])
-        v, n = xf(verts, normals)
-        return v, faces, n, uvs
-    if t == "ply":
-        from ..utils.meshio import load_ply
-
-        verts, faces = load_ply(d["filename"])
-        v, _ = xf(verts)
-        return v, faces, None, None
-    if t == "serialized":
-        from ..utils.meshio import load_serialized
-
-        verts, faces, normals, uvs = load_serialized(
-            d["filename"], int(d.get("shape_index", 0)))
-        v, n = xf(verts, normals)
-        return v, faces, n, uvs
-    return None
-
-
-def _build_group_geom(builder: SceneBuilder, key, children):
-    """Load a shapegroup's mesh children ONCE into the shared group-local
-    pools (shapegroup.h:6-62: a sub-accel per group). Non-mesh children are
-    returned for per-instance flattening (analytic shapes carry their
-    transform in their parameterization, so sharing buys nothing there).
-    Emitters/media on group children are rejected like the reference
-    (shapegroup.cpp refuses emitter children)."""
-    if key in builder.group_records:
-        return builder.group_records[key]
-    mesh_children = [c for c in children if c["type"] in _GROUP_MESH_TYPES]
-    other = [c for c in children if c["type"] not in _GROUP_MESH_TYPES]
-    f_off = sum(len(f) for f in builder.ig_faces)
-    subs = []
-    lo = np.full(3, np.inf, np.float32)
-    hi = np.full(3, -np.inf, np.float32)
-    for sub_ord, c in enumerate(mesh_children):
-        for bad in ("emitter", "interior", "exterior"):
-            assert bad not in c, \
-                f"shapegroup children cannot carry {bad!r} (shapegroup.cpp)"
-        verts, faces, normals, uvs = _load_mesh_arrays(c)
-        v_off = sum(len(v) for v in builder.ig_vertices)
-        builder.ig_vertices.append(verts)
-        builder.ig_normals.append(
-            np.zeros_like(verts) if normals is None
-            else np.asarray(normals, np.float32))
-        builder.ig_uvs.append(
-            np.zeros((len(verts), 2), np.float32) if uvs is None
-            else np.asarray(uvs, np.float32))
-        builder.ig_faces.append(np.asarray(faces, np.int32) + v_off)
-        builder.ig_face_sub.append(np.full(len(faces), sub_ord, np.int32))
-        e1 = verts[faces[:, 1]] - verts[faces[:, 0]]
-        e2 = verts[faces[:, 2]] - verts[faces[:, 0]]
-        area = float(0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1).sum())
-        subs.append({"bsdf": c.get("bsdf"), "area": area})
-        lo = np.minimum(lo, verts.min(0))
-        hi = np.maximum(hi, verts.max(0))
-    rec = dict(f_off=f_off,
-               f_count=sum(len(f) for f in builder.ig_faces) - f_off,
-               subs=subs, lo=lo, hi=hi, flatten=other)
-    builder.group_records[key] = rec
-    return rec
-
-
-def _build_shape(builder: SceneBuilder, d):
-    t = d["type"]
-    tw = as_transform(d.get("to_world"))
-    if t == "instance":
-        # two-level instancing (shapegroup.h:6-62, shapes/instance.cpp:53-77):
-        # mesh children live ONCE in group-local pools; the instance is a
-        # (transform, face-range, shape-base) record traversed by
-        # render/geometry._intersect_instanced. Analytic children are
-        # flattened per instance (their transforms compose for free).
-        ref = d.get("shapegroup")
-        if isinstance(ref, dict) and ref.get("type") == "ref":
-            kind, children = builder.named[ref["id"]]
-            assert kind == "shapegroup"
-            group_key = ref["id"]
-        else:
-            children = [v for v in d.values()
-                        if isinstance(v, dict) and v.get("type") in
-                        _SHAPE_TYPES and v.get("type") != "instance"]
-            group_key = ("anon", id(d.get("shapegroup")) if ref else
-                         tuple(sorted(str(c) for c in children)))
-        rec = _build_group_geom(builder, group_key, children)
-
-        idx = -1
-        for child in rec["flatten"]:
-            child = dict(child)
-            child_tw = as_transform(child.get("to_world"))
-            child["to_world"] = tw @ child_tw
-            idx = _build_shape(builder, child)
-
-        if rec["f_count"] > 0:
-            inst_id = len(builder.instances)
-            m = np.asarray(tw.m)
-            # surface-area scale under the linear map (exact for uniform
-            # scale; instanced shapes cannot be emitters, so the area only
-            # feeds diagnostics)
-            ascale = abs(np.linalg.det(m[:3, :3])) ** (2.0 / 3.0)
-            shape_base = None
-            for sub in rec["subs"]:
-                sidx = builder._new_shape(FAMILY_IMESH, inst_id,
-                                          sub["area"] * ascale)
-                bsdf_d = sub["bsdf"] or {"type": "diffuse"}
-                builder.shape_rows[sidx]["bsdf"] = _build_bsdf(builder,
-                                                               bsdf_d)
-                if shape_base is None:
-                    shape_base = sidx
-            # world AABB: transform the 8 local corners
-            corners = np.stack(np.meshgrid(*zip(rec["lo"], rec["hi"]),
-                                           indexing="ij"), -1).reshape(-1, 3)
-            wc = corners @ m[:3, :3].T + m[:3, 3]
-            builder.instances.append(dict(
-                l2w=tw, w2l=tw.inverse(), f_off=rec["f_off"],
-                f_count=rec["f_count"], shape_base=shape_base,
-                lo=wc.min(0).astype(np.float32),
-                hi=wc.max(0).astype(np.float32)))
-            idx = shape_base
-        return idx
-    if t == "rectangle":
-        idx = builder.add_rectangle(tw)
-    elif t == "disk":
-        idx = builder.add_disk(tw)
-    elif t == "sphere":
-        # apply to_world to the analytic parameterization (sphere.cpp:88-99:
-        # uniform scale extracted from the transform)
-        m = np.asarray(tw.m)
-        center = m[:3, :3] @ np.asarray(d.get("center", [0, 0, 0]),
-                                        np.float32) + m[:3, 3]
-        scale = float(np.cbrt(abs(np.linalg.det(m[:3, :3]))))
-        idx = builder.add_sphere(center, float(d.get("radius", 1.0)) * scale,
-                                 d.get("flip_normals", False))
-    elif t == "cylinder":
-        idx = builder.add_cylinder(tw, d.get("length", 1.0), d.get("radius", 1.0))
-    elif t == "cone":
-        idx = builder.add_cone(tw, d.get("length", 1.0), d.get("radius", 1.0))
-    elif t == "cube":
-        m = np.asarray(tw.m)
-        verts = _CUBE_V @ m[:3, :3].T + m[:3, 3]
-        idx = builder.add_mesh(verts, _CUBE_F)
-    elif t == "mesh":
-        verts = np.asarray(d["vertices"], np.float32)
-        normals = d.get("normals")
-        if "to_world" in d:
-            m = np.asarray(tw.m)
-            verts = verts @ m[:3, :3].T + m[:3, 3]
-            if normals is not None:
-                inv_t = np.linalg.inv(m[:3, :3]).T
-                normals = np.asarray(normals, np.float32) @ inv_t.T
-        idx = builder.add_mesh(verts, d["faces"],
-                               normals, d.get("uvs"),
-                               d.get("attributes"))
-    elif t == "obj":
-        from ..utils.meshio import load_obj
-
-        verts, faces, normals, uvs = load_obj(d["filename"])
-        m = np.asarray(tw.m)
-        verts = verts @ m[:3, :3].T + m[:3, 3]
-        if normals is not None:
-            inv_t = np.linalg.inv(m[:3, :3]).T
-            normals = normals @ inv_t.T
-        idx = builder.add_mesh(verts, faces, normals, uvs)
-    elif t == "ply":
-        from ..utils.meshio import load_ply
-
-        verts, faces = load_ply(d["filename"])
-        m = np.asarray(tw.m)
-        verts = verts @ m[:3, :3].T + m[:3, 3]
-        idx = builder.add_mesh(verts, faces)
-    elif t == "serialized":
-        from ..utils.meshio import load_serialized
-
-        verts, faces, normals, uvs = load_serialized(
-            d["filename"], int(d.get("shape_index", 0)))
-        m = np.asarray(tw.m)
-        verts = verts @ m[:3, :3].T + m[:3, 3]
-        if normals is not None:
-            inv_t = np.linalg.inv(m[:3, :3]).T
-            normals = normals @ inv_t.T
-        idx = builder.add_mesh(verts, faces, normals, uvs)
-    else:
-        raise ValueError(f"unknown shape type {t!r}")
-
-    row = builder.shape_rows[idx]
-    bsdf_d = d.get("bsdf")
-    if bsdf_d is None:
-        # shapes bounding a medium default to a null (passthrough) BSDF
-        bsdf_d = {"type": "null"} if ("interior" in d or "exterior" in d) \
-            else {"type": "diffuse"}
-    row["bsdf"] = _build_bsdf(builder, bsdf_d)
-    if "emitter" in d:
-        row["emitter"] = _build_emitter_for_shape(builder, d["emitter"], idx)
-    if "interior" in d:
-        row["interior"] = builder.medium(d["interior"])
-    if "exterior" in d:
-        row["exterior"] = builder.medium(d["exterior"])
-    return idx
-
 
 def load_dict(d: dict, variant: Variant | None = None) -> Scene:
     """Build a Scene from a Mitsuba-style dict (xml_v.cpp:100-226 semantics)."""
