@@ -23,7 +23,7 @@ import numpy as np
 from .types import pytree_dataclass
 
 _ROTATIONS = (13, 15, 26, 6, 17, 29, 16, 24)
-_PARITY = jnp.uint32(0x1BD11BDA)
+_PARITY = np.uint32(0x1BD11BDA)  # numpy: no backend init at import
 
 
 def _rotl(x, r):

@@ -136,7 +136,9 @@ _CIE_XYZ_NP = _CIE_1931_TABLE.astype(np.float32)
 # any unbiased wavelength sampling (w = 1/pdf). Emitter spectra then need no
 # unit conversion anywhere.
 _CIE_Y_INTEGRAL = float(np.trapezoid(_CIE_XYZ_NP[:, 1], _CIE_LAM))  # ~106.9 nm
-CIE_XYZ_TABLE = jnp.asarray(_CIE_XYZ_NP / _CIE_Y_INTEGRAL)
+# plain numpy: module-level jnp.asarray would initialize a JAX backend at
+# import time (converts to a device constant at first trace instead)
+CIE_XYZ_TABLE = np.asarray(_CIE_XYZ_NP / _CIE_Y_INTEGRAL, np.float32)
 
 
 def cie1931_xyz(wavelength):
@@ -148,7 +150,8 @@ def cie1931_xyz(wavelength):
     active = (wavelength >= CIE_MIN) & (wavelength <= CIE_MAX)
     i0 = jnp.clip(t.astype(jnp.int32), 0, CIE_SAMPLES - 2)
     w1 = t - i0
-    v = CIE_XYZ_TABLE[i0] * (1.0 - w1[..., None]) + CIE_XYZ_TABLE[i0 + 1] * w1[..., None]
+    tab = jnp.asarray(CIE_XYZ_TABLE)  # numpy indexed by tracers needs jnp
+    v = tab[i0] * (1.0 - w1[..., None]) + tab[i0 + 1] * w1[..., None]
     return jnp.where(active[..., None], v, 0.0)
 
 
@@ -163,15 +166,15 @@ def spectrum_to_xyz(value, wavelengths):
     return jnp.mean(xyz * value[..., None], axis=-2)
 
 
-SRGB_TO_XYZ_M = jnp.asarray(
+SRGB_TO_XYZ_M = np.asarray(
     [[0.412453, 0.357580, 0.180423],
      [0.212671, 0.715160, 0.072169],
-     [0.019334, 0.119193, 0.950227]], jnp.float32)
+     [0.019334, 0.119193, 0.950227]], np.float32)
 
-XYZ_TO_SRGB_M = jnp.asarray(
+XYZ_TO_SRGB_M = np.asarray(
     [[3.240479, -1.537150, -0.498535],
      [-0.969256, 1.875991, 0.041556],
-     [0.055648, -0.204043, 1.057311]], jnp.float32)
+     [0.055648, -0.204043, 1.057311]], np.float32)
 
 
 def srgb_to_xyz(rgb):

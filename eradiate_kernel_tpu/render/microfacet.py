@@ -15,6 +15,7 @@ inverse, which XLA compiles to straight-line VPU code.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.frame import cos_theta
 from ..core.math import cross, dot, normalize, safe_sqrt, sqr
@@ -103,7 +104,7 @@ def _sample_ggx_vndf(wi, alpha_u, alpha_v, sample):
     return m
 
 
-_SQRT_PI_INV = 1.0 / jnp.sqrt(jnp.pi)
+_SQRT_PI_INV = float(1.0 / np.sqrt(np.pi))  # no backend init at import
 
 
 def _beckmann_sample_visible_11(cos_theta_i, u1, u2):
