@@ -280,6 +280,23 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
         total_dist=jnp.zeros(batch),
         active=active, n_rays=jnp.zeros(()))
 
+    extra = dict(scene.config.integrator.extra)
+    if extra.get("nee_transmittance", "track") == "quadrature":
+        # Deterministic option (SURVEY §7 perf note; estimator change, so
+        # knob-gated): T = exp(-integral of sigma_t) by fixed Gauss-Legendre
+        # quadrature per medium segment instead of ratio tracking — one walk
+        # step per SURFACE crossing (2-4 for an atmosphere) instead of
+        # O(majorant * L) stochastic steps. Consistent (O(K^-2) quadrature
+        # bias), not unbiased; Eradiate-style plane-parallel workloads
+        # usually accept this trade.
+        K = int(extra.get("nee_quad_points", 8))
+        final = _run_walk(
+            lambda s: _walk_step_quadrature(scene, s, ds, channel, K),
+            state, nee_steps, use_while)
+        contrib = jnp.where(final.active[..., None], 0.0,
+                            final.transmittance) * emitter_val
+        return contrib, ds, final.sampler, final.n_rays
+
     def body(s: _WalkState):
         # clamp: total_dist accumulates INVALID_T on escaped lanes; a huge
         # negative remaining would turn exp(-t*sigma) into inf (NaN grads)
@@ -386,6 +403,84 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
     contrib = jnp.where(final.active[..., None], 0.0,
                         final.transmittance) * emitter_val
     return contrib, ds, final.sampler, final.n_rays
+
+
+def _walk_step_quadrature(scene, s: _WalkState, ds, channel, K):
+    """One deterministic NEE-walk step: Gauss-Legendre transmittance over
+    the medium segment up to the next surface, then step through it
+    (quadrature variant of the tracked walk below; active only via the
+    nee_transmittance='quadrature' integrator extra)."""
+    import numpy as _np
+
+    batch = s.ray.o.shape[:-1]
+    nc = s.transmittance.shape[-1]
+    remaining = jnp.clip(ds.dist * (1.0 - 1e-4) - s.total_dist,
+                         0.0, INVALID_T)
+    ray = s.ray.replace(maxt=remaining)
+    active = s.active & (remaining > 0)
+
+    do_isect = s.needs_intersection & active
+    si = _cond_any(
+        do_isect,
+        lambda: _merge_si(_walk_hit(ray_intersect(scene.geo, ray)),
+                          s.si, do_isect),
+        s.si)
+    needs_intersection = s.needs_intersection & ~do_isect
+    n_rays = s.n_rays + jnp.sum(do_isect)
+
+    seg_end = jnp.minimum(jnp.minimum(si.t, remaining), INVALID_T)
+    in_medium = active & (s.medium_idx >= 0)
+
+    def quad_tau():
+        # medium segment bounds clip seg_end further (exit of the grid AABB)
+        med = jnp.maximum(s.medium_idx, 0)
+        seg_ok, mint, maxt = media.medium_intersect_bounds(
+            scene, med, ray, in_medium)
+        a = jnp.where(seg_ok, jnp.clip(mint, 0.0, seg_end), 0.0)
+        b = jnp.where(seg_ok, jnp.clip(maxt, 0.0, seg_end), 0.0)
+        nodes, weights = _np.polynomial.legendre.leggauss(K)
+        ts = (a[..., None] * 0.5 * (1.0 - jnp.asarray(nodes, jnp.float32))
+              + b[..., None] * 0.5 * (1.0 + jnp.asarray(nodes, jnp.float32)))
+        p_k = ray.o[..., None, :] + ray.d[..., None, :] * ts[..., None]
+        med_k = jnp.broadcast_to(med[..., None], ts.shape)
+        wl_k = jnp.broadcast_to(ray.wavelengths[..., None, :],
+                                ts.shape + (ray.wavelengths.shape[-1],))
+        _ss, _sn, sigma_t = media.medium_scattering_coefficients(
+            scene, med_k, p_k, wl_k)
+        w = jnp.asarray(weights, jnp.float32)
+        tau = 0.5 * (b - a)[..., None] * jnp.sum(
+            w[..., None] * sigma_t, axis=-2)
+        return jnp.clip(tau, 0.0, 60.0)
+
+    tau = _cond_any(in_medium, quad_tau, jnp.zeros(batch + (nc,)))
+    transmittance = jnp.where(in_medium[..., None],
+                              s.transmittance * jnp.exp(-tau),
+                              s.transmittance)
+
+    total_dist = s.total_dist + jnp.where(active, seg_end, 0.0)
+    reached = active & (~si.is_valid | (si.t > remaining))
+    active_surface = active & si.is_valid & (si.t <= remaining) & ~reached
+
+    null_tr = _eval_null_transmission(scene, si, ray, active_surface)
+    transmittance = jnp.where(active_surface[..., None],
+                              transmittance * null_tr, transmittance)
+
+    o_new = si.offset_origin(ray.d)
+    ray = Ray(o=jnp.where(active_surface[..., None], o_new, ray.o),
+              d=ray.d, mint=jnp.where(active_surface, 0.0, ray.mint),
+              maxt=remaining, time=ray.time, wavelengths=ray.wavelengths)
+    needs_intersection = needs_intersection | active_surface
+
+    nonzero = jnp.any(transmittance > 0, -1)
+    active = active_surface & nonzero
+    has_trans = active_surface & _is_medium_transition(scene, si)
+    medium_idx = jnp.where(has_trans, _target_medium(scene, si, ray.d),
+                           s.medium_idx)
+
+    return _WalkState(sampler=s.sampler, ray=ray, si=si,
+                      needs_intersection=needs_intersection,
+                      medium_idx=medium_idx, transmittance=transmittance,
+                      total_dist=total_dist, active=active, n_rays=n_rays)
 
 
 def _pseudo_si(p, n, wavelengths, time):

@@ -58,7 +58,8 @@ def pytest_collection_modifyitems(config, items):
     # `pytest -m 'not slow'` stays a fast smoke subset
     slow_files = ("test_regression", "test_distributed", "test_double",
                   "test_sampling_chi2", "test_measured", "test_volpath",
-                  "test_instancing")
+                  "test_instancing", "test_variants", "test_bsdfs",
+                  "test_polarization", "test_emitters")
     import pytest as _pytest
 
     for item in items:

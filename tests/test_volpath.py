@@ -300,3 +300,30 @@ def test_regen_spectral_distant():
                                       samples_per_pass=4))
     assert np.allclose(a, b, rtol=1e-4, atol=1e-6), np.abs(a - b).max()
     assert np.isfinite(a).all() and a.max() > 0
+
+
+def test_nee_transmittance_quadrature_matches_tracked():
+    """nee_transmittance='quadrature' (deterministic Gauss-Legendre NEE
+    transmittance, SURVEY §7 perf lever, knob-gated estimator change) must
+    agree with ratio tracking on the atmosphere within MC noise, and be
+    exact on a homogeneous slab."""
+    from eradiate_kernel_tpu.utils.scenes import atmosphere
+
+    d = atmosphere(width=8, height=8, spp=48, max_depth=8)
+    ref = np.asarray(integrators.render(load_dict(d), seed=3))
+    dq = atmosphere(width=8, height=8, spp=48, max_depth=8)
+    dq["integrator"]["nee_transmittance"] = "quadrature"
+    img = np.asarray(integrators.render(load_dict(dq), seed=3))
+    # same camera/phase/BSDF RNG; only the NEE walk estimator differs
+    assert np.abs(img - ref).mean() < 0.02, np.abs(img - ref).mean()
+
+    # homogeneous medium: the quadrature transmittance is EXACT — the
+    # absorbing-sphere analytic gate must hold under the knob too
+    sig = 0.8
+    base = _medium_sphere_scene(sig, 0.0, spp=256, max_depth=64)
+    base["integrator"] = dict(base["integrator"],
+                              nee_transmittance="quadrature")
+    img2 = np.asarray(integrators.render(load_dict(base), seed=1))
+    center = img2[3:5, 3:5].mean()
+    assert abs(center - np.exp(-2.0 * sig)) < 0.04, \
+        (center, np.exp(-2.0 * sig))
