@@ -51,13 +51,24 @@ def film_put(image, pos, values, rfilter_kind: str, rfilter_params=None):
                      rfilter_params)
     wy = jnp.where((tap_y >= 0) & (tap_y < H), wy, 0.0)
     wx = jnp.where((tap_x >= 0) & (tap_x < W), wx, 0.0)
-    w = wy[:, :, None] * wx[:, None, :]                # (N, n, n)
     iy = jnp.clip(tap_y, 0, H - 1)
     ix = jnp.clip(tap_x, 0, W - 1)
-    lin = iy[:, :, None] * W + ix[:, None, :]          # (N, n, n)
-    contrib = values[:, None, None, :] * w[..., None]  # (N, n, n, C)
-    flat = image.reshape(H * W, C).at[lin.reshape(-1)].add(
-        contrib.reshape(-1, C))
+    N = pos.shape[0]
+    flat = image.reshape(H * W, C)
+    if N * n * n <= (1 << 22):
+        # one batched scatter: the (N, n, n, C) update tensor stays small
+        w = wy[:, :, None] * wx[:, None, :]                # (N, n, n)
+        lin = iy[:, :, None] * W + ix[:, None, :]          # (N, n, n)
+        contrib = values[:, None, None, :] * w[..., None]  # (N, n, n, C)
+        flat = flat.at[lin.reshape(-1)].add(contrib.reshape(-1, C))
+    else:
+        # huge single-pass wavefronts: n scatters of (N*n, C) rows keeps
+        # the materialized update tensor bounded
+        for r in range(n):
+            w = wy[:, r:r + 1] * wx                        # (N, n)
+            lin = iy[:, r:r + 1] * W + ix                  # (N, n)
+            contrib = values[:, None, :] * w[..., None]    # (N, n, C)
+            flat = flat.at[lin.reshape(-1)].add(contrib.reshape(-1, C))
     return flat.reshape(H, W, C)
 
 
