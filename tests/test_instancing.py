@@ -192,3 +192,57 @@ def test_instanced_bvh_kernel_mixed_scene():
         os.environ.pop("ERT_ACCEL", None)
         os.environ.pop("ERT_ACCEL_INTERPRET", None)
     assert np.allclose(img, ref, atol=1e-4), np.abs(img - ref).max()
+
+
+def test_instance_pose_gradient_matches_fd():
+    """Instance transforms are differentiable scene parameters: the
+    gradient of image brightness w.r.t. an instance rotation angle matches
+    finite differences (the two-phase hit re-derives the interaction
+    through the instance transform, so pose gradients flow — canopy pose
+    optimization, the differentiable-rendering counterpart of
+    instance.cpp's to_world parameter)."""
+    import dataclasses
+
+    import jax
+
+    V = np.array([[-3, -3, 0], [3, -3, 0], [3, 3, 0], [-3, 3, 0]],
+                 np.float32)
+    F = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    scene = load_dict({
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 2},
+        "sensor": {"type": "perspective", "fov": 30.0,
+                   "to_world": Transform.look_at([0, 0, 4], [0, 0, 0],
+                                                 [0, 1, 0]).m,
+                   "film": {"type": "hdrfilm", "width": 8, "height": 8,
+                            "rfilter": {"type": "box"}},
+                   "sampler": {"type": "independent", "sample_count": 16}},
+        "grp": {"type": "shapegroup",
+                "quad": {"type": "mesh", "vertices": V, "faces": F,
+                         "bsdf": {"type": "diffuse", "reflectance": 0.7}}},
+        "inst": {"type": "instance",
+                 "shapegroup": {"type": "ref", "id": "grp"}},
+        "sun": {"type": "directional", "direction": [0.3, 0.2, -0.93],
+                "irradiance": 2.0},
+    })
+
+    def render_at(angle):
+        c, s = jnp.cos(angle), jnp.sin(angle)
+        R = jnp.eye(4)
+        R = R.at[1, 1].set(c).at[1, 2].set(-s) \
+             .at[2, 1].set(s).at[2, 2].set(c)
+        l2w = Transform(m=R[None], inv_t=R.T.T[None])
+        w2l = Transform(m=R.T[None], inv_t=R.T[None])
+        geo2 = dataclasses.replace(
+            scene.geo, inst_l2w=l2w, inst_w2l=w2l,
+            inst_lo=jnp.full((1, 3), -10.0),
+            inst_hi=jnp.full((1, 3), 10.0))
+        sc = dataclasses.replace(scene, geo=geo2)
+        return jnp.mean(integrators.render(sc, seed=4))
+
+    g = float(jax.grad(render_at)(jnp.float32(0.25)))
+    h = 1e-2
+    fd = float((render_at(jnp.float32(0.25 + h))
+                - render_at(jnp.float32(0.25 - h))) / (2 * h))
+    assert abs(fd) > 1e-3  # the pose actually matters
+    assert abs(g - fd) < 0.02 * abs(fd), (g, fd)
