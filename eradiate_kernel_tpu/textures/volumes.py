@@ -186,3 +186,20 @@ def volume_max(scene, vol_idx):
             v = tg(params["vmax"], vslot)
         out = jnp.where(m, v, out)
     return out
+
+
+def volume_eval_gradient(scene, vol_idx, p, wavelengths, active=True):
+    """Spatial gradient of the volume w.r.t. the world position
+    (Volume::eval_gradient, texture.h:210-263). Three forward-mode JVPs of
+    the interpolant — exact for the trilinear model, zero for constvolume.
+    Returns (..., nc, 3)."""
+    import jax
+
+    def f(pp):
+        return volume_eval(scene, vol_idx, pp, wavelengths, active)
+
+    cols = []
+    for a in range(3):
+        tangent = jnp.zeros_like(p).at[..., a].set(1.0)
+        cols.append(jax.jvp(f, (p,), (tangent,))[1])
+    return jnp.stack(cols, axis=-1)

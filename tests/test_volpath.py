@@ -327,3 +327,36 @@ def test_nee_transmittance_quadrature_matches_tracked():
     center = img2[3:5, 3:5].mean()
     assert abs(center - np.exp(-2.0 * sig)) < 0.04, \
         (center, np.exp(-2.0 * sig))
+
+
+def test_volume_eval_gradient_linear_ramp():
+    """Volume::eval_gradient analog (texture.h:210-263): the spatial
+    gradient of a linear-ramp gridvolume is the exact constant [2, 3, 5]
+    (the JVP of the trilinear interpolant is exact for linear fields)."""
+    import jax.numpy as jnp
+
+    from eradiate_kernel_tpu.textures.volumes import volume_eval_gradient
+
+    n = 5
+    z, y, x = np.meshgrid(*([np.linspace(0, 1, n)] * 3), indexing="ij")
+    grid = (2 * x + 3 * y + 5 * z).astype(np.float32)
+    scene = load_dict({
+        "type": "scene",
+        "sensor": {"type": "perspective", "film": {"width": 2, "height": 2}},
+        "bound": {"type": "cube",
+                  "to_world": [{"type": "scale", "value": 0.5},
+                               {"type": "translate",
+                                "value": [0.5, 0.5, 0.5]}],
+                  "interior": {"type": "heterogeneous",
+                               "sigma_t": {"type": "gridvolume",
+                                           "data": grid},
+                               "albedo": 0.5}},
+    })
+    vk = np.asarray(scene.vol_kind)
+    kinds = scene.config.volume_kinds
+    gi = [i for i, k in enumerate(vk) if kinds[k] == "gridvolume"][0]
+    pts = jnp.asarray(
+        np.random.default_rng(0).uniform(0.15, 0.85, (64, 3)), jnp.float32)
+    g = np.asarray(volume_eval_gradient(
+        scene, jnp.full(64, gi, jnp.int32), pts, jnp.zeros((64, 0))))
+    assert np.allclose(g[:, 0, :], [2, 3, 5], atol=1e-3)
