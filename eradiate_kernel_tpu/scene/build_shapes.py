@@ -87,6 +87,9 @@ def _build_group_geom(builder: SceneBuilder, key, children):
         for bad in ("emitter", "interior", "exterior"):
             assert bad not in c, \
                 f"shapegroup children cannot carry {bad!r} (shapegroup.cpp)"
+        assert "attributes" not in c, \
+            "per-vertex attributes on shapegroup children are not " \
+            "supported (mesh_attribute textures index the top-level pool)"
         verts, faces, normals, uvs = _load_mesh_arrays(c)
         v_off = sum(len(v) for v in builder.ig_vertices)
         builder.ig_vertices.append(verts)
