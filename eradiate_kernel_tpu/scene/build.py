@@ -185,6 +185,25 @@ class SceneBuilder:
             from ..core.transform import as_transform
             tw = as_transform(v.get("to_world"))
             w2l = tw.inverse()
+            if (self.variant.is_spectral and data.shape[-1] == 3
+                    and not v.get("raw", False)):
+                # spectral conversion of rgb grids (grid3d.cpp:69-89): each
+                # voxel becomes [rgb2spec coeff (3), brightness scale] with
+                # scale = 2*max(rgb); metadata max (majorant source) is the
+                # max scale — the sigmoid model is < 1, so scale bounds the
+                # value. `raw=True` (props.bool_("raw")) skips this.
+                from ..utils.rgb2spec import fit_srgb_coeff_batch
+                scale = np.maximum(2.0 * data.max(-1), 1e-8)  # (D, H, W)
+                coeff = fit_srgb_coeff_batch(
+                    (data / scale[..., None]).reshape(-1, 3)
+                ).reshape(data.shape).astype(np.float32)
+                packed = np.concatenate(
+                    [coeff, scale[..., None].astype(np.float32)], axis=-1)
+                return self.add_volume_row("gridvolume_srgb", {
+                    "grid": packed,
+                    "w2l_m": np.asarray(w2l.m, np.float32),
+                    "w2l_it": np.asarray(w2l.inv_t, np.float32),
+                    "vmax": np.float32(scale.max())})
             return self.add_volume_row("gridvolume", {
                 "grid": data,
                 "w2l_m": np.asarray(w2l.m, np.float32),
@@ -234,19 +253,25 @@ class SceneBuilder:
                 else float(np.max(rows["value"]))
             # medium bounds = the sigma_t grid's bbox; constvolume -> unit cube
             # unless explicit to_world was provided on the grid
-            if kind in ("gridvolume", "gridvolume_spectral"):
+            if kind in ("gridvolume", "gridvolume_spectral",
+                        "gridvolume_srgb"):
                 w2l_m, w2l_it = rows["w2l_m"], rows["w2l_it"]
             else:
                 from ..core.transform import as_transform
                 w2l = as_transform(d.get("to_world")).inverse()
                 w2l_m = np.asarray(w2l.m, np.float32)
                 w2l_it = np.asarray(w2l.inv_t, np.float32)
+            # srgb-upsampled grids: the majorant/axis profiles must bound
+            # the VALUE = sigmoid(coeff) * scale < scale — profile over the
+            # scale channel, never the (unbounded) polynomial coefficients
+            prof_rows = rows if kind != "gridvolume_srgb" \
+                else {"grid": rows["grid"][..., 3:4]}
             row = {
                 "sigma_t_vol": np.int32(st_vol),
                 "albedo_vol": np.int32(al_vol),
                 "scale": np.float32(scale),
                 "majorant": np.float32(scale * vmax),
-                "axprof": _axis_majorant_profiles(rows, vmax),
+                "axprof": _axis_majorant_profiles(prof_rows, vmax),
                 "w2l_m": w2l_m, "w2l_it": w2l_it,
             }
             return self.add_medium_row("heterogeneous", row, phase_idx)

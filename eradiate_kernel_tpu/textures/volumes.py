@@ -46,11 +46,11 @@ def _trilinear(grid, vslot, pl):
     return _trilinear_einsum(grid, vslot, pl)
 
 
-def _trilinear_gather(grid, vslot, pl):
-    """8-voxel gather + lerp (the direct grid3d.cpp:254-295 analog). Scales
-    to arbitrary grid sizes: per lane it loads exactly 8 corner voxels from
-    the flattened grid instead of contracting the whole volume."""
-    S, D, H, W, C = grid.shape
+def _corner_setup(grid_shape, vslot, pl):
+    """Shared trilinear-gather preamble: flat indices of the 8 corner voxels
+    (in zyx-binary order c000..c111 with bits = (z, y, x)) and the three
+    fractional weights. grid_shape: (S, D, H, W)."""
+    S, D, H, W = grid_shape
     gx = jnp.clip(pl[..., 0], 0.0, 1.0) * (W - 1)
     gy = jnp.clip(pl[..., 1], 0.0, 1.0) * (H - 1)
     gz = jnp.clip(pl[..., 2], 0.0, 1.0) * (D - 1)
@@ -63,29 +63,50 @@ def _trilinear_gather(grid, vslot, pl):
     x1 = jnp.minimum(x0 + 1, W - 1)
     y1 = jnp.minimum(y0 + 1, H - 1)
     z1 = jnp.minimum(z0 + 1, D - 1)
-
-    flat = grid.reshape(S * D * H * W, C)
     base = vslot * (D * H * W)
+    idx = [base + (z * H + y) * W + x
+           for z in (z0, z1) for y in (y0, y1) for x in (x0, x1)]
+    return idx, fx, fy, fz
 
-    def corner(z, y, x):
-        idx = base + (z * H + y) * W + x
-        return flat[idx]                     # (..., C) native gather
 
-    c000 = corner(z0, y0, x0)
-    c001 = corner(z0, y0, x1)
-    c010 = corner(z0, y1, x0)
-    c011 = corner(z0, y1, x1)
-    c100 = corner(z1, y0, x0)
-    c101 = corner(z1, y0, x1)
-    c110 = corner(z1, y1, x0)
-    c111 = corner(z1, y1, x1)
-    c00 = c000 * (1 - fx) + c001 * fx
-    c01 = c010 * (1 - fx) + c011 * fx
-    c10 = c100 * (1 - fx) + c101 * fx
-    c11 = c110 * (1 - fx) + c111 * fx
+def _lerp8(c, fx, fy, fz):
+    """Trilinear combine of 8 corner values in _corner_setup order."""
+    c00 = c[0] * (1 - fx) + c[1] * fx
+    c01 = c[2] * (1 - fx) + c[3] * fx
+    c10 = c[4] * (1 - fx) + c[5] * fx
+    c11 = c[6] * (1 - fx) + c[7] * fx
     c0 = c00 * (1 - fy) + c01 * fy
     c1 = c10 * (1 - fy) + c11 * fy
     return c0 * (1 - fz) + c1 * fz
+
+
+def _trilinear_gather(grid, vslot, pl):
+    """8-voxel gather + lerp (the direct grid3d.cpp:254-295 analog). Scales
+    to arbitrary grid sizes: per lane it loads exactly 8 corner voxels from
+    the flattened grid instead of contracting the whole volume."""
+    S, D, H, W, C = grid.shape
+    idx, fx, fy, fz = _corner_setup((S, D, H, W), vslot, pl)
+    flat = grid.reshape(S * D * H * W, C)
+    return _lerp8([flat[i] for i in idx], fx, fy, fz)
+
+
+def _trilinear_gather_srgb(grid, vslot, pl, wavelengths):
+    """Spectrally-upsampled trilinear eval (grid3d.cpp:300-341
+    `uses_srgb_model`): corners store [rgb2spec coeff (3), scale (1)]; the
+    sigmoid model is evaluated AT EACH CORNER for the ray's wavelengths and
+    the resulting spectra are interpolated, with the brightness scale
+    interpolated separately — exactly the reference's scheme (interpolating
+    raw coefficients instead would bend the sigmoid nonlinearly between
+    voxels)."""
+    from ..render.texture import srgb_model_eval
+
+    S, D, H, W, C = grid.shape
+    idx, fx, fy, fz = _corner_setup((S, D, H, W), vslot, pl)
+    flat = grid.reshape(S * D * H * W, C)
+    corners = [flat[i] for i in idx]
+    spectra = [srgb_model_eval(c[..., :3], wavelengths) for c in corners]
+    scales = [c[..., 3:4] for c in corners]
+    return _lerp8(spectra, fx, fy, fz) * _lerp8(scales, fx, fy, fz)
 
 
 def _trilinear_einsum(grid, vslot, pl):
@@ -139,6 +160,16 @@ def volume_eval(scene, vol_idx, p, wavelengths, active=True):
             else:
                 v = jnp.broadcast_to(jnp.mean(c, -1, keepdims=True),
                                      c.shape[:-1] + (nc,))
+        elif kind == "gridvolume_srgb":
+            # spectral variants, 3-channel grids: per-voxel rgb2spec
+            # coefficients + scale baked at scene build (grid3d.cpp:69-89),
+            # sigmoid evaluated per corner at the hero wavelengths
+            tw = Transform(m=tg(params["w2l_m"], vslot),
+                           inv_t=tg(params["w2l_it"], vslot))
+            pl = tw.transform_affine_point(p)
+            v = _trilinear_gather_srgb(params["grid"], vslot, pl, wavelengths)
+            inside = jnp.all((pl >= 0.0) & (pl <= 1.0), axis=-1)
+            v = jnp.where(inside[..., None], v, 0.0)
         elif kind == "gridvolume_spectral":
             tw = Transform(m=tg(params["w2l_m"], vslot),
                            inv_t=tg(params["w2l_it"], vslot))
