@@ -23,10 +23,54 @@ Root is node 0. N = 2*T - 1.
 
 from __future__ import annotations
 
+import ctypes
+import os
+import subprocess
+import tempfile
+
 import numpy as np
 
 MAX_DEPTH = 48      # traversal stack bound (stack size 64 in the kernel)
 N_BINS = 16
+
+_lib = None
+_lib_tried = False
+
+
+def _load_builder():
+    """Compile + load csrc/bvh_builder.cpp (same on-demand scheme as
+    ops/accel.py's tile builder). Returns None when unavailable — the
+    NumPy implementation below is the fallback and the equivalence
+    oracle (tests assert bit-identical outputs)."""
+    global _lib, _lib_tried
+    if _lib_tried:
+        return _lib
+    _lib_tried = True
+    src = os.path.abspath(os.path.join(os.path.dirname(__file__), "..",
+                                       "..", "csrc", "bvh_builder.cpp"))
+    if not os.path.exists(src) or os.environ.get("ERT_NO_NATIVE"):
+        return None
+    cache_dir = os.path.join(tempfile.gettempdir(), "ert_native")
+    os.makedirs(cache_dir, exist_ok=True)
+    so_path = os.path.join(cache_dir, "bvh_builder.so")
+    try:
+        if (not os.path.exists(so_path)
+                or os.path.getmtime(so_path) < os.path.getmtime(src)):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-o", so_path, src],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(so_path)
+        lib.build_tile_bvh.restype = ctypes.c_int
+        lib.build_tile_bvh.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32)]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
 
 
 def build_tile_bvh(tile_lo: np.ndarray, tile_hi: np.ndarray,
@@ -40,10 +84,45 @@ def build_tile_bvh(tile_lo: np.ndarray, tile_hi: np.ndarray,
     under many instances: same tile id, different instance id, AABBs
     already world-transformed by the caller.
 
+    Dispatches to the native builder (csrc/bvh_builder.cpp) when a
+    compiler is available; the NumPy path below is the fallback and the
+    bit-exactness oracle.
+
     Returns (nbox (N,1,8) f32, nmeta (N,4) i32, max_depth int).
     """
     T = len(tile_lo)
     assert T >= 1
+    lib = _load_builder()
+    if lib is not None:
+        lo = np.ascontiguousarray(tile_lo, np.float32)
+        hi = np.ascontiguousarray(tile_hi, np.float32)
+        lt = np.ascontiguousarray(
+            leaf_tile if leaf_tile is not None
+            else np.arange(T, dtype=np.int32), np.int32)
+        li = np.ascontiguousarray(
+            leaf_inst if leaf_inst is not None
+            else np.full(T, -1, np.int32), np.int32)
+        N = 2 * T - 1
+        nbox = np.empty((N, 8), np.float32)
+        nmeta = np.empty((N, 4), np.int32)
+        depth = lib.build_tile_bvh(
+            lo.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            hi.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            lt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            li.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            T,
+            nbox.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            nmeta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if depth > 0:
+            return nbox.reshape(N, 1, 8), nmeta, depth
+        # fall through to NumPy on a builder error
+    return _build_tile_bvh_numpy(tile_lo, tile_hi, leaf_tile, leaf_inst)
+
+
+def _build_tile_bvh_numpy(tile_lo, tile_hi, leaf_tile=None, leaf_inst=None):
+    """NumPy twin of csrc/bvh_builder.cpp (bit-identical outputs; the
+    fallback when no compiler is available and the test oracle)."""
+    T = len(tile_lo)
     if leaf_tile is None:
         leaf_tile = np.arange(T, dtype=np.int32)
     if leaf_inst is None:

@@ -112,6 +112,33 @@ def test_bvh_builder_invariants():
                 assert (box[i, 3:6] >= box[c, 3:6] - 1e-5).all()
 
 
+def test_native_bvh_builder_bitexact():
+    """csrc/bvh_builder.cpp must reproduce the NumPy builder EXACTLY
+    (same stable sort, SAH candidate set, cost arithmetic, node
+    numbering) — the native path is a pure speedup, never a semantic
+    fork."""
+    from eradiate_kernel_tpu.ops import bvh
+
+    if bvh._load_builder() is None:
+        pytest.skip("no native builder (g++ unavailable)")
+
+    for seed, F in ((7, 2000), (1, 130), (3, 40000)):
+        verts, faces = soup(F, seed=seed)
+        tiles = accel.pack_tiles(verts, None, faces,
+                                 np.zeros(len(faces), np.int32))
+        T = tiles["lo"].shape[0]
+        rng = np.random.default_rng(seed)
+        lt = rng.permutation(T).astype(np.int32)
+        li = rng.integers(-1, 5, T).astype(np.int32)
+        nbox_n, nmeta_n, depth_n = bvh.build_tile_bvh(
+            tiles["lo"], tiles["hi"], lt, li)
+        nbox_p, nmeta_p, depth_p = bvh._build_tile_bvh_numpy(
+            tiles["lo"], tiles["hi"], lt, li)
+        assert depth_n == depth_p
+        assert np.array_equal(nmeta_n, nmeta_p)
+        assert np.array_equal(nbox_n, nbox_p)
+
+
 def _bvh_tiles(verts, faces):
     from eradiate_kernel_tpu.ops.bvh import build_tile_bvh
 
