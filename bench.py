@@ -22,13 +22,38 @@ BENCH_SIZE=WxHxSPP overrides the film/sample load (smoke testing).
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
 
+def _ensure_live_backend():
+    """Degrade to a CPU run instead of hanging when the accelerator is
+    unreachable: device init against a dead hardware tunnel blocks forever
+    inside the plugin, so probe `jax.devices()` in a subprocess under a
+    timeout and force the CPU platform on failure. The baseline guard below
+    refuses to record CPU numbers, so a degraded run can never pollute
+    vs_baseline."""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            timeout=180, capture_output=True, text=True)
+        ok = out.returncode == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    if not ok:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+
 def main():
+    _ensure_live_backend()
     from eradiate_kernel_tpu import integrators
     from eradiate_kernel_tpu.scene import load_dict
     from eradiate_kernel_tpu.utils.scenes import atmosphere
@@ -58,7 +83,10 @@ def main():
 
     fn = jax.jit(integrators.render_wavefront_regen,
                  static_argnames=("n_lanes", "spp"))
-    film, n_rays = fn(scene, n_lanes, jnp.uint32(0), spp)  # warmup
+    # 3 warmup iterations: the first compiles; the next two settle buffer
+    # donation/allocator reuse so the timed loop sees steady-state latency
+    for w in range(3):
+        film, n_rays = fn(scene, n_lanes, jnp.uint32(1000 + w), spp)
     film.block_until_ready()
 
     iters = 4

@@ -34,6 +34,16 @@ from .build_shapes import (_CUBE_F, _CUBE_V,  # noqa: F401
 _EMITTER_SCENE_TYPES = ("constant", "point", "directional", "spot",
                         "projector", "envmap")
 
+_WRAP_CODES = {"clamp": 0, "repeat": 1, "mirror": 2}
+
+
+def _wrap_code(s):
+    """grid3d.cpp:58-61 wrap-mode validation."""
+    if s not in _WRAP_CODES:
+        raise ValueError(f'invalid wrap mode "{s}", must be one of: '
+                         '"repeat", "mirror", or "clamp"')
+    return _WRAP_CODES[s]
+
 
 def _custom_emitter_types():
     from ..emitters import CUSTOM
@@ -179,40 +189,35 @@ class SceneBuilder:
             val = np.atleast_1d(np.asarray(val, np.float32))
             return self.add_volume_row("constvolume", {"value": val})
         if t == "gridvolume":
-            data = np.asarray(v["data"], np.float32)  # (D, H, W) or (D,H,W,C)
-            if data.ndim == 3:
-                data = data[..., None]
-            from ..core.transform import as_transform
-            tw = as_transform(v.get("to_world"))
-            w2l = tw.inverse()
-            if (self.variant.is_spectral and data.shape[-1] == 3
-                    and not v.get("raw", False)):
-                # spectral conversion of rgb grids (grid3d.cpp:69-89): each
-                # voxel becomes [rgb2spec coeff (3), brightness scale] with
-                # scale = 2*max(rgb); metadata max (majorant source) is the
-                # max scale — the sigmoid model is < 1, so scale bounds the
-                # value. `raw=True` (props.bool_("raw")) skips this.
-                from ..utils.rgb2spec import fit_srgb_coeff_batch
-                scale = np.maximum(2.0 * data.max(-1), 1e-8)  # (D, H, W)
-                coeff = fit_srgb_coeff_batch(
-                    (data / scale[..., None]).reshape(-1, 3)
-                ).reshape(data.shape).astype(np.float32)
-                packed = np.concatenate(
-                    [coeff, scale[..., None].astype(np.float32)], axis=-1)
-                return self.add_volume_row("gridvolume_srgb", {
-                    "grid": packed,
-                    "w2l_m": np.asarray(w2l.m, np.float32),
-                    "w2l_it": np.asarray(w2l.inv_t, np.float32),
-                    "vmax": np.float32(scale.max())})
-            return self.add_volume_row("gridvolume", {
-                "grid": data,
-                "w2l_m": np.asarray(w2l.m, np.float32),
-                "w2l_it": np.asarray(w2l.inv_t, np.float32),
-                "vmax": np.float32(data.max())})
+            data, w2l = self._grid_data(v)
+            wrap = _wrap_code(v.get("wrap_mode", "clamp"))
+            if data.shape[-1] not in (1, 3):
+                raise ValueError(
+                    f"gridvolume wants 1 or 3 channels, got "
+                    f"{data.shape[-1]} (grid3d.cpp channel_count check)")
+            row = {"wrap": np.int32(wrap),
+                   "w2l_m": np.asarray(w2l.m, np.float32),
+                   "w2l_it": np.asarray(w2l.inv_t, np.float32)}
+            if v.get("filter_type", "trilinear") == "nearest":
+                # nearest filtering (grid3d.cpp FilterType::Nearest): its
+                # own static kind so trilinear grids never pay for the
+                # branch; in spectral mode rgb data is srgb-packed exactly
+                # like the trilinear path (C==4 marks the packing)
+                grid, vmax = self._maybe_srgb_pack(data, v)
+                return self.add_volume_row("gridvolume_nearest", dict(
+                    row, grid=grid, vmax=np.float32(vmax)))
+            grid, vmax = self._maybe_srgb_pack(data, v)
+            kind = "gridvolume_srgb" if grid.shape[-1] == 4 else "gridvolume"
+            return self.add_volume_row(kind, dict(
+                row, grid=grid, vmax=np.float32(vmax)))
         if t == "gridvolume_spectral":
             # [ERADIATE] wavelength-indexed volume (gridvolume_spectral.cpp):
             # data (D, H, W, S) sampled at S wavelengths on a regular grid
-            data = np.asarray(v["data"], np.float32)
+            if "data" in v:
+                data = np.asarray(v["data"], np.float32)
+            else:
+                from ..utils.volfile import read_vol
+                data, _ = read_vol(v["filename"])
             assert data.ndim == 4, "gridvolume_spectral wants (D, H, W, S)"
             from ..core.transform import as_transform
             tw = as_transform(v.get("to_world"))
@@ -225,6 +230,46 @@ class SceneBuilder:
                 "w2l_it": np.asarray(w2l.inv_t, np.float32),
                 "vmax": np.float32(data.max())})
         raise ValueError(f"unknown volume type {t!r}")
+
+    def _grid_data(self, v):
+        """Grid data from inline `data` or a `.vol` `filename`
+        (volume_data.h:44-104), plus the composed world_to_local. With
+        `use_grid_bbox` the file's bbox -> unit-cube transform premultiplies
+        world_to_local (grid3d.cpp:152-154)."""
+        from ..core.transform import Transform, as_transform
+        bbox = None
+        if "data" in v:
+            data = np.asarray(v["data"], np.float32)
+        else:
+            from ..utils.volfile import read_vol
+            data, bbox = read_vol(v["filename"])
+        if data.ndim == 3:
+            data = data[..., None]
+        w2l = as_transform(v.get("to_world")).inverse()
+        if v.get("use_grid_bbox", False) and bbox is not None:
+            lo, hi = bbox
+            bt = (Transform.scale(1.0 / np.maximum(hi - lo, 1e-20))
+                  @ Transform.translate(-lo))
+            w2l = bt @ w2l
+        return data, w2l
+
+    def _maybe_srgb_pack(self, data, v):
+        """Spectral conversion of rgb grids (grid3d.cpp:69-89): each voxel
+        becomes [rgb2spec coeff (3), brightness scale] with scale =
+        2*max(rgb); the metadata max (majorant source) is the max scale —
+        the sigmoid model is < 1, so scale bounds the value. `raw=True`
+        (props.bool_("raw")) skips this. Returns (grid, vmax)."""
+        if (self.variant.is_spectral and data.shape[-1] == 3
+                and not v.get("raw", False)):
+            from ..utils.rgb2spec import fit_srgb_coeff_batch
+            scale = np.maximum(2.0 * data.max(-1), 1e-8)  # (D, H, W)
+            coeff = fit_srgb_coeff_batch(
+                (data / scale[..., None]).reshape(-1, 3)
+            ).reshape(data.shape).astype(np.float32)
+            packed = np.concatenate(
+                [coeff, scale[..., None].astype(np.float32)], axis=-1)
+            return packed, float(scale.max())
+        return data, float(data.max())
 
     def medium(self, d):
         if d is None:
@@ -254,18 +299,23 @@ class SceneBuilder:
             # medium bounds = the sigma_t grid's bbox; constvolume -> unit cube
             # unless explicit to_world was provided on the grid
             if kind in ("gridvolume", "gridvolume_spectral",
-                        "gridvolume_srgb"):
+                        "gridvolume_srgb", "gridvolume_nearest"):
                 w2l_m, w2l_it = rows["w2l_m"], rows["w2l_it"]
             else:
                 from ..core.transform import as_transform
                 w2l = as_transform(d.get("to_world")).inverse()
                 w2l_m = np.asarray(w2l.m, np.float32)
                 w2l_it = np.asarray(w2l.inv_t, np.float32)
-            # srgb-upsampled grids: the majorant/axis profiles must bound
-            # the VALUE = sigmoid(coeff) * scale < scale — profile over the
-            # scale channel, never the (unbounded) polynomial coefficients
-            prof_rows = rows if kind != "gridvolume_srgb" \
-                else {"grid": rows["grid"][..., 3:4]}
+            # srgb-upsampled grids (trilinear or nearest, marked by the
+            # packed C==4): majorant/axis profiles must bound the VALUE =
+            # sigmoid(coeff) * scale < scale — profile over the scale
+            # channel, never the (unbounded) polynomial coefficients
+            prof_rows = rows
+            if (kind in ("gridvolume_srgb", "gridvolume_nearest")
+                    and rows.get("grid") is not None
+                    and rows["grid"].shape[-1] == 4
+                    and self.variant.is_spectral):
+                prof_rows = {"grid": rows["grid"][..., 3:4]}
             row = {
                 "sigma_t_vol": np.int32(st_vol),
                 "albedo_vol": np.int32(al_vol),

@@ -126,6 +126,33 @@ def _trilinear_einsum(grid, vslot, pl):
     return jnp.einsum("...s,...sc->...c", ws, tmp, precision=hi)
 
 
+def _nearest_gather(grid, vslot, pl):
+    """Nearest-voxel lookup (grid3d.cpp FilterType::Nearest: scale to the
+    volume resolution with no half-texel shift, floor). Voxel i covers
+    [i/W, (i+1)/W) — the reference's cell-centered nearest semantics."""
+    S, D, H, W, C = grid.shape
+    x = jnp.clip((pl[..., 0] * W).astype(jnp.int32), 0, W - 1)
+    y = jnp.clip((pl[..., 1] * H).astype(jnp.int32), 0, H - 1)
+    z = jnp.clip((pl[..., 2] * D).astype(jnp.int32), 0, D - 1)
+    flat = grid.reshape(S * D * H * W, C)
+    return flat[vslot * (D * H * W) + (z * H + y) * W + x]
+
+
+def _apply_wrap(params, vslot, pl):
+    """Per-slot wrap mode (grid3d.cpp:234-250): 0 = clamp (out-of-domain
+    lookups masked to zero, the medium never queries outside its bbox),
+    1 = repeat (periodic tiling), 2 = mirror. Returns (wrapped local
+    coords, inside mask) — repeat/mirror map every point into [0, 1], so
+    their inside mask is all-true."""
+    wrap = tg(params["wrap"], vslot)[..., None]
+    rep = pl - jnp.floor(pl)
+    half = 0.5 * pl - jnp.floor(0.5 * pl)
+    mir = 1.0 - jnp.abs(2.0 * half - 1.0)
+    pl_w = jnp.where(wrap == 1, rep, jnp.where(wrap == 2, mir, pl))
+    inside = jnp.all((pl_w >= 0.0) & (pl_w <= 1.0), axis=-1)
+    return pl_w, inside
+
+
 def volume_eval(scene, vol_idx, p, wavelengths, active=True):
     """Evaluate volume objects per lane at world position p -> (..., nc)."""
     cfg = scene.config
@@ -144,16 +171,24 @@ def volume_eval(scene, vol_idx, p, wavelengths, active=True):
             elif v.shape[-1] != nc:
                 v = jnp.broadcast_to(jnp.mean(v, -1, keepdims=True),
                                      v.shape[:-1] + (nc,))
-        elif kind == "gridvolume":
+        elif kind in ("gridvolume", "gridvolume_nearest"):
             tw = Transform(m=tg(params["w2l_m"], vslot),
                            inv_t=tg(params["w2l_it"], vslot))
             pl = tw.transform_affine_point(p)  # local in [0,1]^3
+            pl, inside = _apply_wrap(params, vslot, pl)
             grid = params["grid"]  # (n, D, H, W, C)
             C = grid.shape[-1]
-            c = _trilinear(grid, vslot, pl)
-            inside = jnp.all((pl >= 0.0) & (pl <= 1.0), axis=-1)
+            if kind == "gridvolume_nearest":
+                c = _nearest_gather(grid, vslot, pl)
+            else:
+                c = _trilinear(grid, vslot, pl)
             c = jnp.where(inside[..., None], c, 0.0)
-            if C == 1:
+            if cfg.variant.is_spectral and C == 4:
+                # srgb-packed (nearest filter): single-voxel sigmoid eval
+                from ..render.texture import srgb_model_eval
+                v = srgb_model_eval(c[..., :3], wavelengths) * c[..., 3:4]
+                v = jnp.where(inside[..., None], v, 0.0)
+            elif C == 1:
                 v = jnp.broadcast_to(c, c.shape[:-1] + (nc,))
             elif C == nc:
                 v = c
@@ -167,8 +202,8 @@ def volume_eval(scene, vol_idx, p, wavelengths, active=True):
             tw = Transform(m=tg(params["w2l_m"], vslot),
                            inv_t=tg(params["w2l_it"], vslot))
             pl = tw.transform_affine_point(p)
+            pl, inside = _apply_wrap(params, vslot, pl)
             v = _trilinear_gather_srgb(params["grid"], vslot, pl, wavelengths)
-            inside = jnp.all((pl >= 0.0) & (pl <= 1.0), axis=-1)
             v = jnp.where(inside[..., None], v, 0.0)
         elif kind == "gridvolume_spectral":
             tw = Transform(m=tg(params["w2l_m"], vslot),
