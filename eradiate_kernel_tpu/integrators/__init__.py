@@ -74,13 +74,25 @@ def render_wavefront(scene, lane_offset, n_lanes, seed, spp):
     pos_film = pos / jnp.asarray([W, H], jnp.float32)
 
     time = jnp.zeros(n_lanes)
-    ray, ray_weight, sampler = sensors.sample_ray(scene, sampler, pos_film, time)
-
     integrator = REGISTRY[cfg.integrator.kind]
     extra = n_aov(cfg)
+    # static gate: only AOV specs asking for duv_dx/duv_dy pay for the two
+    # offset camera rays (integrator.cpp:257-261 diff_scale = 1/sqrt(spp))
+    needs_diff = bool(extra) and getattr(
+        integrator, "needs_differentials", lambda _cfg: False)(cfg)
+    if needs_diff:
+        import math as _math
+        ray, ray_diff, ray_weight, sampler = sensors.sample_ray_differential(
+            scene, sampler, pos_film, time,
+            diff_scale=1.0 / _math.sqrt(spp))
+    else:
+        ray, ray_weight, sampler = sensors.sample_ray(
+            scene, sampler, pos_film, time)
+        ray_diff = None
     if extra:
+        kw = {"ray_diff": ray_diff} if needs_diff else {}
         spec, valid, sampler, aovs = integrator.sample_aov(
-            scene, sampler, ray, ray_weight)
+            scene, sampler, ray, ray_weight, **kw)
     else:
         spec, valid, sampler = integrator.sample(scene, sampler, ray)
         aovs = jnp.zeros(spec.shape[:-1] + (0,))

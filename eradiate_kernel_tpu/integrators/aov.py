@@ -14,7 +14,7 @@ from ..render.geometry import ray_intersect
 
 _TYPE_CHANNELS = {
     "depth": 1, "position": 3, "uv": 2, "geo_normal": 3, "sh_normal": 3,
-    "prim_index": 1, "shape_index": 1,
+    "prim_index": 1, "shape_index": 1, "duv_dx": 2, "duv_dy": 2,
 }
 
 
@@ -59,10 +59,22 @@ def sample(scene, sampler, ray, active=None):
     return _child(cfg).sample(scene, sampler, ray, active)
 
 
-def sample_aov(scene, sampler, ray, ray_weight, active=None):
+def needs_differentials(cfg):
+    """True when the AOV spec asks for screen-space UV partials — the
+    driver then generates offset camera rays (bsdf.h:493-494 analog; no
+    bundled BSDF sets NeedsDifferentials, so the aov integrator is the
+    reference's only in-tree consumer, aov.cpp:124,212-213)."""
+    return any(ty in ("duv_dx", "duv_dy") for _, ty in parse_aovs(cfg))
+
+
+def sample_aov(scene, sampler, ray, ray_weight, active=None, ray_diff=None):
     cfg = scene.config
     spec, valid, sampler = _child(cfg).sample(scene, sampler, ray, active)
     si = ray_intersect(scene.geo, ray)
+    duv = None
+    if ray_diff is not None:
+        from ..render.records import compute_uv_partials
+        duv = compute_uv_partials(si, ray_diff)
     cols = []
     for _name, ty in parse_aovs(cfg):
         if ty == "depth":
@@ -79,6 +91,11 @@ def sample_aov(scene, sampler, ray, ray_weight, active=None):
             cols.append(si.prim_index.astype(jnp.float32)[..., None])
         elif ty == "shape_index":
             cols.append(si.shape_index.astype(jnp.float32)[..., None])
+        elif ty in ("duv_dx", "duv_dy"):
+            assert duv is not None, \
+                "duv aovs need the differential ray path (driver bug)"
+            part = duv[0] if ty == "duv_dx" else duv[1]
+            cols.append(jnp.where(si.is_valid[..., None], part, 0.0))
     aovs = (jnp.concatenate(cols, -1) if cols
             else jnp.zeros(spec.shape[:-1] + (0,)))
     return spec, valid, sampler, aovs

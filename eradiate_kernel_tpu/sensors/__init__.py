@@ -280,3 +280,29 @@ def sample_ray(scene, sampler, pos_film, time):
         time = params["shutter_open"] + u * params["shutter_span"]
     fn = REGISTRY[scene.config.sensor_kind]
     return fn(scene, params, sampler, pos_film, time)
+
+
+def sample_ray_differential(scene, sampler, pos_film, time, diff_scale=1.0):
+    """Sensor::sample_ray_differential (sensor.cpp:59-84): the main ray plus
+    two rays re-sampled one film pixel over in x and y. The offset calls
+    replay the SAME sampler state as the main ray (the reference passes
+    identical sample1/sample3 to all three sample_ray calls), so aperture /
+    wavelength / shutter draws match; only the advanced state of the main
+    call is kept. Differentials are pre-scaled by ``diff_scale``
+    (= 1/sqrt(spp), Ray::scale_differential + integrator.cpp:257-261).
+
+    Returns (ray, RayDifferential, weight, sampler)."""
+    from ..render.records import RayDifferential
+
+    cfg = scene.config
+    ray, weight, sampler_out = sample_ray(scene, sampler, pos_film, time)
+    dx = jnp.asarray([1.0 / cfg.film_width, 0.0], jnp.float32)
+    dy = jnp.asarray([0.0, 1.0 / cfg.film_height], jnp.float32)
+    ray_x, _, _ = sample_ray(scene, sampler, pos_film + dx, time)
+    ray_y, _, _ = sample_ray(scene, sampler, pos_film + dy, time)
+    rd = RayDifferential(
+        o_x=ray.o + (ray_x.o - ray.o) * diff_scale,
+        d_x=ray.d + (ray_x.d - ray.d) * diff_scale,
+        o_y=ray.o + (ray_y.o - ray.o) * diff_scale,
+        d_y=ray.d + (ray_y.d - ray.d) * diff_scale)
+    return ray, rd, weight, sampler_out

@@ -86,3 +86,83 @@ def test_nbins_line():
     img, aovs = integrators.render(scene, seed=3, return_aovs=True)
     # flat unit spectrum: bin integral = bin width = 50 nm
     assert np.asarray(aovs["l550"])[0, 0] == pytest.approx(50.0, rel=0.15)
+
+
+def test_uv_partials_match_offset_hits():
+    """compute_uv_partials (interaction.h:217-249) against an exact oracle:
+    for a planar shape the tangent-plane least-squares solve must equal the
+    uv difference of actually intersecting the offset rays."""
+    from eradiate_kernel_tpu import sensors
+    from eradiate_kernel_tpu.core.ray import Ray
+    from eradiate_kernel_tpu.core.rng import Sampler
+    from eradiate_kernel_tpu.render.geometry import (
+        compute_surface_interaction, ray_intersect)
+    from eradiate_kernel_tpu.render.records import compute_uv_partials
+
+    scene = load_dict({
+        "type": "scene",
+        "sensor": {"type": "perspective",
+                   "to_world": {"type": "look_at", "origin": [0.2, -0.3, -4],
+                                "target": [0, 0, 0], "up": [0, 1, 0]},
+                   "film": {"width": 16, "height": 16}},
+        "rect": {"type": "rectangle", "to_world": {"type": "scale",
+                                                   "value": [3, 3, 1]},
+                 "bsdf": {"type": "diffuse"}},
+    })
+    pos_film = jnp.asarray([[0.5, 0.5], [0.3, 0.6], [0.7, 0.4],
+                            [0.45, 0.55], [0.62, 0.37]], jnp.float32)
+    n = pos_film.shape[0]
+    smp = Sampler.seed(jnp.uint32(3), jnp.arange(n, dtype=jnp.uint32))
+    ray, rd, _w, _s = sensors.sample_ray_differential(
+        scene, smp, pos_film, jnp.zeros(n), diff_scale=1.0)
+    si = ray_intersect(scene.geo, ray)
+    assert bool(jnp.all(si.is_valid))
+    duv_dx, duv_dy = compute_uv_partials(si, rd)
+
+    six = ray_intersect(scene.geo, Ray.make(rd.o_x, rd.d_x,
+                                            wavelengths=ray.wavelengths))
+    siy = ray_intersect(scene.geo, Ray.make(rd.o_y, rd.d_y,
+                                            wavelengths=ray.wavelengths))
+    np.testing.assert_allclose(np.asarray(duv_dx),
+                               np.asarray(six.uv - si.uv), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(duv_dy),
+                               np.asarray(siy.uv - si.uv), atol=2e-4)
+    # degenerate dp_du/dp_dv lanes produce zeros, not NaN
+    si0 = si.replace(dp_du=jnp.zeros_like(si.dp_du),
+                     dp_dv=jnp.zeros_like(si.dp_dv))
+    z_dx, z_dy = compute_uv_partials(si0, rd)
+    assert np.all(np.asarray(z_dx) == 0) and np.all(np.asarray(z_dy) == 0)
+
+
+def test_aov_duv_render():
+    """duv_dx/duv_dy AOVs through the wavefront driver (aov.cpp:124,212):
+    a camera-filling rectangle has an analytically known uv footprint per
+    pixel; at spp=1 diff_scale=1 so duv_dx ~ one-pixel uv step."""
+    w = 8
+    scene = load_dict({
+        "type": "scene",
+        "integrator": {"type": "aov", "aovs": "d1:duv_dx,d2:duv_dy",
+                       "child": {"type": "depth"}},
+        "sensor": {"type": "perspective", "fov": 45.0,
+                   "to_world": {"type": "look_at", "origin": [0, 0, -1],
+                                "target": [0, 0, 0], "up": [0, 1, 0]},
+                   "film": {"width": w, "height": w,
+                            "rfilter": {"type": "box"}},
+                   "sampler": {"type": "independent", "sample_count": 1}},
+        # rectangle spans [-4,4]^2 at z=0 — fills the 45-degree view
+        "rect": {"type": "rectangle",
+                 "to_world": {"type": "scale", "value": [4, 4, 1]},
+                 "bsdf": {"type": "diffuse"}},
+    })
+    img, aovs = integrators.render(scene, seed=1, return_aovs=True)
+    assert {"d1.x", "d1.y", "d2.x", "d2.y"} <= set(aovs)
+    d1x = np.asarray(aovs["d1.x"])
+    d2y = np.asarray(aovs["d2.y"])
+    assert np.all(np.isfinite(d1x)) and np.all(np.isfinite(d2y))
+    # center pixel: film x step = 2*tan(22.5)/8 world units = /8 of the
+    # rect's 8-unit uv span... uv spans 1 over 8 world units, so
+    # duv_dx.x ~ 2*tan(22.5deg)/w/8 at the center
+    expect = 2.0 * np.tan(np.radians(22.5)) / w / 8.0
+    assert d1x[w // 2, w // 2] == pytest.approx(expect, rel=0.15)
+    # film y runs opposite to the rectangle's v axis
+    assert d2y[w // 2, w // 2] == pytest.approx(-expect, rel=0.15)
