@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import warp
+from ..core.frame import Frame
 from ..core.gather import table_gather as _tg
 from ..core.math import dot, normalize
 from ..render.records import DirectionSample
@@ -464,3 +465,180 @@ def eval_environment(scene, ray, escaped, active):
                           jnp.zeros(ray.o.shape[:-1] + (2,)),
                           ray.wavelengths, m)
     return jnp.where(m[..., None], v, out)
+
+
+# =============================================================================
+# Endpoint::sample_ray — emission-ray sampling (endpoint.h:42-118)
+# =============================================================================
+# Per-kind analogs of the reference's Emitter::sample_ray: draw a ray leaving
+# the emitter plus its importance weight (spectral sample weight included in
+# spectral mode). No in-tree integrator emits rays (the reference's consumer,
+# a particle tracer, was never merged — projector.cpp:117 TODO), but the API
+# is first-class reference surface and the entry point for light tracing.
+
+
+def _sample_wl(scene, tex_idx, uv, wl_sample, active):
+    """Spectral mode: importance-sample the emitter's radiometric texture
+    spectrum (Texture::sample_spectrum, the area.cpp:107-113 branch);
+    rgb/mono: empty wavelength vector, weight = plain eval."""
+    if scene.config.variant.is_spectral:
+        from ..render.texture import texture_sample_spectrum
+        return texture_sample_spectrum(scene, tex_idx, uv, wl_sample, active)
+    wl = jnp.zeros(uv.shape[:-1] + (0,))
+    return wl, _tex(scene, tex_idx, uv, wl, active)
+
+
+def area_sample_ray(scene, params, slot, wl_s, s_a, s_b, s_c, time, active):
+    """area.cpp:74-119: shape-area position + cosine-hemisphere direction;
+    weight = spectrum_weight * pi / p_area. (The reference importance-samples
+    the radiance texture's sample_position only when spatially varying — a
+    variance trade; area-uniform sampling is unbiased either way.)"""
+    shape_idx = _tg(params["shape"], slot)
+    ps = shape_sampling.sample_position(scene, shape_idx, s_a, s_b, active)
+    wl, spec = _sample_wl(scene, _tg(params["radiance"], slot), ps.uv,
+                          wl_s, active)
+    d = Frame.from_normal(ps.n).to_world(warp.square_to_cosine_hemisphere(s_c))
+    w = spec * (jnp.pi / jnp.maximum(ps.pdf, 1e-20))[..., None]
+    return Ray.make(ps.p, d, time=time, wavelengths=wl), w
+
+
+def constant_sample_ray(scene, params, slot, wl_s, s_a, s_b, s_c, time,
+                        active):
+    """constant.cpp:60-79: position uniform on the scene bounding sphere,
+    inward cosine direction; weight = spec * 4 * (pi * R)^2."""
+    uv0 = jnp.zeros(slot.shape + (2,))
+    wl, spec = _sample_wl(scene, _tg(params["radiance"], slot), uv0,
+                          wl_s, active)
+    v0 = warp.square_to_uniform_sphere(s_b)
+    r = scene.bsphere_radius
+    o = scene.bsphere_center + v0 * r
+    d = Frame.from_normal(-v0).to_world(warp.square_to_cosine_hemisphere(s_c))
+    w = spec * (4.0 * (jnp.pi * r) ** 2)
+    return Ray.make(o, d, time=time, wavelengths=wl), w
+
+
+def point_sample_ray(scene, params, slot, wl_s, s_a, s_b, s_c, time, active):
+    """point.cpp:60-78: uniform-sphere direction, weight = 4*pi*intensity."""
+    uv0 = jnp.zeros(slot.shape + (2,))
+    wl, spec = _sample_wl(scene, _tg(params["intensity"], slot), uv0,
+                          wl_s, active)
+    d = warp.square_to_uniform_sphere(s_b)
+    o = jnp.broadcast_to(_tg(params["position"], slot), d.shape)
+    return Ray.make(o, d, time=time, wavelengths=wl), spec * (4.0 * jnp.pi)
+
+
+def directional_sample_ray(scene, params, slot, wl_s, s_a, s_b, s_c, time,
+                           active):
+    """directional.cpp:80-106: origin on the bounding-sphere cross-section
+    disk upwind of the scene, fixed direction; weight = pi * R^2 * E."""
+    uv0 = jnp.zeros(slot.shape + (2,))
+    wl, spec = _sample_wl(scene, _tg(params["irradiance"], slot), uv0,
+                          wl_s, active)
+    d = normalize(_tg(params["direction"], slot))
+    off = warp.square_to_uniform_disk_concentric(s_b)
+    fr = Frame.from_normal(d)
+    perp = fr.s * off[..., 0:1] + fr.t * off[..., 1:2]
+    r = scene.bsphere_radius
+    o = scene.bsphere_center + (perp - d) * r
+    return Ray.make(o, d, time=time, wavelengths=wl), \
+        spec * (jnp.pi * r ** 2)
+
+
+def spot_sample_ray(scene, params, slot, wl_s, s_a, s_b, s_c, time, active):
+    """spot.cpp:117-137: direction uniform in the cutoff cone; weight =
+    intensity * falloff / pdf_cone."""
+    uv0 = jnp.zeros(slot.shape + (2,))
+    wl, spec = _sample_wl(scene, _tg(params["intensity"], slot), uv0,
+                          wl_s, active)
+    axis = normalize(_tg(params["direction"], slot))
+    ccut = _tg(params["cos_cutoff"], slot)
+    cbeam = _tg(params["cos_beam"], slot)
+    local = warp.square_to_uniform_cone(s_b, ccut)
+    pdf = warp.square_to_uniform_cone_pdf(local, ccut)
+    d = Frame.from_normal(axis).to_world(local)
+    falloff = jnp.clip((local[..., 2] - ccut)
+                       / jnp.maximum(cbeam - ccut, 1e-6), 0.0, 1.0)
+    o = jnp.broadcast_to(_tg(params["position"], slot), d.shape)
+    w = spec * (falloff / jnp.maximum(pdf, 1e-20))[..., None]
+    return Ray.make(o, d, time=time, wavelengths=wl), w
+
+
+def projector_sample_ray(scene, params, slot, wl_s, s_a, s_b, s_c, time,
+                         active):
+    """projector.cpp:117-152: sample a film uv, shoot through the frustum.
+    The uv is drawn uniformly (pdf = 1 over [0,1]^2) where the reference
+    importance-samples the irradiance texture — same estimator, different
+    variance, on a path the reference itself marks untested."""
+    uv = s_c
+    wl, spec = _sample_wl(scene, _tg(params["irradiance"], slot), uv,
+                          wl_s, active)
+    tan_x = _tg(params["tan_half_fov"], slot)
+    aspect = _tg(params["aspect"], slot)
+    d_loc = jnp.stack([(2.0 * uv[..., 0] - 1.0) * tan_x,
+                       (1.0 - 2.0 * uv[..., 1]) * tan_x * aspect,
+                       jnp.ones(uv.shape[:-1])], -1)
+    # local->world rotation = inverse of the stored world->local matrix
+    l2w = jnp.linalg.inv(_tg(params["w2l_m"], slot))
+    d = normalize(jnp.einsum("...ij,...j->...i", l2w[..., :3, :3], d_loc))
+    o = jnp.broadcast_to(_tg(params["position"], slot), d.shape)
+    return Ray.make(o, d, time=time, wavelengths=wl), spec
+
+
+KIND_RAY_SAMPLERS = {
+    "area": area_sample_ray,
+    "constant": constant_sample_ray,
+    "point": point_sample_ray,
+    "directional": directional_sample_ray,
+    "spot": spot_sample_ray,
+    "projector": projector_sample_ray,
+    # envmap: the reference itself throws (envmap.cpp:149-154)
+}
+
+
+def sample_emitter_ray(scene, sampler, time, active=True):
+    """Wavefront emission-ray dispatch: uniform emitter pick x per-kind
+    Endpoint::sample_ray; the pick pmf is folded into the weight. Returns
+    (ray, weight, emitter_index, sampler). Raises for scenes containing
+    emitter kinds without a ray sampler (envmap matches the reference's
+    NotImplementedError)."""
+    cfg = scene.config
+    n_em = cfg.n_emitters
+    assert n_em > 0, "sample_emitter_ray: scene has no emitters"
+    for kind in cfg.emitter_kinds:
+        if kind not in KIND_RAY_SAMPLERS:
+            raise NotImplementedError(
+                f"sample_ray for emitter kind {kind!r} "
+                "(envmap.cpp:149-154 matches)")
+
+    sampler, s_pick = sampler.next_1d()
+    sampler, wl_s = sampler.next_1d()
+    sampler, s_a = sampler.next_1d()
+    sampler, s_b = sampler.next_2d()
+    sampler, s_c = sampler.next_2d()
+    idx = jnp.minimum((s_pick * n_em).astype(jnp.int32), n_em - 1)
+    kind_id = _tg(scene.emitter_kind, idx)
+    slot = _tg(scene.emitter_slot, idx)
+    batch = idx.shape
+    active = jnp.broadcast_to(jnp.asarray(active), batch)
+
+    nw = 4 if cfg.variant.is_spectral else 0
+    nc = nw if cfg.variant.is_spectral else cfg.variant.n_channels
+    ray = Ray.make(jnp.zeros(batch + (3,)),
+                   jnp.zeros(batch + (3,)).at[..., 2].set(1.0),
+                   time=time, wavelengths=jnp.zeros(batch + (nw,)))
+    weight = jnp.zeros(batch + (nc,))
+    for k, kind in enumerate(cfg.emitter_kinds):
+        m = active & (kind_id == k)
+        r_k, w_k = KIND_RAY_SAMPLERS[kind](
+            scene, scene.emitters[kind], slot, wl_s, s_a, s_b, s_c, time, m)
+        mv = m[..., None]
+        ray = Ray(o=jnp.where(mv, r_k.o, ray.o),
+                  d=jnp.where(mv, r_k.d, ray.d),
+                  mint=jnp.where(m, r_k.mint, ray.mint),
+                  maxt=jnp.where(m, r_k.maxt, ray.maxt),
+                  time=ray.time,
+                  wavelengths=jnp.where(mv if nw else m[..., None],
+                                        r_k.wavelengths, ray.wavelengths))
+        weight = jnp.where(mv, w_k * n_em, weight)
+    weight = jnp.where(active[..., None], weight, 0.0)
+    return ray, weight, idx, sampler
