@@ -164,7 +164,9 @@ def projector_sample_direction(scene, params, slot, ref_p, wavelengths, s1, s2,
     tan_x = _tg(params["tan_half_fov"], slot)
     aspect = _tg(params["aspect"], slot)
     z = jnp.maximum(d_loc[..., 2], 1e-6)
-    u = 0.5 * (d_loc[..., 0] / (z * tan_x) + 1.0)
+    # sample mapping shared with perspective (sensor.h:196-230): the
+    # camera_to_sample chain mirrors x, so u = (1 - x_ndc)/2
+    u = 0.5 * (1.0 - d_loc[..., 0] / (z * tan_x))
     v = 0.5 * (1.0 - d_loc[..., 1] / (z * tan_x * aspect))
     inside = (d_loc[..., 2] > 0) & (u >= 0) & (u < 1) & (v >= 0) & (v < 1)
     uv = jnp.stack([u, v], -1)
@@ -181,18 +183,19 @@ def projector_sample_direction(scene, params, slot, ref_p, wavelengths, s1, s2,
 
 # --- envmap (src/emitters/envmap.cpp): lat-long bitmap with 2D importance ----
 #
-# Direction convention (z-up): uv = (phi / 2pi, theta / pi) with theta from
-# +z; the reference uses its own y-up frame — orientation differences are
-# absorbed by to_world. Sampling inverts a (sin-theta * luminance)-weighted
-# row/column CDF pair — the flat-array equivalent of Hierarchical2D
-# (distr_2d.h:18-57).
+# Direction convention — the reference's y-up lat-long mapping
+# (envmap.cpp:142-143,162-166): u = atan2(x, -z) / 2pi, v = acos(y) / pi in
+# emitter-local space, so an identity-to_world envmap reads the SAME texels
+# as the reference (theta from +y; u=0 faces -z). Sampling inverts a
+# (sin-theta * luminance)-weighted row/column CDF pair — the flat-array
+# equivalent of Hierarchical2D (distr_2d.h:18-57).
 
 def _envmap_dir_to_uv(params, slot, d):
     from ..core.transform import Transform
     w2l = Transform(m=_tg(params["w2l_m"], slot), inv_t=_tg(params["w2l_it"], slot))
     dl = normalize(w2l.transform_vector(d))
-    theta = jnp.arccos(jnp.clip(dl[..., 2], -1.0, 1.0))
-    phi = jnp.arctan2(dl[..., 1], dl[..., 0])
+    theta = jnp.arccos(jnp.clip(dl[..., 1], -1.0, 1.0))
+    phi = jnp.arctan2(dl[..., 0], -dl[..., 2])
     phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
     return jnp.stack([phi / (2 * jnp.pi), theta / jnp.pi], -1), theta
 
@@ -202,7 +205,9 @@ def _envmap_uv_to_dir(params, slot, uv):
     phi = uv[..., 0] * 2 * jnp.pi
     theta = uv[..., 1] * jnp.pi
     st = jnp.sin(theta)
-    dl = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), jnp.cos(theta)], -1)
+    # inverse of (atan2(x, -z), acos(y)): sphdir in the y-up frame
+    dl = jnp.stack([st * jnp.sin(phi), jnp.cos(theta), -st * jnp.cos(phi)],
+                   -1)
     w2l = Transform(m=_tg(params["w2l_m"], slot), inv_t=_tg(params["w2l_it"], slot))
     return normalize(w2l.inverse().transform_vector(dl)), theta
 
@@ -574,7 +579,7 @@ def projector_sample_ray(scene, params, slot, wl_s, s_a, s_b, s_c, time,
                           wl_s, active)
     tan_x = _tg(params["tan_half_fov"], slot)
     aspect = _tg(params["aspect"], slot)
-    d_loc = jnp.stack([(2.0 * uv[..., 0] - 1.0) * tan_x,
+    d_loc = jnp.stack([(1.0 - 2.0 * uv[..., 0]) * tan_x,
                        (1.0 - 2.0 * uv[..., 1]) * tan_x * aspect,
                        jnp.ones(uv.shape[:-1])], -1)
     # local->world rotation = inverse of the stored world->local matrix

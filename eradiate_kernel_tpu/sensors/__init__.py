@@ -87,14 +87,17 @@ def perspective_sample_ray(scene, params, sampler, pos_film, time):
     """src/sensors/perspective.cpp — pinhole camera.
 
     params: to_world Transform (4,4) [single sensor], tan_half_fov_x ().
-    Convention: u in [0,1) left->right maps +x; v top->bottom maps -y;
-    camera looks down +z (matches Transform.look_at).
+    Convention (sensor.h:196-230 perspective_projection inverted): film
+    u=0 (image left) maps to camera-space +x = the look_at ``left`` axis
+    (cross(up, dir)); v top->bottom maps +y->-y; camera looks down +z.
+    x_cam = tan * (1 - 2u) — the camera_to_sample chain scale(-0.5,..) o
+    translate(-1,..) o perspective carries a sign flip in x.
     """
     batch = pos_film.shape[:-1]
     tw: Transform = _sensor_to_world(params, time)
     tan_x = params["tan_half_fov"]
     aspect = scene.config.film_height / scene.config.film_width
-    x = (2.0 * pos_film[..., 0] - 1.0) * tan_x
+    x = (1.0 - 2.0 * pos_film[..., 0]) * tan_x
     y = (1.0 - 2.0 * pos_film[..., 1]) * tan_x * aspect
     d_cam = normalize(jnp.stack([x, y, jnp.ones_like(x)], -1))
     d = tw.transform_vector(d_cam)
@@ -113,7 +116,7 @@ def thinlens_sample_ray(scene, params, sampler, pos_film, time):
     aperture = params["aperture_radius"]
     focus = params["focus_distance"]
     aspect = scene.config.film_height / scene.config.film_width
-    x = (2.0 * pos_film[..., 0] - 1.0) * tan_x
+    x = (1.0 - 2.0 * pos_film[..., 0]) * tan_x  # see perspective_sample_ray
     y = (1.0 - 2.0 * pos_film[..., 1]) * tan_x * aspect
     d_cam = jnp.stack([x, y, jnp.ones_like(x)], -1)
     p_focus = d_cam * (focus / d_cam[..., 2:3])

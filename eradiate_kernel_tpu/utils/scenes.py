@@ -40,14 +40,18 @@ def cornell_box(width=64, height=64, spp=16, max_depth=6, integrator="path"):
         "back": {"type": "rectangle",
                  "to_world": (T.translate([0, 0, 1]) @ T.rotate([1, 0, 0], 180)).m,
                  "bsdf": {"type": "ref", "id": "white_bsdf"}},
-        # left wall x=-1 (red), normal +x
+        # The reference sample mapping (sensor.h:196-230) puts camera-space
+        # +x (= world +x for this look_at) on the LEFT of the image, so the
+        # canonical red-left Cornell look needs red at x=+1 (matching the
+        # original Cornell data: red wall at large x).
+        # wall x=-1 (green in the image's right half), normal +x
         "left": {"type": "rectangle",
                  "to_world": (T.translate([-1, 0, 0]) @ T.rotate([0, 1, 0], 90)).m,
-                 "bsdf": {"type": "ref", "id": "red_bsdf"}},
-        # right wall x=+1 (green), normal -x
+                 "bsdf": {"type": "ref", "id": "green_bsdf"}},
+        # wall x=+1 (red, image left), normal -x
         "right": {"type": "rectangle",
                   "to_world": (T.translate([1, 0, 0]) @ T.rotate([0, 1, 0], -90)).m,
-                  "bsdf": {"type": "ref", "id": "green_bsdf"}},
+                  "bsdf": {"type": "ref", "id": "red_bsdf"}},
         # area light near the ceiling, facing down
         "light": {"type": "rectangle",
                   "to_world": (T.translate([0, 0.99, 0]) @ T.rotate([1, 0, 0], 90)

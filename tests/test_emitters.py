@@ -52,7 +52,9 @@ def test_envmap_eval_at_pole():
                    "film": {"width": 1, "height": 1,
                             "rfilter": {"type": "box"}},
                    "sampler": {"sample_count": 16}},
-        "sky": {"type": "envmap", "data": _gradient_env()},
+        # reference y-up lat-long convention: rotate the local +y pole to +z
+        "sky": {"type": "envmap", "data": _gradient_env(),
+                "to_world": {"type": "rotate", "axis": [1, 0, 0], "angle": 90}},
     })
     img = np.asarray(integrators.render(scene, seed=1))
     assert img[0, 0, 1] == pytest.approx(1.0, abs=0.01)
@@ -73,7 +75,9 @@ def test_envmap_lit_plane_matches_analytic():
         "floor": {"type": "rectangle",
                   "to_world": {"type": "scale", "value": 50.0},
                   "bsdf": {"type": "diffuse", "reflectance": 1.0}},
-        "sky": {"type": "envmap", "data": _gradient_env()},
+        # reference y-up lat-long convention: rotate the local +y pole to +z
+        "sky": {"type": "envmap", "data": _gradient_env(),
+                "to_world": {"type": "rotate", "axis": [1, 0, 0], "angle": 90}},
     })
     img = np.asarray(integrators.render(scene, seed=1))
     assert img[0, 0, 1] == pytest.approx(0.6, rel=0.02), img[0, 0, 1]
@@ -95,7 +99,8 @@ def test_envmap_importance_low_variance():
         "floor": {"type": "rectangle",
                   "to_world": {"type": "scale", "value": 50.0},
                   "bsdf": {"type": "diffuse", "reflectance": 1.0}},
-        "sky": {"type": "envmap", "data": env},
+        "sky": {"type": "envmap", "data": env,
+                "to_world": {"type": "rotate", "axis": [1, 0, 0], "angle": 90}},
     })
     imgs = [np.asarray(integrators.render(scene, seed=s))[0, 0, 1]
             for s in range(4)]
@@ -158,7 +163,8 @@ def test_envmap_from_compressed_exr_file(tmp_path):
                    "film": {"width": 1, "height": 1,
                             "rfilter": {"type": "box"}},
                    "sampler": {"sample_count": 8}},
-        "sky": {"type": "envmap", "filename": p},
+        "sky": {"type": "envmap", "filename": p,
+                "to_world": {"type": "rotate", "axis": [1, 0, 0], "angle": 90}},
     })
     img = np.asarray(integrators.render(scene, seed=1))
     assert img[0, 0, 1] == pytest.approx(0.8, abs=0.02)

@@ -163,6 +163,7 @@ def test_aov_duv_render():
     # rect's 8-unit uv span... uv spans 1 over 8 world units, so
     # duv_dx.x ~ 2*tan(22.5deg)/w/8 at the center
     expect = 2.0 * np.tan(np.radians(22.5)) / w / 8.0
-    assert d1x[w // 2, w // 2] == pytest.approx(expect, rel=0.15)
-    # film y runs opposite to the rectangle's v axis
+    # film x runs opposite to camera +x (= the rect's u axis) per the
+    # reference sample mapping (sensor.h:196-230), film y opposite to v
+    assert d1x[w // 2, w // 2] == pytest.approx(-expect, rel=0.15)
     assert d2y[w // 2, w // 2] == pytest.approx(-expect, rel=0.15)

@@ -42,8 +42,8 @@ RECTS = [
     ([0, -1, 0], [1, 0, 0], [0, 0, 1], [0, 1, 0], WHITE, None),   # floor
     ([0, 1, 0], [1, 0, 0], [0, 0, 1], [0, -1, 0], WHITE, None),   # ceiling
     ([0, 0, 1], [1, 0, 0], [0, 1, 0], [0, 0, -1], WHITE, None),   # back
-    ([-1, 0, 0], [0, 0, 1], [0, 1, 0], [1, 0, 0], RED, None),     # left
-    ([1, 0, 0], [0, 0, 1], [0, 1, 0], [-1, 0, 0], GREEN, None),   # right
+    ([-1, 0, 0], [0, 0, 1], [0, 1, 0], [1, 0, 0], GREEN, None),   # x=-1
+    ([1, 0, 0], [0, 0, 1], [0, 1, 0], [-1, 0, 0], RED, None),     # x=+1
     ([0, 0.99, 0], [0.23, 0, 0], [0, 0, 0.19], [0, -1, 0],
      np.zeros(3), LE),                                            # light
 ]
@@ -126,9 +126,9 @@ def _oracle_render(W, H, spp, seed=0):
          + (2 * rng.random(n_rays) - 1)[:, None] * ev)
     to_l = y - p
     r2 = np.einsum("ij,ij->i", to_l, to_l)
-    wl = to_l / np.sqrt(r2)[:, None]
+    wl = to_l / np.sqrt(np.maximum(r2, 1e-30))[:, None]
     cos_x = np.einsum("ij,ij->i", n, wl)
-    cos_l = np.einsum("ij,ij->i", nl, -wl)
+    cos_l = np.einsum("j,ij->i", nl, -wl)
     # visibility: the shadow ray must reach the light first
     ts, is_ = _intersect(p + 1e-6 * n, wl)
     vis = (is_ == LIGHT)

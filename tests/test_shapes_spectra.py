@@ -176,11 +176,14 @@ def test_mesh_attribute_texture():
         "env": {"type": "constant", "radiance": 1.0},
     })
     img = np.asarray(integrators.render(scene, seed=1))
-    # corners of the triangle are dominated by their vertex color
-    bottom_left = img[12, 4]
+    # corners of the triangle are dominated by their vertex color; the
+    # reference sample mapping (sensor.h:196-230) puts world +x on the
+    # image's LEFT for a camera at -z, so the red vertex at x=-2 lands in
+    # the image's bottom-RIGHT
+    bottom_right = img[12, 11]
     top_center = img[3, 8]
-    assert bottom_left[0] > bottom_left[2] * 2, bottom_left   # red-ish
-    assert top_center[2] > top_center[0] * 2, top_center      # blue-ish
+    assert bottom_right[0] > bottom_right[2] * 2, bottom_right  # red-ish
+    assert top_center[2] > top_center[0] * 2, top_center        # blue-ish
 
 
 def test_spectral_envmap_upsampling_roundtrip():
@@ -203,10 +206,11 @@ def test_spectral_envmap_upsampling_roundtrip():
         "sky": {"type": "envmap", "data": env},
     }, Variant("spectral"))
     texels = [(2, 3), (2, 10), (5, 3), (5, 10)]
-    d = jnp.asarray([[math.sin(y / 7 * math.pi) * math.cos(x / 16 * 2 * math.pi),
-                      math.sin(y / 7 * math.pi) * math.sin(x / 16 * 2 * math.pi),
-                      math.cos(y / 7 * math.pi)] for y, x in texels],
-                    jnp.float32)
+    # reference y-up lat-long: d = (sin t sin p, cos t, -sin t cos p)
+    d = jnp.asarray([[math.sin(y / 7 * math.pi) * math.sin(x / 16 * 2 * math.pi),
+                      math.cos(y / 7 * math.pi),
+                      -math.sin(y / 7 * math.pi) * math.cos(x / 16 * 2 * math.pi)]
+                     for y, x in texels], jnp.float32)
     n = len(_LAM)
     wl = jnp.broadcast_to(jnp.asarray(_LAM, jnp.float32), (4, n))
     spec = np.asarray(emitters.envmap_eval(
