@@ -97,9 +97,27 @@ def _build_sensor(b, t, val, film_cfg):
         film_cfg["height"] = 1
         film_cfg["rfilter"] = "box"
     elif t == "distant":
+        if "direction" in val:
+            # direction is exclusive with to_world (distant.cpp:243-263):
+            # the sensor frame is look_at(0, direction, up) with up from
+            # `orientation` (up = direction x orientation) or the canonical
+            # coordinate_system basis; rays travel along -direction.
+            if "to_world" in val:
+                raise ValueError("distant: only one of 'direction' and "
+                                 "'to_world' can be specified")
+            dirc = np.asarray(val["direction"], np.float64)
+            dirc = dirc / np.linalg.norm(dirc)
+            if "orientation" in val:
+                up = np.cross(dirc, np.asarray(val["orientation"],
+                                               np.float64))
+                up = up / np.linalg.norm(up)
+            else:
+                from ..core.math import coordinate_system
+                _s, up_j = coordinate_system(jnp.asarray(dirc, jnp.float32))
+                up = np.asarray(up_j, np.float64)
+            tw = Transform.look_at([0.0, 0.0, 0.0], list(dirc), list(up))
         params["to_world"] = tw
-        params["direction"] = jnp.asarray(
-            np.asarray(val.get("direction", [0, 0, -1]), np.float32))
+        static["flip_directions"] = bool(val.get("flip_directions", False))
         if "target" in val:
             params["target"] = jnp.asarray(
                 np.asarray(val["target"], np.float32))

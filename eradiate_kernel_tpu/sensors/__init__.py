@@ -156,50 +156,63 @@ def mradiancemeter_sample_ray(scene, params, sampler, pos_film, time):
 
 
 def _distant_origin(scene, sampler, d, target_mode, params):
-    """Shared distant-ray construction: pick the target point, then start one
-    diameter upstream of it (distant.cpp:301-385, RayOriginType::BoundingSphere).
-    Returns (origin, target, sampler)."""
+    """Shared distant-ray construction: pick the target point, then start
+    upstream of it — one radius for cross-section targets, one diameter for
+    point targets (distant.cpp:376-384, mdistant.cpp:244,258;
+    RayOriginType::BoundingSphere). Returns (origin, target, sampler)."""
     r = scene.bsphere_radius
     if target_mode == "point":
         target = jnp.broadcast_to(params["target"], d.shape)
+        o = target - d * (2.0 * r)
     else:  # 'none': uniform over the bounding-sphere cross-section disk
         s, t = coordinate_system(d)
         sampler, s_aperture = sampler.next_2d()
         offset = warp.square_to_uniform_disk_concentric(s_aperture)
         target = scene.bsphere_center + (s * offset[..., 0:1]
                                          + t * offset[..., 1:2]) * r
-    o = target - d * (2.0 * r)
+        o = target - d * r
     return o, target, sampler
 
 
 def distant_sample_ray(scene, params, sampler, pos_film, time):
-    """[ERADIATE] src/sensors/distant.cpp — records radiance leaving the scene.
+    """[ERADIATE] src/sensors/distant.cpp — records radiance leaving the
+    scene along ``direction``; traced rays travel along -direction unless
+    ``flip_directions`` (distant.cpp:74-85,314-332).
 
-    Direction mode is picked by the film size (distant.cpp:74-85):
-      1x1  single   — the fixed ``direction``
-      Nx1  plane    — arc in the to_world x-z plane, theta = pi*(u - 1/2)
-      NxM  hemisphere — film square warped over the -z hemisphere of to_world
-    Target: full bounding-sphere cross-section ('none', default) or a fixed
-    point; rays start one bounding-sphere diameter upstream (distant.cpp:49-67).
-    """
+    Direction mode is picked by the film size (distant.cpp:74-85), with
+    v0 in the sensor frame (to_world = look_at(0, direction, up)):
+      1x1  single   — v0 = +z
+      Nx1  plane    — v0 = (cos(pi u), 0, sin(pi u)) (SampleWidth arc)
+      NxM  hemisphere — v0 uniform over the +z hemisphere
+    and ray.d = -to_world(v0) (+ if flipped).
+    Target: bounding-sphere cross-section ('none', default — the weight
+    carries the reference's 1/dot(-d, z_world) normalization,
+    distant.cpp:365) or a fixed point (weight 1); origins sit R / 2R
+    upstream respectively (distant.cpp:376-384)."""
     batch = pos_film.shape[:-1]
     mode = _static(scene, "direction_mode", "single")
     target_mode = _static(scene, "target_mode", "none")
+    sgn = 1.0 if _static(scene, "flip_directions", False) else -1.0
+    tw: Transform = params["to_world"]
     if mode == "single":
-        d = normalize(params["direction"])
-        d = jnp.broadcast_to(d, batch + (3,))
+        v0 = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+                              batch + (3,))
     elif mode == "plane":
-        tw: Transform = params["to_world"]
-        theta = jnp.pi * (pos_film[..., 0] - 0.5)
-        d_local = jnp.stack([jnp.sin(theta), jnp.zeros_like(theta),
-                             jnp.cos(theta)], -1)
-        d = normalize(tw.transform_vector(-d_local))
+        ang = jnp.pi * pos_film[..., 0]
+        v0 = jnp.stack([jnp.cos(ang), jnp.zeros_like(ang),
+                        jnp.sin(ang)], -1)
     else:  # hemisphere
-        tw: Transform = params["to_world"]
-        d_local = warp.square_to_uniform_hemisphere(pos_film)
-        d = normalize(tw.transform_vector(-d_local))
+        v0 = warp.square_to_uniform_hemisphere(pos_film)
+    d = normalize(tw.transform_vector(v0)) * sgn
     o, _target, sampler = _distant_origin(scene, sampler, d, target_mode, params)
     wl, weight, sampler = _wavelengths(scene, sampler, batch, params)
+    if target_mode == "none":
+        # cross-section normalization (distant.cpp:365): divide by the
+        # cosine between -d and the world vertical; near-horizontal rays
+        # (den -> 0, weight -> inf in the reference) are zeroed instead
+        den = -d[..., 2]
+        weight = jnp.where(den[..., None] > 1e-6,
+                           weight / jnp.maximum(den, 1e-6)[..., None], 0.0)
     return Ray.make(o, d, time=time, wavelengths=wl), weight, sampler
 
 
@@ -217,21 +230,26 @@ def mdistant_sample_ray(scene, params, sampler, pos_film, time):
 
 
 def distantflux_sample_ray(scene, params, sampler, pos_film, time):
-    """[ERADIATE] src/sensors/distantflux.cpp — hemispherical exitant flux.
+    """[ERADIATE] src/sensors/distantflux.cpp:208-226 — hemispherical
+    exitant flux.
 
-    The film square is warped over the -z hemisphere of to_world with the
-    cosine warp; each sample carries weight pi / (W*H) so the film SUM equals
-    the hemispherical flux  F = int L(d) cos(theta) dd  (pixels are the
-    cosine-warp strata of the hemisphere)."""
+    The film square is warped UNIFORMLY over the to_world +z hemisphere
+    (pixel <-> uniform-warp stratum, matching the reference's film
+    layout); ray.d = -to_world(v0), and each sample carries weight
+    cos(-d, reference_normal) * 2*pi / (W*H) (= cos / (pdf * n_pixels))
+    so the film SUM estimates  F = int L(d) cos(theta) dd."""
     batch = pos_film.shape[:-1]
     tw: Transform = params["to_world"]
-    d_local = warp.square_to_cosine_hemisphere(pos_film)
-    d = normalize(tw.transform_vector(-d_local))
+    v0 = warp.square_to_uniform_hemisphere(pos_film)
+    d = -normalize(tw.transform_vector(v0))
+    nrm = normalize(tw.transform_vector(
+        jnp.asarray([0.0, 0.0, 1.0], jnp.float32)))
     target_mode = _static(scene, "target_mode", "none")
     o, _target, sampler = _distant_origin(scene, sampler, d, target_mode, params)
     wl, weight, sampler = _wavelengths(scene, sampler, batch, params)
     n_pix = scene.config.film_width * scene.config.film_height
-    weight = weight * (jnp.pi / n_pix)
+    cos_n = jnp.sum(-d * nrm, -1)
+    weight = weight * (cos_n * 2.0 * jnp.pi / n_pix)[..., None]
     return Ray.make(o, d, time=time, wavelengths=wl), weight, sampler
 
 

@@ -122,7 +122,9 @@ def atmosphere(width=64, height=64, spp=16, max_depth=16, grid_res=16,
 
     if sensor == "distant":
         sensor_dict = {
-            "type": "distant", "direction": [0, 0, -1],
+            # direction = outgoing-radiance direction (rays trace along -direction,
+            # distant.cpp:314-332): TOA view records radiance leaving upward
+            "type": "distant", "direction": [0, 0, 1],
             "target": [0.5, 0.5, 0.0],
             "film": {"width": 1, "height": 1, "rfilter": {"type": "box"}},
             "sampler": {"type": "independent", "sample_count": spp},

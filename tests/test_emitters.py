@@ -67,7 +67,7 @@ def test_envmap_lit_plane_matches_analytic():
     scene = load_dict({
         "type": "scene",
         "integrator": {"type": "path", "max_depth": 2},
-        "sensor": {"type": "distant", "direction": [0, 0, -1],
+        "sensor": {"type": "distant", "direction": [0, 0, 1],
                    "target": [0, 0, 0],
                    "film": {"width": 1, "height": 1,
                             "rfilter": {"type": "box"}},
@@ -91,7 +91,7 @@ def test_envmap_importance_low_variance():
     scene = load_dict({
         "type": "scene",
         "integrator": {"type": "path", "max_depth": 2},
-        "sensor": {"type": "distant", "direction": [0, 0, -1],
+        "sensor": {"type": "distant", "direction": [0, 0, 1],
                    "target": [0, 0, 0],
                    "film": {"width": 1, "height": 1,
                             "rfilter": {"type": "box"}},

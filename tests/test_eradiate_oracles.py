@@ -250,9 +250,10 @@ def _sensor_rays(sensor_dict, n, extra=None):
 
 
 def test_distant_single_ray_geometry():
-    """Fixed-direction distant sensor with a point target: d == direction,
-    o == target - 2 R d, weight == 1 (distant.cpp:301-385, Point target +
-    BoundingSphere origin)."""
+    """Fixed-direction distant sensor with a point target: rays travel
+    along -direction (distant.cpp:314-332), o == target - 2 R d, weight ==
+    1 (distant.cpp:339-343,380-383, Point target + BoundingSphere
+    origin)."""
     direction = np.asarray([0.3, -0.2, -0.93])
     direction /= np.linalg.norm(direction)
     target = [0.1, 0.2, 0.0]
@@ -263,21 +264,29 @@ def test_distant_single_ray_geometry():
         64,
         extra={"s": {"type": "sphere", "radius": 1.0}})
     r = float(scene.bsphere_radius)
-    assert np.allclose(np.asarray(ray.d), direction, atol=1e-6)
-    expect_o = np.asarray(target) - direction * 2.0 * r
+    d_exp = -direction
+    assert np.allclose(np.asarray(ray.d), d_exp, atol=1e-6)
+    expect_o = np.asarray(target) - d_exp * 2.0 * r
     assert np.allclose(np.asarray(ray.o), expect_o, atol=1e-5)
     assert np.allclose(weight, 1.0)
+    # flip_directions reverses the ray (distant.cpp:331-332)
+    _sc, _p, ray_f, _w = _sensor_rays(
+        {"type": "distant", "direction": list(direction),
+         "target": target, "flip_directions": True,
+         "film": {"width": 1, "height": 1, "rfilter": {"type": "box"}}},
+        8, extra={"s": {"type": "sphere", "radius": 1.0}})
+    assert np.allclose(np.asarray(ray_f.d), direction, atol=1e-6)
 
 
 def test_distant_plane_arc_directions():
-    """Nx1 film: direction at film u is -[sin(pi(u-1/2)), 0, cos(pi(u-1/2))]
-    under the identity to_world (distant.cpp:74-85 SampleWidth mode)."""
+    """Nx1 film: direction at film u is -[cos(pi u), 0, sin(pi u)] under
+    the identity to_world (distant.cpp:321-326 SampleWidth mode)."""
     _scene, pos, ray, _w = _sensor_rays(
         {"type": "distant",
          "film": {"width": 8, "height": 1, "rfilter": {"type": "box"}}}, 256)
-    theta = np.pi * (pos[:, 0] - 0.5)
-    expect = -np.stack([np.sin(theta), np.zeros_like(theta),
-                        np.cos(theta)], -1)
+    ang = np.pi * pos[:, 0]
+    expect = -np.stack([np.cos(ang), np.zeros_like(ang),
+                        np.sin(ang)], -1)
     assert np.allclose(np.asarray(ray.d), expect, atol=1e-5)
 
 
@@ -296,10 +305,11 @@ def test_distant_hemisphere_directions_cover():
 
 
 def test_distant_disk_target_origins():
-    """Default 'none' targeting: ray targets (o + 2 R d) lie on the
+    """Default 'none' targeting: ray targets (o + R d) lie on the
     bounding-sphere cross-section disk through the center, perpendicular
-    to d, uniformly (mean == center, radii <= R)."""
-    direction = [0.0, 0.0, -1.0]
+    to d, uniformly (mean == center, radii <= R); weight carries the
+    1/dot(-d, z_world) normalization (distant.cpp:357-366)."""
+    direction = [0.0, 0.0, 1.0]
     scene, _pos, ray, _w = _sensor_rays(
         {"type": "distant", "direction": direction,
          "film": {"width": 1, "height": 1, "rfilter": {"type": "box"}}},
@@ -308,7 +318,8 @@ def test_distant_disk_target_origins():
                      "center": [1.0, 0.0, 0.0]}})
     r = float(scene.bsphere_radius)
     c = np.asarray(scene.bsphere_center)
-    target = np.asarray(ray.o) + np.asarray(ray.d) * 2.0 * r
+    # cross-section targets sit one radius downstream (distant.cpp:376-378)
+    target = np.asarray(ray.o) + np.asarray(ray.d) * r
     # on the plane through the center
     assert np.allclose(target[:, 2], c[2], atol=1e-4)
     rad = np.linalg.norm(target[:, :2] - c[None, :2], axis=-1)

@@ -143,7 +143,7 @@ def test_envmap_one_texel_sun_low_variance():
     scene = load_dict({
         "type": "scene",
         "integrator": {"type": "path", "max_depth": 2},
-        "sensor": {"type": "distant", "direction": [0, 0, -1],
+        "sensor": {"type": "distant", "direction": [0, 0, 1],
                    "target": [0, 0, 0],
                    "film": {"width": 1, "height": 1,
                             "rfilter": {"type": "box"}},

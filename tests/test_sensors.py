@@ -29,7 +29,8 @@ def film(sensor, **kw):
 
 
 def test_distant_single_direction():
-    img = film({"type": "distant", "direction": [0, 0, -1],
+    # rays travel along -direction (distant.cpp:314-332)
+    img = film({"type": "distant", "direction": [0, 0, 1],
                 "film": {"width": 1, "height": 1,
                          "rfilter": {"type": "box"}}})
     assert img.shape[:2] == (1, 1)
@@ -37,7 +38,8 @@ def test_distant_single_direction():
 
 
 def test_distant_plane_mode():
-    img = film({"type": "distant",
+    # point target: weight 1, so the constant env reads back exactly
+    img = film({"type": "distant", "target": [0.0, 0.0, 0.0],
                 "film": {"width": 8, "height": 1,
                          "rfilter": {"type": "box"}}})
     assert img.shape[:2] == (1, 8)
@@ -45,10 +47,21 @@ def test_distant_plane_mode():
 
 
 def test_distant_hemisphere_mode():
-    img = film({"type": "distant",
+    img = film({"type": "distant", "target": [0.0, 0.0, 0.0],
                 "film": {"width": 4, "height": 4,
                          "rfilter": {"type": "box"}}})
     assert np.allclose(img, 0.7, atol=1e-3), img
+
+
+def test_distant_cross_section_cosine_weight():
+    """Default (cross-section) targeting divides the weight by
+    dot(-d, z_world) (distant.cpp:357-366): a slanted view of a constant
+    env reads radiance / cos(theta)."""
+    direction = [0.6, 0.0, 0.8]  # rays travel -direction; -d = +direction
+    img = film({"type": "distant", "direction": direction,
+                "film": {"width": 1, "height": 1,
+                         "rfilter": {"type": "box"}}})
+    assert np.allclose(img, 0.7 / 0.8, atol=1e-3), img
 
 
 def test_distant_sees_surface():
@@ -56,7 +69,7 @@ def test_distant_sees_surface():
     env: L = albedo * L_env for a Lambertian plane under uniform sky."""
     # point target: the default cross-section disk extends past the rect
     # and would (correctly) average in the background
-    img = film({"type": "distant", "direction": [0, 0, -1],
+    img = film({"type": "distant", "direction": [0, 0, 1],
                 "target": [0.0, 0.0, 0.0],
                 "film": {"width": 1, "height": 1,
                          "rfilter": {"type": "box"}}},
@@ -69,7 +82,7 @@ def test_distant_sees_surface():
 
 
 def test_distant_point_target():
-    img = film({"type": "distant", "direction": [0, 0, -1],
+    img = film({"type": "distant", "direction": [0, 0, 1],
                 "target": [0.0, 0.0, 0.0],
                 "film": {"width": 1, "height": 1,
                          "rfilter": {"type": "box"}}})

@@ -109,7 +109,7 @@ def test_spectral_render_preserves_color():
     d = {
         "type": "scene",
         "integrator": {"type": "path", "max_depth": 2},
-        "sensor": {"type": "distant", "direction": [0, 0, -1],
+        "sensor": {"type": "distant", "direction": [0, 0, 1],
                    "target": [0.0, 0.0, 0.0],
                    "film": {"width": 1, "height": 1,
                             "rfilter": {"type": "box"}},

@@ -58,7 +58,7 @@ def _slab_scene(profile, albedo, rho, phase, d_sun, d_view, spp):
         "type": "scene",
         "integrator": {"type": "volpath", "max_depth": 2, "rr_depth": 100},
         "sensor": {
-            "type": "distant", "direction": list(d_view),
+            "type": "distant", "direction": list(-np.asarray(d_view)),
             "target": [0.5, 0.5, 0.0],
             "film": {"width": 1, "height": 1, "rfilter": {"type": "box"}},
             "sampler": {"type": "independent", "sample_count": spp},
