@@ -55,6 +55,47 @@ def _build_srf(spec, params):
     params["srf_integral"] = jnp.asarray(integral, jnp.float32)
 
 
+def _parse_fov(val, aspect):
+    """sensor.cpp:113-165 parse_fov: either `fov` + `fov_axis`
+    (x | y | smaller | larger | diagonal) or a 35mm-equivalent
+    `focal_length` ("<x>mm", 36x24mm sensor, diagonal axis; default 50mm)
+    -> horizontal field of view in degrees."""
+    if "fov" in val and "focal_length" in val:
+        raise ValueError("Please specify either a focal length "
+                         "('focal_length') or a field of view ('fov')!")
+    if "fov" in val:
+        fov = float(val["fov"])
+        axis = str(val.get("fov_axis", "x")).lower()
+        if axis == "smaller":
+            axis = "y" if aspect > 1 else "x"
+        elif axis == "larger":
+            axis = "x" if aspect > 1 else "y"
+    else:
+        f = str(val.get("focal_length", "50mm"))
+        if f.endswith("mm"):
+            f = f[:-2]
+        value = float(f)
+        fov = 2.0 * np.rad2deg(
+            np.arctan(np.sqrt(36.0 ** 2 + 24.0 ** 2) / (2.0 * value)))
+        axis = "diagonal"
+    if axis == "x":
+        result = fov
+    elif axis == "y":
+        result = np.rad2deg(2.0 * np.arctan(
+            np.tan(0.5 * np.deg2rad(fov)) * aspect))
+    elif axis == "diagonal":
+        diagonal = 2.0 * np.tan(0.5 * np.deg2rad(fov))
+        width = diagonal / np.sqrt(1.0 + 1.0 / (aspect * aspect))
+        result = np.rad2deg(2.0 * np.arctan(0.5 * width))
+    else:
+        raise ValueError("The 'fov_axis' parameter must be set to one of "
+                         "'smaller', 'larger', 'diagonal', 'x', or 'y'!")
+    if not 0.0 < result < 180.0:
+        raise ValueError("The horizontal field of view must be in the "
+                         "range [0, 180]!")
+    return float(result)
+
+
 def _build_sensor(b, t, val, film_cfg):
     """Build (sensor_params, sensor_static) for sensor type ``t``."""
     from ..core.transform import as_animated_transform
@@ -76,7 +117,8 @@ def _build_sensor(b, t, val, film_cfg):
         params["shutter_open"] = jnp.asarray(so, jnp.float32)
         params["shutter_span"] = jnp.asarray(sc_ - so, jnp.float32)
     if t in ("perspective", "thinlens"):
-        fov = float(val.get("fov", 34.0))
+        aspect = film_cfg.get("width", 64) / film_cfg.get("height", 64)
+        fov = _parse_fov(val, aspect)
         params["to_world"] = tw
         params["tan_half_fov"] = jnp.asarray(np.tan(np.deg2rad(fov) / 2),
                                              jnp.float32)

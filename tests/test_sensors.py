@@ -281,3 +281,43 @@ def test_animation_xml_tag(tmp_path):
     from eradiate_kernel_tpu import integrators
     img = np.asarray(integrators.render(sc))
     assert np.isfinite(img).all()
+
+
+def test_parse_fov_axes():
+    """parse_fov (sensor.cpp:113-165): fov_axis x/y/smaller/larger/
+    diagonal and the 35mm-equivalent focal_length all reduce to the
+    horizontal fov."""
+    import math
+
+    def tanx(sensor):
+        scene = env_scene(sensor)
+        return float(scene.sensor["tan_half_fov"])
+
+    film = {"width": 32, "height": 16, "rfilter": {"type": "box"}}
+    base = {"type": "perspective", "film": dict(film)}
+    # x axis: tan directly
+    assert tanx({**base, "fov": 40.0}) == pytest.approx(
+        math.tan(math.radians(20.0)), rel=1e-6)
+    # y axis: scaled by aspect = W/H = 2
+    assert tanx({**base, "fov": 40.0, "fov_axis": "y"}) == pytest.approx(
+        math.tan(math.radians(20.0)) * 2.0, rel=1e-6)
+    # smaller == y for aspect > 1; larger == x
+    assert tanx({**base, "fov": 40.0, "fov_axis": "smaller"}) == \
+        pytest.approx(math.tan(math.radians(20.0)) * 2.0, rel=1e-6)
+    assert tanx({**base, "fov": 40.0, "fov_axis": "larger"}) == \
+        pytest.approx(math.tan(math.radians(20.0)), rel=1e-6)
+    # diagonal
+    diag = 2.0 * math.tan(math.radians(20.0))
+    width = diag / math.sqrt(1.0 + 0.25)
+    assert tanx({**base, "fov": 40.0, "fov_axis": "diagonal"}) == \
+        pytest.approx(width / 2.0, rel=1e-6)
+    # 50mm focal length on a square film -> ~34.02 deg horizontal
+    sq = {"type": "perspective",
+          "film": {"width": 16, "height": 16, "rfilter": {"type": "box"}}}
+    assert tanx({**sq, "focal_length": "50mm"}) == pytest.approx(
+        math.tan(math.radians(34.0222 / 2)), rel=1e-3)
+    # default (no fov): the same 50mm
+    assert tanx(sq) == pytest.approx(
+        math.tan(math.radians(34.0222 / 2)), rel=1e-3)
+    with pytest.raises(ValueError, match="focal length"):
+        env_scene({**sq, "fov": 30.0, "focal_length": "50mm"})
