@@ -51,6 +51,33 @@ def register_integrator(name, module):
     REGISTRY[name] = module
 
 
+_HOST_CALLBACKS_OK = None
+
+
+def _host_callbacks_supported():
+    """Whether the active backend can run jax.debug host callbacks. Probed
+    once with a trivial program: some experimental PJRT plugins (the axon TPU
+    relay) reject host send/recv callbacks at *run* time, which would turn a
+    purely diagnostic print into a crash of every jitted render."""
+    global _HOST_CALLBACKS_OK
+    if _HOST_CALLBACKS_OK is None:
+        import numpy as np
+        try:
+            def f(x):
+                jax.debug.callback(lambda _: None, x)
+                return x
+            # explicit lower+compile+execute: a plain jit *call* here would be
+            # staged into the ambient trace (this probe runs while the render
+            # itself is being traced), leaking the very callback we are
+            # testing for into the render program
+            compiled = jax.jit(f).lower(np.zeros(())).compile()
+            np.asarray(compiled(np.zeros(())))
+            _HOST_CALLBACKS_OK = True
+        except Exception:
+            _HOST_CALLBACKS_OK = False
+    return _HOST_CALLBACKS_OK
+
+
 def render_wavefront(scene, lane_offset, n_lanes, seed, spp):
     """Render one pass of ``n_lanes`` samples starting at global sample index
     ``lane_offset``; returns the partial film (H, W, C). Lanes beyond the
@@ -258,12 +285,14 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
     occupied_f, next_sample_f = final[3], final[5]
     dropped = jnp.sum(occupied_f, dtype=jnp.uint32) \
         + (total - jnp.minimum(next_sample_f, total))
-    jax.lax.cond(
-        dropped > 0,
-        lambda: jax.debug.print(
-            "render_wavefront_regen: iteration cap hit with {d} samples "
-            "unharvested — film weight is low; raise max_iterations", d=dropped),
-        lambda: None)
+    if _host_callbacks_supported():
+        jax.lax.cond(
+            dropped > 0,
+            lambda: jax.debug.print(
+                "render_wavefront_regen: iteration cap hit with {d} samples "
+                "unharvested — film weight is low; raise max_iterations",
+                d=dropped),
+            lambda: None)
     return final[6], final[7]
 
 
