@@ -20,6 +20,7 @@ with zero in-kernel transposes or gathers (triangle data is pre-gathered as
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +30,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .accel import TILE_K
 
-RAY_BLOCK = 512  # rays per kernel program
+# rays per kernel program: larger blocks amortize per-block scalar traversal
+# overhead, smaller blocks keep the block frustum tight (fewer admitted
+# tiles per ray). 512 won the v5e sweep for both coherent and bounce rays.
+RAY_BLOCK = int(os.environ.get("ERT_RAY_BLOCK", 512))
 
 
 def _intersect_tile(j, rays, tris_ref, prim_ref, shape_ref, carry,
@@ -170,16 +174,25 @@ def _run(rays, ids, count, tris, prim, shape, interpret=False):
 STACK_SIZE = 64  # >= bvh.MAX_DEPTH + margin; traversal pushes <=1 deferred/level
 
 
-def _bvh_kernel(rays_ref, nbox_ref, nmeta_ref, xf_ref, base_ref,
+def _bvh_kernel(rays_ref, rays_t_ref, nbox_ref, nmeta_ref, xf_ref, base_ref,
                 tris_ref, prim_ref, shape_ref,
                 t_ref, uv_ref, prim_out_ref, shape_out_ref, stack_ref):
     """Per-ray-block BVH traversal (the kd-tree/OptiX analog,
     kdtree.h:2068-2301 / optix_rt.cu:9-64, re-designed for the VPU).
 
     The whole 512-ray block walks the tree together: one scalar stack in
-    SMEM, node AABB slab tests vectorized over the block's rays with
-    per-ray best-t culling, near-child-first ordering by the block's
-    minimum entry distance, and dense (B x K) Moller-Trumbore at leaves.
+    SMEM, node AABB slab tests vectorized over the block's rays,
+    near-child-first ordering by the block's minimum entry distance, and
+    dense (B x K) Moller-Trumbore at leaves.
+
+    Layout is the whole game. Traversal math runs on a TRANSPOSED copy of
+    the ray block (rays_t_ref, component rows of shape (1, B) with rays on
+    the lane axis): a (B, 1) column uses one lane in 128, so a slab test in
+    that layout costs as many vector ops as a full (B x K) triangle batch —
+    measured 2.8x end-to-end slower than this lanes-major form. The leaf
+    batches keep the (B, 1) x (1, K) outer-broadcast layout from rays_ref.
+    Occlusion culling uses the scalar block max of best_t (conservative,
+    refreshed after every leaf) so the traversal state stays lane-major.
 
     Two-level instancing (shapegroup.h / scene_optix.inl IAS analog):
     leaves carry an instance id (nmeta[:, 3], -1 = none); at an instanced
@@ -198,7 +211,16 @@ def _bvh_kernel(rays_ref, nbox_ref, nmeta_ref, xf_ref, base_ref,
     mint = rays_ref[:, 6:7]
     maxt = rays_ref[:, 7:8]
     B = ox.shape[0]
-    rays = (ox, oy, oz, dx, dy, dz, mint, maxt)
+
+    # lanes-major copies for traversal: (1, B) rows
+    oxt = rays_t_ref[0:1, :]
+    oyt = rays_t_ref[1:2, :]
+    ozt = rays_t_ref[2:3, :]
+    dxt = rays_t_ref[3:4, :]
+    dyt = rays_t_ref[4:5, :]
+    dzt = rays_t_ref[5:6, :]
+    mintt = rays_t_ref[6:7, :]
+    maxtt = rays_t_ref[7:8, :]
 
     # safe per-ray reciprocal directions: tiny components -> huge finite
     # inverse (no inf, so 0 * inv stays 0 instead of NaN in the slab test)
@@ -207,24 +229,25 @@ def _bvh_kernel(rays_ref, nbox_ref, nmeta_ref, xf_ref, base_ref,
         s = jnp.where(d < 0, -1.0, 1.0)
         return s / jnp.maximum(ad, 1e-30)
 
-    ix, iy, iz = rcp(dx), rcp(dy), rcp(dz)
+    ix, iy, iz = rcp(dxt), rcp(dyt), rcp(dzt)
 
-    def slab(j, best_t):
-        """Block-vs-node test. Returns (any_enter scalar bool, min entry t)."""
+    def slab(j, bt_ub):
+        """Block-vs-node test. Returns (any_enter scalar bool, min entry t).
+        bt_ub: scalar upper bound on the block's per-ray best t."""
         box = nbox_ref[j]                      # (1, 8)
-        t0x = (box[0:1, 0:1] - ox) * ix        # (B, 1)
-        t1x = (box[0:1, 3:4] - ox) * ix
-        t0y = (box[0:1, 1:2] - oy) * iy
-        t1y = (box[0:1, 4:5] - oy) * iy
-        t0z = (box[0:1, 2:3] - oz) * iz
-        t1z = (box[0:1, 5:6] - oz) * iz
+        t0x = (box[0:1, 0:1] - oxt) * ix       # (1, B)
+        t1x = (box[0:1, 3:4] - oxt) * ix
+        t0y = (box[0:1, 1:2] - oyt) * iy
+        t1y = (box[0:1, 4:5] - oyt) * iy
+        t0z = (box[0:1, 2:3] - ozt) * iz
+        t1z = (box[0:1, 5:6] - ozt) * iz
         near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
                                        jnp.minimum(t0y, t1y)),
-                           jnp.maximum(jnp.minimum(t0z, t1z), mint))
+                           jnp.maximum(jnp.minimum(t0z, t1z), mintt))
         far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                       jnp.maximum(t0y, t1y)),
                           jnp.minimum(jnp.maximum(t0z, t1z),
-                                      jnp.minimum(maxt, best_t)))
+                                      jnp.minimum(maxtt, bt_ub)))
         ok = near <= far
         return jnp.any(ok), jnp.min(jnp.where(ok, near, jnp.inf))
 
@@ -234,13 +257,17 @@ def _bvh_kernel(rays_ref, nbox_ref, nmeta_ref, xf_ref, base_ref,
         return carry[0] > 0
 
     def body(carry):
-        sp, best_t, best_u, best_v, best_prim, best_shape = carry
+        sp, bt_ub, best_t, best_u, best_v, best_prim, best_shape = carry
         sp = sp - 1
         node = stack_ref[sp]
-        left = nmeta_ref[node, 0]
-        right = nmeta_ref[node, 1]
-        tile = nmeta_ref[node, 2]
-        inst = nmeta_ref[node, 3]
+        # node metadata lives in VMEM ((N, 1, 4) i32 rows — SMEM windows pad
+        # every element to 128 bytes, so scene-sized tables cannot live
+        # there); scalarize each field with a single-element reduction
+        meta = nmeta_ref[node]                 # (1, 4)
+        left = jnp.max(meta[0:1, 0:1])
+        right = jnp.max(meta[0:1, 1:2])
+        tile = jnp.max(meta[0:1, 2:3])
+        inst = jnp.max(meta[0:1, 3:4])
         is_leaf = tile >= 0
 
         def do_leaf(c):
@@ -264,18 +291,20 @@ def _bvh_kernel(rays_ref, nbox_ref, nmeta_ref, xf_ref, base_ref,
             ldy = m10 * dx + m11 * dy + m12 * dz
             ldz = m20 * dx + m21 * dy + m22 * dz
             rays_l = (lox, loy, loz, ldx, ldy, ldz, mint, maxt)
-            return _intersect_tile(tile, rays_l, tris_ref, prim_ref,
-                                   shape_ref, c, shape_off=base_ref[k])
+            out = _intersect_tile(tile, rays_l, tris_ref, prim_ref,
+                                  shape_ref, c[1:], shape_off=base_ref[k])
+            # refresh the scalar culling bound from the updated per-ray t
+            # (best_t only decreases, so the new block max tightens c[0])
+            return (jnp.max(out[0]),) + out
 
-        best = jax.lax.cond(
-            is_leaf, do_leaf, lambda c: c,
-            (best_t, best_u, best_v, best_prim, best_shape))
-        best_t = best[0]
+        carry5 = (bt_ub, best_t, best_u, best_v, best_prim, best_shape)
+        best = jax.lax.cond(is_leaf, do_leaf, lambda c: c, carry5)
+        bt_ub = best[0]
 
         # inner node: test both children against the block (cheap VPU work;
         # computed unconditionally — leaves read child index 0, harmless)
-        hit_l, near_l = slab(left, best_t)
-        hit_r, near_r = slab(right, best_t)
+        hit_l, near_l = slab(left, bt_ub)
+        hit_r, near_r = slab(right, bt_ub)
         inner = jnp.logical_not(is_leaf)
         hit_l = hit_l & inner
         hit_r = hit_r & inner
@@ -298,13 +327,14 @@ def _bvh_kernel(rays_ref, nbox_ref, nmeta_ref, xf_ref, base_ref,
             stack_ref[i1] = first
 
         sp = sp + push_first.astype(jnp.int32) + push_second.astype(jnp.int32)
-        return (sp, best[0], best[1], best[2], best[3], best[4])
+        return (sp,) + best
 
-    init = (jnp.int32(1), maxt, jnp.zeros((B, 1), jnp.float32),
+    init = (jnp.int32(1), jnp.max(maxtt), maxt,
+            jnp.zeros((B, 1), jnp.float32),
             jnp.zeros((B, 1), jnp.float32),
             jnp.zeros((B, 1), jnp.int32), jnp.full((B, 1), -1, jnp.int32))
-    _, best_t, best_u, best_v, best_prim, best_shape = jax.lax.while_loop(
-        cond, body, init)
+    (_, _, best_t, best_u, best_v, best_prim,
+     best_shape) = jax.lax.while_loop(cond, body, init)
 
     no_hit = best_t >= maxt
     t_ref[:, :] = jnp.where(no_hit, jnp.inf, best_t)
@@ -322,6 +352,8 @@ def _run_bvh(rays, nbox, nmeta, xf, sbase, tris, prim, shape,
     N = nbox.shape[0]
     I1 = xf.shape[0]
     grid = (n // RAY_BLOCK,)
+    rays_t = rays.T  # (8, n): lanes-major component planes for traversal
+    nmeta = nmeta.reshape(N, 1, 4)  # VMEM row layout for in-kernel fetches
 
     t, uv, prim_o, shape_o = pl.pallas_call(
         _bvh_kernel,
@@ -329,10 +361,12 @@ def _run_bvh(rays, nbox, nmeta, xf, sbase, tris, prim, shape,
         in_specs=[
             pl.BlockSpec((RAY_BLOCK, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((N, 1, 8), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, 4), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((N, 1, 4), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((I1, 12), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((I1,), lambda i: (0,),
@@ -362,19 +396,71 @@ def _run_bvh(rays, nbox, nmeta, xf, sbase, tris, prim, shape,
         ],
         scratch_shapes=[pltpu.SMEM((STACK_SIZE,), jnp.int32)],
         interpret=interpret,
-    )(rays, nbox, nmeta, xf, sbase, tris, prim, shape)
+    )(rays, rays_t, nbox, nmeta, xf, sbase, tris, prim, shape)
     return t[:, 0], uv, prim_o[:, 0], shape_o[:, 0]
 
 
-_IDENTITY_XF = None
+# module-level NumPy constant (not a jnp array: a device array created
+# during one jit trace would leak that trace's tracer into later calls)
+_IDENTITY_XF = np.array([[1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0]], np.float32)
 
 
 def _identity_xf():
-    global _IDENTITY_XF
-    if _IDENTITY_XF is None:
-        _IDENTITY_XF = jnp.asarray(
-            [[1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0]], jnp.float32)
     return _IDENTITY_XF
+
+
+SORT_MIN_RAYS = 4 * RAY_BLOCK
+
+
+def _part1by2(x):
+    """Spread the low 10 bits of x across every 3rd bit (Morton helper,
+    canonical mask sequence)."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def _coherence_keys(rays, lo, hi):
+    """u32 sort key per ray: direction octant (3 bits) then Morton code of
+    the origin quantized to the scene bounds (21 bits). Dead rays
+    (maxt <= mint: masked-out wavefront lanes) key to the max value so they
+    compact into all-dead blocks whose root slab test fails immediately."""
+    o = rays[:, 0:3]
+    d = rays[:, 3:6]
+    u32 = jnp.uint32
+    octant = (((d[:, 0] < 0).astype(u32) << 2)
+              | ((d[:, 1] < 0).astype(u32) << 1)
+              | (d[:, 2] < 0).astype(u32))
+    ext = jnp.maximum(hi - lo, 1e-30)
+    q = jnp.clip((o - lo) / ext * 128.0, 0.0, 127.0).astype(u32)
+    morton = (_part1by2(q[:, 0]) << 2) | (_part1by2(q[:, 1]) << 1) \
+        | _part1by2(q[:, 2])
+    key = (octant << 21) | morton
+    dead = rays[:, 7] <= rays[:, 6]
+    return jnp.where(dead, u32(0xFFFFFFFF), key)
+
+
+def _maybe_sorted(rays, lo, hi):
+    """Coherence sort for bounce-style ray loads (the wavefront analog of
+    the reference's per-ray BVH: incoherent blocks admit near-every tile, so
+    sorting by octant+origin cell is worth an argsort — measured 8x on
+    random rays). Returns (sorted rays, unsort index or None).
+
+    Skipped for small loads and under ERT_RAY_SORT=0; ERT_RAY_SORT=1
+    forces it."""
+    flag = os.environ.get("ERT_RAY_SORT", "auto")
+    n = rays.shape[0]
+    if flag == "0" or (flag != "1" and n < SORT_MIN_RAYS):
+        return rays, None
+    keys = _coherence_keys(rays, lo, hi)
+    # stable: preserves existing (camera) coherence inside equal keys
+    order = jnp.argsort(keys, stable=True)
+    unsort = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32))
+    return rays[order], unsort
 
 
 def intersect_bvh(tiles, ray, interpret=False):
@@ -394,6 +480,8 @@ def intersect_bvh(tiles, ray, interpret=False):
         ray.d[..., 0], ray.d[..., 1], ray.d[..., 2],
         jnp.broadcast_to(ray.mint, (n,)),
         jnp.broadcast_to(ray.maxt, (n,))], axis=-1)   # (N, 8)
+    root = tiles["nbox"][0, 0]
+    rays, unsort = _maybe_sorted(rays, root[0:3], root[3:6])
     if pad:
         filler = jnp.zeros((pad, 8), rays.dtype).at[:, 5].set(1.0)
         rays = jnp.concatenate([rays, filler], axis=0)
@@ -408,6 +496,8 @@ def intersect_bvh(tiles, ray, interpret=False):
     t, uv, prim_o, shape_o = _run_bvh(rays, tiles["nbox"], tiles["nmeta"],
                                       xf, sbase, tris, prim, shape,
                                       interpret=interpret)
+    if unsort is not None:
+        return t[unsort], uv[unsort], prim_o[unsort], shape_o[unsort]
     return t[:n], uv[:n], prim_o[:n], shape_o[:n]
 
 
@@ -499,6 +589,7 @@ def intersect_tiles(tiles, ray, interpret=False):
         ray.d[..., 0], ray.d[..., 1], ray.d[..., 2],
         jnp.broadcast_to(ray.mint, (n,)),
         jnp.broadcast_to(ray.maxt, (n,))], axis=-1)   # (N, 8)
+    rays, unsort = _maybe_sorted(rays, tiles["lo"].min(0), tiles["hi"].max(0))
     if pad:
         filler = jnp.zeros((pad, 8), rays.dtype).at[:, 5].set(1.0)
         rays = jnp.concatenate([rays, filler], axis=0)
@@ -520,4 +611,6 @@ def intersect_tiles(tiles, ray, interpret=False):
             [count, jnp.zeros((nb_pad - nb, 8), count.dtype)], 0)
     t, uv, prim_o, shape_o = _run(rays, ids, count, tris, prim, shape,
                                   interpret=interpret)
+    if unsort is not None:
+        return t[unsort], uv[unsort], prim_o[unsort], shape_o[unsort]
     return t[:n], uv[:n], prim_o[:n], shape_o[:n]
