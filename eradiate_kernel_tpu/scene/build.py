@@ -985,7 +985,8 @@ def load_dict(d: dict, variant: Variant | None = None) -> Scene:
                     if k in val:
                         extra.append((k, val[k]))
             extra += [(k, v) for k, v in props.items()
-                      if k in ("max_iterations", "nee_steps")]
+                      if k in ("max_iterations", "nee_steps",
+                               "nee_transmittance", "nee_quad_points")]
             integrator_cfg = IntegratorConfig(
                 kind=t,
                 max_depth=int(props.get("max_depth", 8)),
