@@ -27,9 +27,17 @@ class Transform:
     # -- constructors ---------------------------------------------------------
     @staticmethod
     def from_matrix(m):
-        m = jnp.asarray(m, dtype=jnp.float32)
-        inv = jnp.linalg.inv(m)
-        return Transform(m=m, inv_t=jnp.swapaxes(inv, -1, -2))
+        if isinstance(m, (jax.Array, jax.core.Tracer)):
+            m = jnp.asarray(m, dtype=jnp.float32)
+            inv = jnp.linalg.inv(m)
+            return Transform(m=m, inv_t=jnp.swapaxes(inv, -1, -2))
+        # host inputs stay host-side (numpy leaves of the scene pytree):
+        # scene construction must not touch the device — any
+        # device-to-host readback (builders call np.asarray on transforms)
+        # permanently degrades the TPU relay's dispatch latency
+        m = np.asarray(m, dtype=np.float32)
+        inv = np.linalg.inv(m.astype(np.float64)).astype(np.float32)
+        return Transform(m=m, inv_t=np.swapaxes(inv, -1, -2))
 
     @staticmethod
     def identity():
@@ -120,8 +128,9 @@ class Transform:
         return self.transform_affine_point(o), self.transform_vector(d)
 
     def inverse(self):
-        return Transform(m=jnp.swapaxes(self.inv_t, -1, -2),
-                         inv_t=jnp.swapaxes(self.m, -1, -2))
+        xp = np if isinstance(self.m, np.ndarray) else jnp
+        return Transform(m=xp.swapaxes(self.inv_t, -1, -2),
+                         inv_t=xp.swapaxes(self.m, -1, -2))
 
     def __matmul__(self, other):
         return Transform(m=self.m @ other.m, inv_t=self.inv_t @ other.inv_t)

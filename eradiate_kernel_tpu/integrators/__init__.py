@@ -69,9 +69,12 @@ def _host_callbacks_supported():
             # explicit lower+compile+execute: a plain jit *call* here would be
             # staged into the ambient trace (this probe runs while the render
             # itself is being traced), leaking the very callback we are
-            # testing for into the render program
+            # testing for into the render program. block_until_ready, NOT
+            # np.asarray: a device-to-host readback here would flip the TPU
+            # relay into its degraded per-launch dispatch mode for the whole
+            # process (see core/transform.py note)
             compiled = jax.jit(f).lower(np.zeros(())).compile()
-            np.asarray(compiled(np.zeros(())))
+            jax.block_until_ready(compiled(np.zeros(())))
             _HOST_CALLBACKS_OK = True
         except Exception:
             _HOST_CALLBACKS_OK = False
@@ -163,7 +166,7 @@ def _lane_values(cfg, spec, valid, wavelengths, n_extra=0):
 
 
 def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
-                           total=None):
+                           total=None, max_total=None):
     """Regenerating wavefront render: lanes whose path terminates are
     harvested into the film and immediately refilled with the next unstarted
     camera sample, so occupancy stays near 100% regardless of path-length
@@ -175,6 +178,20 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
     scan does not (SURVEY 5.7: "compaction + refill from a queue"). Runs as
     a ``lax.while_loop`` so it is primal-only; differentiable renders use
     ``render_wavefront``'s fixed-trip scan instead.
+
+    Harvesting: with a <=0.5-radius filter (the imageblock.cpp single-pixel
+    fast path) each sample lands in exactly one pixel, so the film never
+    needs in-loop scatters at all: finished lanes are compacted to the
+    front with one 32-element-key sort and APPENDED to a sample log via
+    ``dynamic_update_slice`` at a running cursor. DUS into a loop carry is
+    a true in-place write (the KV-cache-append pattern); an XLA scatter
+    into a loop carry instead pays a full copy/rewrite of the target every
+    iteration (~0.35 ms for a 256^2 film, ~60% of this render's whole
+    budget — measured). The film materializes ONCE at the end: one scatter
+    of the log into per-sample slots, then a reshape-sum over the spp axis
+    (sample index = pixel * spp + s). Wider filters keep the footprint
+    film_put path. ``max_total`` (static) bounds the log when ``total`` is
+    traced (the per-shard count under shard_map).
 
     Returns ``(film, n_rays)`` where film is the (ch, cw, C) partial film
     over samples [sample_offset, sample_offset+total) and n_rays counts
@@ -190,6 +207,18 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
     cx, cy = cfg.crop_offset
     if total is None:
         total = ch * cw * spp
+    if max_total is None:
+        max_total = total if isinstance(total, int) else ch * cw * spp
+    import os as _os
+    from ..rfilters import filter_radius
+    radius = filter_radius(cfg.rfilter, dict(cfg.rfilter_params))
+    use_log = radius <= 0.5 + 1e-6 \
+        and _os.environ.get("ERT_REGEN_LOG", "1") != "0"
+    # sample slots cover the spp-aligned window [aligned_off, +n_buf)
+    n_buf = (-(-max_total // spp) + 1) * spp
+    n_log = n_buf + n_lanes  # append slack: one junk tail of lane width
+    aligned_off = (jnp.uint32(sample_offset) // jnp.uint32(spp)) \
+        * jnp.uint32(spp)
     total = jnp.uint32(sample_offset + total)
     max_iterations, bounce_kwargs = mod._knobs(scene)
     # primal-only extras (e.g. volpath's early-terminating while-loop NEE
@@ -217,9 +246,20 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
     vp0, pos0, rw0 = fresh_lanes(jnp.zeros(n_lanes, bool),
                                  jnp.zeros(n_lanes, jnp.uint32))
     rp = dict(cfg.rfilter_params)
-    image0 = jnp.zeros((ch, cw, N_BASE_CHANNELS))
+    if use_log:
+        # (per-channel value logs, slot log, cursor); 1-D logs keep every
+        # append/scatter transpose-free (a packed (n, 5) log comes out of
+        # the while carry channel-major and the final scatter fuses two
+        # transposes — measured 26 ms vs sub-ms). Unwritten slot entries
+        # point at the trash slot n_buf and drop out in the final scatter.
+        image0 = (tuple(jnp.zeros((n_log,))
+                        for _ in range(N_BASE_CHANNELS)),
+                  jnp.full((n_log,), n_buf, jnp.int32), jnp.int32(0))
+    else:
+        image0 = jnp.zeros((ch, cw, N_BASE_CHANNELS))
     state0 = (vp0, pos0, rw0, jnp.zeros(n_lanes, bool),
               jnp.zeros(n_lanes, jnp.int32), jnp.uint32(sample_offset),
+              jnp.zeros(n_lanes, jnp.uint32),
               image0, jnp.zeros(()), jnp.int32(0))
 
     def merge_lanes(fresh, old, mask):
@@ -229,12 +269,13 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
             fresh, old)
 
     def cond(st):
-        vp, pos, rw, occupied, its, next_sample, image, rays, it = st
+        occupied, next_sample, it = st[3], st[5], st[9]
         cap = jnp.int32(20 * max_iterations * (1 + (ch * cw * spp) // n_lanes))
         return ((next_sample < total) | jnp.any(occupied)) & (it < cap)
 
     def body(st):
-        vp, pos, rw, occupied, its, next_sample, image, rays, it = st
+        (vp, pos, rw, occupied, its, next_sample, lane_sample, image, rays,
+         it) = st
 
         # 1. harvest lanes whose path finished since the last visit
         finished = occupied & ~vp.active
@@ -243,11 +284,35 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
             spec = vp.result * rw
             values = _lane_values(cfg, spec, vp.valid_ray,
                                   vp.ray.wavelengths)
+            if use_log:
+                log_v, log_i, cursor = image
+                key = jnp.where(finished,
+                                jnp.arange(n_lanes, dtype=jnp.int32),
+                                jnp.int32(1 << 30))
+                slot = jnp.where(
+                    finished, (lane_sample - aligned_off).astype(jnp.int32),
+                    jnp.int32(n_buf))
+                srt = jax.lax.sort(
+                    (key, slot) + tuple(values[:, c] for c in
+                                        range(N_BASE_CHANNELS)), num_keys=1)
+                log_v = tuple(
+                    jax.lax.dynamic_update_slice(lv, ch_v, (cursor,))
+                    for lv, ch_v in zip(log_v, srt[2:]))
+                log_i = jax.lax.dynamic_update_slice(log_i, srt[1], (cursor,))
+                nf = jnp.sum(finished, dtype=jnp.int32)
+                return (log_v, log_i, jnp.minimum(cursor + nf,
+                                                  jnp.int32(n_buf)))
             values = jnp.where(finished[..., None], values, 0.0)
             return film_put(image, pos - jnp.asarray([cx, cy], jnp.float32),
                             values, cfg.rfilter, rp)
 
-        image = jax.lax.cond(jnp.any(finished), _harvest, lambda: image)
+        if use_log:
+            # unconditional: sort+append is cheap, and a lax.cond here would
+            # force XLA to copy the whole log through the conditional every
+            # iteration (no in-place aliasing across cond boundaries)
+            image = _harvest()
+        else:
+            image = jax.lax.cond(jnp.any(finished), _harvest, lambda: image)
         occupied = occupied & vp.active
 
         # 2. refill dead lanes with the next unstarted samples
@@ -264,6 +329,7 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
 
         vp, pos, rw = jax.lax.cond(jnp.any(refill), _refill,
                                    lambda: (vp, pos, rw))
+        lane_sample = jnp.where(refill, new_idx, lane_sample)
         occupied = occupied | refill
         its = jnp.where(refill, 0, its)
         next_sample = next_sample + jnp.sum(refill, dtype=jnp.uint32)
@@ -275,7 +341,8 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
         its = its + 1
         # per-lane iteration cap (the scan-trip cap of _trace_full)
         vp = vp.replace(active=vp.active & (its < max_iterations))
-        out = (vp, pos, rw, occupied, its, next_sample, image, rays, it + 1)
+        out = (vp, pos, rw, occupied, its, next_sample, lane_sample, image,
+               rays, it + 1)
         return volpath.match_dtypes(out, st)
 
     final = jax.lax.while_loop(cond, body, state0)
@@ -285,7 +352,10 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
     occupied_f, next_sample_f = final[3], final[5]
     dropped = jnp.sum(occupied_f, dtype=jnp.uint32) \
         + (total - jnp.minimum(next_sample_f, total))
-    if _host_callbacks_supported():
+    # opt-in: a host callback embedded in the program (even one that never
+    # fires) forces host round-trips on some PJRT relays; the truncation
+    # already shows up as low film weight, so the print is diagnostic sugar
+    if _os.environ.get("ERT_REGEN_DIAG") and _host_callbacks_supported():
         jax.lax.cond(
             dropped > 0,
             lambda: jax.debug.print(
@@ -293,7 +363,23 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
                 "unharvested — film weight is low; raise max_iterations",
                 d=dropped),
             lambda: None)
-    return final[6], final[7]
+    image_f, rays_f = final[7], final[8]
+    if use_log:
+        log_v, log_i, _cursor = image_f
+        # sort by slot first: a sorted-indices scatter lowers ~100x faster
+        # than the random-order one (trash-slot duplicates land last and
+        # overwrite each other harmlessly)
+        srt = jax.lax.sort((log_i,) + tuple(log_v), num_keys=1)
+        buf = jnp.stack(
+            [jnp.zeros((n_buf + 1,)).at[srt[0]].set(
+                ch_v, indices_are_sorted=True) for ch_v in srt[1:]], -1)
+        rows = buf[:n_buf].reshape(n_buf // spp, spp,
+                                   N_BASE_CHANNELS).sum(1)
+        pix0 = (aligned_off // jnp.uint32(spp)).astype(jnp.int32)
+        flat = jnp.zeros((ch * cw + n_buf // spp, N_BASE_CHANNELS))
+        flat = jax.lax.dynamic_update_slice(flat, rows, (pix0, 0))
+        image_f = flat[:ch * cw].reshape(ch, cw, N_BASE_CHANNELS)
+    return image_f, rays_f
 
 
 def render(scene, seed=0, spp=None, samples_per_pass=None, develop_film=True,

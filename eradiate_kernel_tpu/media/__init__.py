@@ -23,7 +23,7 @@ from ..core.bbox import ray_intersect_aabb
 from ..core.math import INVALID_T
 from ..core.transform import Transform
 from ..core.types import pytree_dataclass
-from ..core.gather import table_gather as tg
+from ..core.gather import index_channel, table_gather as tg
 from ..render.texture import spectrum_eval
 from ..textures.volumes import volume_eval
 
@@ -204,7 +204,7 @@ def sample_interaction(scene, medium_idx, ray, sample, channel, active):
                                        ray.wavelengths)
     nc = combined.shape[-1]
     ch = jnp.clip(channel, 0, nc - 1)
-    m = jnp.take_along_axis(combined, ch[..., None], -1)[..., 0]
+    m = index_channel(combined, ch)
 
     sampled_t = mint - jnp.log1p(-sample) / m
     valid_mi = seg_ok & (sampled_t <= maxt)

@@ -186,21 +186,62 @@ def moller_trumbore(o, d, v0, v1, v2):
 
 
 def _intersect_meshes(geo: Geometry, ray: Ray):
-    """Brute-force all triangles: (N rays) x (F faces)."""
+    """Brute-force all triangles: (N rays) x (F faces).
+
+    TPU path: Möller–Trumbore is multilinear in (o, d, o x d), so the whole
+    rays-x-faces sweep collapses to ONE MXU matmul. With n = e1 x e2 and
+    w = o x d, the scaled barycentrics/distance are exact triple products:
+
+        det   = -d . n
+        t*det =  o . n - v0 . n
+        u*det =  w . e2 + d . (v0 x e2)
+        v*det = -w . e1 - d . (v0 x e1)
+
+    so [det, t*det, u*det, v*det] = [o, d, w, 1] @ M with M a per-face
+    constant (10, 4F) matrix built from the vertex buffer (XLA hoists it out
+    of render loops as loop-invariant). This replaces ~20 (N, F, 3)
+    elementwise temporaries with a (N,10)@(10,4F) systolic-array pass — the
+    mesh.h:180-226 math restated for the MXU instead of translated. The
+    classic per-lane form (moller_trumbore above) remains the differentiable
+    second phase (compute_surface_interaction) and the oracle the tests
+    compare against."""
     v = geo.vertices
     f = geo.faces
     v0 = v[f[:, 0]]  # (F, 3)
     v1 = v[f[:, 1]]
     v2 = v[f[:, 2]]
-    o = ray.o[..., None, :]  # (N, 1, 3)
-    d = ray.d[..., None, :]
-    t, u, vv, valid = moller_trumbore(o, d, v0, v1, v2)  # (N, F)
-    valid &= (t >= ray.mint[..., None]) & (t <= ray.maxt[..., None])
+    e1 = v1 - v0
+    e2 = v2 - v0
+    n = cross(e1, e2)                       # (F, 3) unnormalized
+    F = f.shape[0]
+    zero = jnp.zeros((F, 3), v.dtype)
+    # lhs feature rows: [o (3), d (3), w = o x d (3), 1]
+    col_det = jnp.concatenate([zero, -n, zero, jnp.zeros((F, 1))], -1)
+    col_T = jnp.concatenate([n, zero, zero, -dot(v0, n, keepdims=True)], -1)
+    col_U = jnp.concatenate([zero, cross(v0, e2), e2, jnp.zeros((F, 1))], -1)
+    col_V = jnp.concatenate([zero, -cross(v0, e1), -e1,
+                             jnp.zeros((F, 1))], -1)
+    M = jnp.stack([col_det, col_T, col_U, col_V], 0)  # (4, F, 10)
+    w = cross(ray.o, ray.d)
+    ones = jnp.ones(ray.o.shape[:-1] + (1,), ray.o.dtype)
+    lhs = jnp.concatenate([ray.o, ray.d, w, ones], -1)  # (N, 10)
+    out = jnp.einsum("...k,qfk->...qf", lhs, M,
+                     precision=jax.lax.Precision.HIGHEST)  # (N, 4, F)
+    det, T, U, V = (out[..., q, :] for q in range(4))
+    eps = 1e-12
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < eps, eps, det)
+    t = T * inv_det
+    s = jnp.sign(det)
+    sU = s * U
+    sV = s * V
+    adet = jnp.abs(det)
+    valid = (adet >= eps) & (sU >= 0) & (sV >= 0) & (sU + sV <= adet) \
+        & (t >= ray.mint[..., None]) & (t <= ray.maxt[..., None])
     t = jnp.where(valid, t, jnp.inf)
     best = jnp.argmin(t, axis=-1)
     tb = jnp.min(t, axis=-1)
-    ub = select_along_axis(u, best)
-    vb = select_along_axis(vv, best)
+    ub = select_along_axis(U * inv_det, best)
+    vb = select_along_axis(V * inv_det, best)
     return tb, jnp.stack([ub, vb], -1), best.astype(jnp.int32), \
         tg(geo.face_shape, best)
 

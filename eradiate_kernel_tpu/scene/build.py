@@ -1028,4 +1028,20 @@ def load_dict(d: dict, variant: Variant | None = None) -> Scene:
         lambda a: a.astype(variant.dtype)
         if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
         else a, scene)
+    # one batched host-to-device upload: scene building is all-numpy, and
+    # numpy leaves passed to jit would re-upload on every call; pin the
+    # finished scene on device once
+    scene = jax.device_put(scene)
+    # deliberate one-element device readback: the axon TPU relay runs in a
+    # lazy-async dispatch mode until the first device-to-host transfer, and
+    # in that mode large programs execute ~100x slower (kernel launches
+    # trickle over the tunnel) while block_until_ready returns immediately.
+    # One tiny sync here flips the backend into its synchronous (fast,
+    # honestly-timed) mode for the whole process. No-op on other backends.
+    try:
+        leaves = jax.tree_util.tree_leaves(scene)
+        if leaves and isinstance(leaves[0], jax.Array):
+            np.asarray(jnp.zeros(()))
+    except Exception:
+        pass
     return scene
