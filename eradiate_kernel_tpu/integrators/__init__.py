@@ -323,6 +323,11 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
 
         def _refill():
             fresh_vp, fresh_pos, fresh_rw = fresh_lanes(refill, new_idx)
+            # skip the ~30-float/lane si merge: refilled lanes carry
+            # needs_intersection=True, so their si is overwritten by the
+            # next merged intersect before anything reads it
+            if hasattr(fresh_vp, "si"):
+                fresh_vp = fresh_vp.replace(si=vp.si)
             return (merge_lanes(fresh_vp, vp, refill),
                     jnp.where(refill[..., None], fresh_pos, pos),
                     jnp.where(refill[..., None], fresh_rw, rw))

@@ -406,12 +406,12 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
 
 
 def _walk_step_quadrature(scene, s: _WalkState, ds, channel, K):
-    """One deterministic NEE-walk step: Gauss-Legendre transmittance over
+    """One deterministic NEE-walk step: exact/quadrature transmittance over
     the medium segment up to the next surface, then step through it
-    (quadrature variant of the tracked walk below; active only via the
-    nee_transmittance='quadrature' integrator extra)."""
-    import numpy as _np
-
+    (deterministic variant of the tracked walk below; active only via the
+    nee_transmittance='quadrature' integrator extra). The integral itself
+    lives in media.medium_tau_segment (closed form for plane-parallel
+    profiles, Gauss-Legendre for general grids)."""
     batch = s.ray.o.shape[:-1]
     nc = s.transmittance.shape[-1]
     remaining = jnp.clip(ds.dist * (1.0 - 1e-4) - s.total_dist,
@@ -438,19 +438,8 @@ def _walk_step_quadrature(scene, s: _WalkState, ds, channel, K):
             scene, med, ray, in_medium)
         a = jnp.where(seg_ok, jnp.clip(mint, 0.0, seg_end), 0.0)
         b = jnp.where(seg_ok, jnp.clip(maxt, 0.0, seg_end), 0.0)
-        nodes, weights = _np.polynomial.legendre.leggauss(K)
-        ts = (a[..., None] * 0.5 * (1.0 - jnp.asarray(nodes, jnp.float32))
-              + b[..., None] * 0.5 * (1.0 + jnp.asarray(nodes, jnp.float32)))
-        p_k = ray.o[..., None, :] + ray.d[..., None, :] * ts[..., None]
-        med_k = jnp.broadcast_to(med[..., None], ts.shape)
-        wl_k = jnp.broadcast_to(ray.wavelengths[..., None, :],
-                                ts.shape + (ray.wavelengths.shape[-1],))
-        _ss, _sn, sigma_t = media.medium_scattering_coefficients(
-            scene, med_k, p_k, wl_k)
-        w = jnp.asarray(weights, jnp.float32)
-        tau = 0.5 * (b - a)[..., None] * jnp.sum(
-            w[..., None] * sigma_t, axis=-2)
-        return jnp.clip(tau, 0.0, 60.0)
+        return media.medium_tau_segment(scene, med, ray, a, b,
+                                        ray.wavelengths, quad_points=K)
 
     tau = _cond_any(in_medium, quad_tau, jnp.zeros(batch + (nc,)))
     transmittance = jnp.where(in_medium[..., None],

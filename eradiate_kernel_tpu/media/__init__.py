@@ -183,6 +183,109 @@ def medium_scattering_coefficients(scene, medium_idx, p, wavelengths,
     return sigma_s, sigma_n, sigma_t
 
 
+def _profile_lerp_setup(prof, Dn, z):
+    """Shared profile-eval preamble: (i0, f, p0, p1) of the piecewise-linear
+    vertical profile at local z (trilinear z-axis semantics: g = clip(z) *
+    (D-1), cell-center knots)."""
+    from ..core.gather import select_along_axis
+
+    g = jnp.clip(z, 0.0, 1.0) * jnp.maximum(Dn - 1, 0)
+    i0 = jnp.clip(g.astype(jnp.int32), 0, jnp.maximum(Dn - 2, 0))
+    f = g - i0
+    p0 = select_along_axis(prof, i0)
+    p1 = select_along_axis(prof, jnp.minimum(i0 + 1, Dn - 1))
+    return i0, f, p0, p1
+
+
+def medium_tau_segment(scene, medium_idx, ray, a, b, wavelengths,
+                       quad_points=8):
+    """Optical depth integral of sigma_t over the ray segment [a, b]
+    -> (..., nc). Deterministic-transmittance building block (the
+    nee_transmittance='quadrature' estimator; no reference counterpart —
+    the reference only ratio-tracks, volpath.cpp:282-365).
+
+    - homogeneous media: exact, sigma_t * (b - a)
+    - heterogeneous vertical profiles (scene.config.het_profile1d — every
+      1-channel clamp grid constant over x/y, the plane-parallel
+      atmosphere case): EXACT closed form via the per-medium cumulative
+      table T(z) = int_0^z sigma built at scene load; tau =
+      scale * (T(z(b)) - T(z(a))) / d_local_z. Replaces the K-point
+      quadrature (K trilinear grid evals per segment) with two table
+      lookups AND removes its O(K^-2) bias.
+    - general heterogeneous grids: Gauss-Legendre quadrature with
+      ``quad_points`` nodes (consistent, not unbiased).
+    """
+    import numpy as _np
+
+    cfg = scene.config
+    nc = wavelengths.shape[-1] if cfg.variant.is_spectral \
+        else cfg.variant.n_channels
+    batch = jnp.broadcast_shapes(a.shape, b.shape)
+    tau = jnp.zeros(batch + (nc,))
+    if not cfg.medium_kinds:
+        return tau
+    kind = tg(scene.medium_kind, medium_idx)
+    slot = tg(scene.medium_slot, medium_idx)
+    seg = jnp.maximum(b - a, 0.0)
+    for k, kname in enumerate(cfg.medium_kinds):
+        m = kind == k
+        params = scene.media[kname]
+        if kname == "homogeneous":
+            st = _spec(scene, tg(params["sigma_t"], slot), wavelengths) \
+                * tg(params["scale"], slot)[..., None]
+            v = st * seg[..., None]
+        elif kname == "heterogeneous":
+            if cfg.het_profile1d:
+                w2l = Transform(m=tg(params["w2l_m"], slot),
+                                inv_t=tg(params["w2l_it"], slot))
+                o_l = w2l.transform_affine_point(ray.o)
+                dlz = w2l.transform_vector(ray.d)[..., 2]
+                z0 = o_l[..., 2] + dlz * a
+                z1 = o_l[..., 2] + dlz * b
+                prof = tg(params["zprof"], slot)     # (..., Dmax)
+                cum = tg(params["zcum"], slot)
+                Dn = tg(params["zD"], slot)
+                scale = tg(params["scale"], slot)
+
+                def T(z):
+                    from ..core.gather import select_along_axis
+                    i0, f, p0, p1 = _profile_lerp_setup(prof, Dn, z)
+                    c0 = select_along_axis(cum, i0)
+                    dz = 1.0 / jnp.maximum(Dn - 1, 1)
+                    t_multi = c0 + dz * (p0 * f + 0.5 * (p1 - p0) * f * f)
+                    # D == 1: constant profile, T(z) = p0 * z
+                    return jnp.where(Dn > 1, t_multi,
+                                     p0 * jnp.clip(z, 0.0, 1.0))
+
+                straight = jnp.abs(dlz) > 1e-8
+                dlz_s = jnp.where(straight, dlz, 1.0)
+                # horizontal rays: sigma is constant along the segment
+                _i, f0, p0, p1 = _profile_lerp_setup(prof, Dn, z0)
+                sig0 = p0 * (1.0 - f0) + p1 * f0
+                tau_s = jnp.where(straight, (T(z1) - T(z0)) / dlz_s,
+                                  sig0 * seg)
+                v = (jnp.maximum(tau_s, 0.0) * scale)[..., None] \
+                    * jnp.ones((nc,))
+            else:
+                # Gauss-Legendre over the segment (general 3D grids)
+                nodes, weights = _np.polynomial.legendre.leggauss(quad_points)
+                ts = (a[..., None] * 0.5 * (1.0 - jnp.asarray(nodes, jnp.float32))
+                      + b[..., None] * 0.5 * (1.0 + jnp.asarray(nodes, jnp.float32)))
+                p_k = ray.o[..., None, :] + ray.d[..., None, :] * ts[..., None]
+                med_k = jnp.broadcast_to(medium_idx[..., None], ts.shape)
+                wl_k = jnp.broadcast_to(wavelengths[..., None, :],
+                                        ts.shape + (wavelengths.shape[-1],))
+                _ss, _sn, sigma_t = medium_scattering_coefficients(
+                    scene, med_k, p_k, wl_k)
+                w = jnp.asarray(weights, jnp.float32)
+                v = 0.5 * seg[..., None] * jnp.sum(
+                    w[..., None] * sigma_t, axis=-2)
+        else:
+            raise ValueError(kname)
+        tau = jnp.where(m[..., None], v, tau)
+    return jnp.clip(tau, 0.0, 60.0)
+
+
 def medium_is_homogeneous(scene, medium_idx):
     cfg = scene.config
     kind = tg(scene.medium_kind, medium_idx)

@@ -316,6 +316,30 @@ class SceneBuilder:
                     and rows["grid"].shape[-1] == 4
                     and self.variant.is_spectral):
                 prof_rows = {"grid": rows["grid"][..., 3:4]}
+            # plane-parallel specialization: a 1-channel clamp-wrapped grid
+            # that is constant over (y, x) is exactly a vertical profile
+            # sigma(z), piecewise linear in local z between cell centers —
+            # its optical depth has a closed form via a cumulative-integral
+            # table (T(z) = int_0^z sigma). The Eradiate headline workload
+            # (plane-parallel atmospheres) always hits this path; the
+            # quadrature fallback covers true 3D grids.
+            zok = False
+            zprof = np.zeros(1, np.float32)
+            if (kind == "gridvolume" and int(rows.get("wrap", 0)) == 0
+                    and rows["grid"].shape[-1] == 1
+                    and np.array_equal(rows["grid"],
+                                       np.broadcast_to(rows["grid"][:, :1, :1],
+                                                       rows["grid"].shape))):
+                zok = True
+                zprof = rows["grid"][:, 0, 0, 0].astype(np.float32)
+            D = len(zprof)
+            if D > 1:
+                dz = 1.0 / (D - 1)
+                zcum = np.concatenate(
+                    [[0.0], np.cumsum(0.5 * (zprof[:-1] + zprof[1:]) * dz)]
+                ).astype(np.float32)
+            else:
+                zcum = np.zeros(1, np.float32)
             row = {
                 "sigma_t_vol": np.int32(st_vol),
                 "albedo_vol": np.int32(al_vol),
@@ -323,6 +347,8 @@ class SceneBuilder:
                 "majorant": np.float32(scale * vmax),
                 "axprof": _axis_majorant_profiles(prof_rows, vmax),
                 "w2l_m": w2l_m, "w2l_it": w2l_it,
+                "zok": np.bool_(zok), "zprof": zprof, "zcum": zcum,
+                "zD": np.int32(D),
             }
             return self.add_medium_row("heterogeneous", row, phase_idx)
         raise ValueError(f"unknown medium type {t!r}")
@@ -809,6 +835,19 @@ class SceneBuilder:
         spec_kind_arr, spec_slot_arr = table_arrays(self.spec_table, list(spec_kinds))
         medium_kind_arr, medium_slot_arr = table_arrays(
             self.medium_table, list(medium_kinds))
+
+        # plane-parallel closed-form optical depth is a trace-time static:
+        # enabled only when EVERY heterogeneous medium is a vertical profile
+        # (see the zok computation in medium()); rows pad to a common length
+        het_rows = self.media_rows.get("heterogeneous", [])
+        het_profile1d = bool(het_rows) and all(bool(r["zok"]) for r in het_rows)
+        if het_rows:
+            dmax = max(len(r["zprof"]) for r in het_rows)
+            for r in het_rows:
+                pad = dmax - len(r["zprof"])
+                if pad:
+                    r["zprof"] = np.pad(r["zprof"], (0, pad), mode="edge")
+                    r["zcum"] = np.pad(r["zcum"], (0, pad), mode="edge")
         phase_kind_arr, phase_slot_arr = table_arrays(self.phase_table, list(phase_kinds))
         vol_kind_arr, vol_slot_arr = table_arrays(self.volume_table, list(volume_kinds))
 
@@ -818,6 +857,7 @@ class SceneBuilder:
             texture_kinds=tex_kinds, spectrum_kinds=spec_kinds,
             medium_kinds=medium_kinds, phase_kinds=phase_kinds,
             volume_kinds=volume_kinds,
+            het_profile1d=het_profile1d,
             sensor_kind=sensor_kind,
             sensor_medium=getattr(self, "sensor_medium", -1),
             n_emitters=len(self.emitter_table),

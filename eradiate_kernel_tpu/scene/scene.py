@@ -57,6 +57,9 @@ class SceneConfig:
     # — table resolutions etc. that must stay Python values under jit
     # (used by data-driven plugins like the measured BSDF)
     bsdf_static: tuple = ()
+    # every heterogeneous medium is a vertical profile sigma(z): optical
+    # depth has a closed form (cumulative table) — see media.medium_tau_segment
+    het_profile1d: bool = False
 
 
 
