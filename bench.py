@@ -114,20 +114,22 @@ def main():
     mrays_per_s = rays / dt / 1e6
     baseline_path = os.path.join(os.path.dirname(__file__),
                                  "bench_baseline.json")
-    base = None
+    # per-metric baseline dict (a single-record file once let the 3D-variant
+    # run clobber the flagship baseline)
+    data = {}
     if os.path.exists(baseline_path):
         data = json.load(open(baseline_path))
-        if data.get("metric") == metric:
-            base = data["value"]
+        if "metric" in data:  # legacy single-record layout
+            data = {data["metric"]: {"value": data["value"]}}
+    base = data.get(metric, {}).get("value")
     if base is None:
         base = mrays_per_s
         # only a full-size run on real TPU hardware may set the baseline
         # (a CPU smoke run would inflate every later vs_baseline)
         if (jax.devices()[0].platform == "tpu"
                 and not os.environ.get("BENCH_SIZE")):
-            json.dump({"metric": metric, "value": base,
-                       "note": "first recorded run (v5e, 64-cell profile)"},
-                      open(baseline_path, "w"))
+            data[metric] = {"value": base, "note": "first recorded run (v5e)"}
+            json.dump(data, open(baseline_path, "w"), indent=1)
     print(json.dumps({
         "metric": metric,
         "value": round(mrays_per_s, 3),

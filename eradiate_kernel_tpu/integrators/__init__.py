@@ -225,6 +225,12 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
     # walks) — this driver is a while_loop itself, never differentiated
     bounce_kwargs = dict(bounce_kwargs,
                          **getattr(mod, "_PRIMAL_BOUNCE_KWARGS", {}))
+    if bounce_kwargs.get("gate_sites", True) is None:
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:
+            platform = "cpu"
+        bounce_kwargs["gate_sites"] = platform != "tpu"
 
     def fresh_lanes(refill, new_idx):
         """Exactly render_wavefront's per-sample stream: seed -> jitter ->

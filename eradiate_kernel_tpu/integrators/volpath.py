@@ -60,6 +60,15 @@ def match_dtypes(out, ref):
         out, ref)
 
 
+def _ungated(mask, fn, fallback):
+    """_cond_any with the branch removed: just run ``fn``. The regenerating
+    driver keeps occupancy near 100%, so its site masks are almost never
+    all-dead — there the cond is pure overhead (every conditional is a
+    kernel-graph boundary, and on relay-attached TPUs each extra kernel
+    costs launch latency)."""
+    return fn()
+
+
 def _cond_any(mask, fn, fallback):
     """Run ``fn()`` only if any lane of ``mask`` is live, else return
     ``fallback`` (same pytree structure). XLA lowers a scalar-predicate cond
@@ -243,7 +252,7 @@ def _run_walk(body, state, nee_steps, use_while):
 
 def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
                     medium_idx, channel, sampler, active, nee_steps,
-                    use_while=False):
+                    use_while=False, gate_sites=True):
     """Returns (contribution, ds, sampler): emitter radiance attenuated by
     ratio-tracked transmittance along the connection."""
     batch = ref_p.shape[:-1]
@@ -280,6 +289,7 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
         total_dist=jnp.zeros(batch),
         active=active, n_rays=jnp.zeros(()))
 
+    ca = _cond_any if gate_sites else _ungated
     extra = dict(scene.config.integrator.extra)
     if extra.get("nee_transmittance", "track") == "quadrature":
         # Deterministic option (SURVEY §7 perf note; estimator change, so
@@ -291,7 +301,8 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
         # usually accept this trade.
         K = int(extra.get("nee_quad_points", 8))
         final = _run_walk(
-            lambda s: _walk_step_quadrature(scene, s, ds, channel, K),
+            lambda s: _walk_step_quadrature(scene, s, ds, channel, K,
+                                            ca=ca),
             state, nee_steps, use_while)
         contrib = jnp.where(final.active[..., None], 0.0,
                             final.transmittance) * emitter_val
@@ -311,7 +322,7 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
 
         med = jnp.maximum(s.medium_idx, 0)
         smp, xi = smp.next_1d()
-        mi = _cond_any(
+        mi = ca(
             active_medium,
             lambda: media.sample_interaction(scene, med, ray, xi, channel,
                                              active_medium),
@@ -323,7 +334,7 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
         # while-loops, volpath.cpp:286/330, collapse on a masked wavefront
         # where every lane pays for every intersect site that executes)
         do_isect = s.needs_intersection & (active_medium | active_surface)
-        si = _cond_any(
+        si = ca(
             do_isect,
             lambda: _merge_si(_walk_hit(ray_intersect(scene.geo, ray)),
                               s.si, do_isect),
@@ -405,7 +416,8 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
     return contrib, ds, final.sampler, final.n_rays
 
 
-def _walk_step_quadrature(scene, s: _WalkState, ds, channel, K):
+def _walk_step_quadrature(scene, s: _WalkState, ds, channel, K,
+                          ca=_cond_any):
     """One deterministic NEE-walk step: exact/quadrature transmittance over
     the medium segment up to the next surface, then step through it
     (deterministic variant of the tracked walk below; active only via the
@@ -420,7 +432,7 @@ def _walk_step_quadrature(scene, s: _WalkState, ds, channel, K):
     active = s.active & (remaining > 0)
 
     do_isect = s.needs_intersection & active
-    si = _cond_any(
+    si = ca(
         do_isect,
         lambda: _merge_si(_walk_hit(ray_intersect(scene.geo, ray)),
                           s.si, do_isect),
@@ -441,7 +453,7 @@ def _walk_step_quadrature(scene, s: _WalkState, ds, channel, K):
         return media.medium_tau_segment(scene, med, ray, a, b,
                                         ray.wavelengths, quad_points=K)
 
-    tau = _cond_any(in_medium, quad_tau, jnp.zeros(batch + (nc,)))
+    tau = ca(in_medium, quad_tau, jnp.zeros(batch + (nc,)))
     transmittance = jnp.where(in_medium[..., None],
                               s.transmittance * jnp.exp(-tau),
                               s.transmittance)
@@ -515,7 +527,8 @@ class _DirectState:
 
 
 def _evaluate_direct_light(scene, ref_p, ray, si_ray, medium_idx, channel,
-                           sampler, active, nee_steps, use_while=False):
+                           sampler, active, nee_steps, use_while=False,
+                           gate_sites=True):
     batch = ref_p.shape[:-1]
     nc = _nc(scene, ray)
 
@@ -528,6 +541,8 @@ def _evaluate_direct_light(scene, ref_p, ray, si_ray, medium_idx, channel,
         emitter_pdf=jnp.zeros(batch),
         active=active, n_rays=jnp.zeros(()))
 
+    ca = _cond_any if gate_sites else _ungated
+
     def body(s: _DirectState):
         active = s.active
         active_medium = active & (s.medium_idx >= 0)
@@ -537,7 +552,7 @@ def _evaluate_direct_light(scene, ref_p, ray, si_ray, medium_idx, channel,
 
         med = jnp.maximum(s.medium_idx, 0)
         smp, xi = smp.next_1d()
-        mi = _cond_any(
+        mi = ca(
             active_medium,
             lambda: media.sample_interaction(scene, med, ray, xi, channel,
                                              active_medium),
@@ -545,7 +560,7 @@ def _evaluate_direct_light(scene, ref_p, ray, si_ray, medium_idx, channel,
         # merged medium+surface intersection (disjoint lane sets, same ray —
         # see _sample_emitter)
         do_isect = s.needs_intersection & (active_medium | active_surface)
-        si = _cond_any(
+        si = ca(
             do_isect,
             lambda: _merge_si(_walk_hit(ray_intersect(scene.geo, ray)),
                               s.si, do_isect),
@@ -591,7 +606,7 @@ def _evaluate_direct_light(scene, ref_p, ray, si_ray, medium_idx, channel,
                 scene, ref_p, si_v, ~si.is_valid, emitter_hit, d=ray.d)
             return e_val, jnp.where(emitter_hit, epdf, s.emitter_pdf)
 
-        emitter_val, emitter_pdf = _cond_any(
+        emitter_val, emitter_pdf = ca(
             emitter_hit, _emitter_block, (s.emitter_val, s.emitter_pdf))
         active = active & ~emitter_hit
         active_surface = active_surface & active
@@ -671,12 +686,13 @@ def _probe(name, x):
 
 
 def _bounce(scene, s: _VolPathState, *, nee_steps, max_depth, rr_depth,
-            while_walks=False):
+            while_walks=False, gate_sites=True):
     """One masked wavefront bounce (the loop body of volpath.cpp:38-258).
     Module-level so both the fixed-trip tracer (_trace_full) and the
     regenerating wavefront driver can drive it."""
     batch = s.ray.o.shape[:-1]
     nc = s.throughput.shape[-1]
+    ca = _cond_any if gate_sites else _ungated
     smp = s.sampler
     active = s.active & jnp.any(s.throughput != 0.0, -1)
     ray = s.ray
@@ -698,7 +714,7 @@ def _bounce(scene, s: _VolPathState, *, nee_steps, max_depth, rr_depth,
     # --- medium sampling (volpath.cpp:105-151) ---------------------------
     med = jnp.maximum(s.medium_idx, 0)
     smp, xi_m = smp.next_1d()
-    mi = _cond_any(
+    mi = ca(
         active_medium,
         lambda: media.sample_interaction(scene, med, ray, xi_m, s.channel,
                                          active_medium),
@@ -707,7 +723,7 @@ def _bounce(scene, s: _VolPathState, *, nee_steps, max_depth, rr_depth,
     # are disjoint and the ray is identical for both at this point (the
     # later phase-sampling only rewrites medium-lane rays)
     do_isect = s.needs_intersection & (active_medium | active_surface)
-    si = _cond_any(
+    si = ca(
         do_isect,
         lambda: _merge_si(ray_intersect(scene.geo, ray), si, do_isect),
         si)
@@ -778,7 +794,7 @@ def _bounce(scene, s: _VolPathState, *, nee_steps, max_depth, rr_depth,
     # phase sampling
     smp, xi_p1 = smp.next_1d()
     smp, xi_p2 = smp.next_2d()
-    wo_m, _ppdf = _cond_any(
+    wo_m, _ppdf = ca(
         act_scatter,
         lambda: phase.phase_sample(scene, phase_idx, ray.d, xi_p1, xi_p2,
                                    act_scatter),
@@ -804,7 +820,7 @@ def _bounce(scene, s: _VolPathState, *, nee_steps, max_depth, rr_depth,
     hit_area = active_surface & si.is_valid & (em_idx >= 0)
     hit_env = active_surface & ~si.is_valid & (scene.config.env_emitter >= 0)
     use_emit = (hit_area | hit_env) & specular_chain
-    e_val = _cond_any(
+    e_val = ca(
         use_emit,
         lambda: emitters.eval_emitter_hit(scene, si, use_emit & hit_area)
         + emitters.eval_environment(scene, ray, ~si.is_valid,
@@ -830,7 +846,7 @@ def _bounce(scene, s: _VolPathState, *, nee_steps, max_depth, rr_depth,
         emitted_s, ds_s, smp2, nr_s = _sample_emitter(
             scene, nee_ref_p, nee_ref_n, act_scatter, ray.wavelengths,
             ray.time, s.medium_idx, s.channel, smp, nee_active, nee_steps,
-            use_while=while_walks)
+            use_while=while_walks, gate_sites=gate_sites)
         # medium lanes: phase x emitted
         phase_val = phase.phase_eval(scene, phase_idx, -nee_medium_d_in,
                                      ds_s.d, act_scatter)
@@ -856,15 +872,16 @@ def _bounce(scene, s: _VolPathState, *, nee_steps, max_depth, rr_depth,
                 smp.replace(dim=smp.dim + jnp.uint32(3 + nee_steps)),
                 jnp.zeros(()))
 
-    nee_delta, smp, nr_s = jax.lax.cond(jnp.any(nee_active), _nee_block,
-                                        _nee_skip)
+    nee_delta, smp, nr_s = (jax.lax.cond(jnp.any(nee_active), _nee_block,
+                                         _nee_skip)
+                            if gate_sites else _nee_block())
     result = result + _probe("nee_delta", nee_delta)
     n_rays = n_rays + nr_s
 
     # bsdf sampling
     smp, xb1 = smp.next_1d()
     smp, xb2 = smp.next_2d()
-    bs, bsdf_weight = _cond_any(
+    bs, bsdf_weight = ca(
         active_surface,
         lambda: bsdfs.bsdf_sample(scene, bsdf_idx, si, xb1, xb2,
                                   active_surface),
@@ -894,7 +911,7 @@ def _bounce(scene, s: _VolPathState, *, nee_steps, max_depth, rr_depth,
     add_emitter = active_surface & ~sampled_delta & ~sampled_null & \
         jnp.any(throughput != 0, -1) & (depth < max_depth) & \
         (scene.config.n_emitters > 0)
-    si_new = _cond_any(
+    si_new = ca(
         active_surface,
         lambda: _merge_si(ray_intersect(scene.geo, ray), si,
                           active_surface),
@@ -917,15 +934,17 @@ def _bounce(scene, s: _VolPathState, *, nee_steps, max_depth, rr_depth,
         def _direct_block():
             return _evaluate_direct_light(
                 scene, si.p, ray, si_new, medium_next, s.channel, smp,
-                add_emitter, nee_steps, use_while=while_walks)
+                add_emitter, nee_steps, use_while=while_walks,
+                gate_sites=gate_sites)
 
         def _direct_skip():
             return (jnp.zeros(batch + (nc,)), jnp.zeros(batch),
                     smp.replace(dim=smp.dim + jnp.uint32(nee_steps)),
                     jnp.zeros(()))
 
-        emitted_d, emitter_pdf, smp, nr_d = jax.lax.cond(
+        emitted_d, emitter_pdf, smp, nr_d = (jax.lax.cond(
             jnp.any(add_emitter), _direct_block, _direct_skip)
+            if gate_sites else _direct_block())
         n_rays = n_rays + nr_d
         w_dir = mis_weight(bs.pdf, emitter_pdf)
         emitted_d = _probe("direct_emitted", emitted_d)
@@ -952,7 +971,10 @@ def _bounce(scene, s: _VolPathState, *, nee_steps, max_depth, rr_depth,
 
 # extra bounce kwargs the regenerating (primal-only, while_loop) driver
 # may add on top of _knobs' — see integrators.render_wavefront_regen
-_PRIMAL_BOUNCE_KWARGS = {"while_walks": True}
+# gate_sites None = decided by the driver per backend: on TPU the always-
+# taken site conds only add kernel-graph boundaries (launch latency); on CPU
+# they skip real work at partially-dead sites
+_PRIMAL_BOUNCE_KWARGS = {"while_walks": True, "gate_sites": None}
 
 
 def _knobs(scene):
