@@ -80,14 +80,49 @@ def _lerp8(c, fx, fy, fz):
     return c0 * (1 - fz) + c1 * fz
 
 
+def _packed_corners(grid):
+    """(S, D, H, W, C) -> (S*D*H*W, 8*C): every voxel's full trilinear
+    neighborhood in one row (c000..c111 in _corner_setup's zyx-bit order,
+    +1 neighbors edge-clamped exactly like min(i+1, n-1)).
+
+    An XLA TPU gather costs ~50 ns PER INDEX regardless of the slice width
+    (measured: the 8 separate corner gathers were 84% of the 64^3-grid
+    volpath's device time), so fetching the 8 corners as ONE 8C-wide row
+    gather is ~8x cheaper. The packed table is pure shifted copies of the
+    grid — computed in-graph so gradients still flow to the original grid
+    array (ParameterMap updates stay valid), and hoisted out of render
+    loops as loop-invariant."""
+    S, D, H, W, C = grid.shape
+
+    def shift(dz, dy, dx):
+        g = grid
+        if dz:
+            g = jnp.concatenate([g[:, 1:], g[:, -1:]], axis=1)
+        if dy:
+            g = jnp.concatenate([g[:, :, 1:], g[:, :, -1:]], axis=2)
+        if dx:
+            g = jnp.concatenate([g[:, :, :, 1:], g[:, :, :, -1:]], axis=3)
+        return g
+
+    corners = [shift(z, y, x) for z in (0, 1) for y in (0, 1) for x in (0, 1)]
+    return jnp.stack(corners, -2).reshape(S * D * H * W, 8 * C)
+
+
+# above this many voxels the one-row-gather path pays for the 8x packed
+# table; tiny grids keep the one-hot einsum (see EINSUM_MAX_VOXELS)
+PACKED_GATHER_MIN_VOXELS = 4096
+
+
 def _trilinear_gather(grid, vslot, pl):
-    """8-voxel gather + lerp (the direct grid3d.cpp:254-295 analog). Scales
-    to arbitrary grid sizes: per lane it loads exactly 8 corner voxels from
-    the flattened grid instead of contracting the whole volume."""
+    """Packed-neighborhood gather + lerp (the grid3d.cpp:254-295 analog).
+    Scales to arbitrary grid sizes: per lane it loads one 8C-wide row (its
+    8 corner voxels) from the packed table."""
     S, D, H, W, C = grid.shape
     idx, fx, fy, fz = _corner_setup((S, D, H, W), vslot, pl)
-    flat = grid.reshape(S * D * H * W, C)
-    return _lerp8([flat[i] for i in idx], fx, fy, fz)
+    packed = _packed_corners(grid)
+    rows = packed[idx[0]]  # (..., 8C) — idx[0] is the c000 corner
+    return _lerp8([rows[..., k * C:(k + 1) * C] for k in range(8)],
+                  fx, fy, fz)
 
 
 def _trilinear_gather_srgb(grid, vslot, pl, wavelengths):
@@ -102,8 +137,9 @@ def _trilinear_gather_srgb(grid, vslot, pl, wavelengths):
 
     S, D, H, W, C = grid.shape
     idx, fx, fy, fz = _corner_setup((S, D, H, W), vslot, pl)
-    flat = grid.reshape(S * D * H * W, C)
-    corners = [flat[i] for i in idx]
+    packed = _packed_corners(grid)
+    rows = packed[idx[0]]  # (..., 8*4): one row gather, see _packed_corners
+    corners = [rows[..., k * C:(k + 1) * C] for k in range(8)]
     spectra = [srgb_model_eval(c[..., :3], wavelengths) for c in corners]
     scales = [c[..., 3:4] for c in corners]
     return _lerp8(spectra, fx, fy, fz) * _lerp8(scales, fx, fy, fz)
