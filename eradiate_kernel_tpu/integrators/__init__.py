@@ -209,6 +209,9 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
         total = ch * cw * spp
     if max_total is None:
         max_total = total if isinstance(total, int) else ch * cw * spp
+    # scatter-free final placement needs a static sample count at offset 0
+    _total_static = total if isinstance(total, int) else None
+    _offset_zero = isinstance(sample_offset, int) and sample_offset == 0
     import os as _os
     from ..rfilters import filter_radius
     radius = filter_radius(cfg.rfilter, dict(cfg.rfilter_params))
@@ -376,16 +379,34 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
             lambda: None)
     image_f, rays_f = final[7], final[8]
     if use_log:
-        log_v, log_i, _cursor = image_f
-        # sort by slot first: a sorted-indices scatter lowers ~100x faster
-        # than the random-order one (trash-slot duplicates land last and
-        # overwrite each other harmlessly)
+        log_v, log_i, cursor_f = image_f
         srt = jax.lax.sort((log_i,) + tuple(log_v), num_keys=1)
-        buf = jnp.stack(
-            [jnp.zeros((n_buf + 1,)).at[srt[0]].set(
-                ch_v, indices_are_sorted=True) for ch_v in srt[1:]], -1)
-        rows = buf[:n_buf].reshape(n_buf // spp, spp,
-                                   N_BASE_CHANNELS).sum(1)
+
+        def _scattered():
+            # sorted-indices scatter (trash-slot duplicates land last and
+            # overwrite each other harmlessly; ~100x faster than the
+            # random-order scatter, but still ~3 ms/channel at 512k rows)
+            buf = jnp.stack(
+                [jnp.zeros((n_buf + 1,)).at[srt[0]].set(
+                    ch_v, indices_are_sorted=True) for ch_v in srt[1:]], -1)
+            return buf[:n_buf].reshape(n_buf // spp, spp,
+                                       N_BASE_CHANNELS).sum(1)
+
+        def _dense():
+            # complete render, zero sample offset: the real slots are
+            # exactly the permutation 0..total-1, so after the sort row i
+            # IS slot i — no scatter at all. The junk tail (trash-slot
+            # rows sorted last) fills only the spp-alignment slack group,
+            # which lands in the film pad rows and is sliced off below.
+            rows_all = jnp.stack(srt[1:], -1)[:n_buf]
+            return rows_all.reshape(n_buf // spp, spp,
+                                    N_BASE_CHANNELS).sum(1)
+
+        if _total_static is not None and _offset_zero:
+            rows = jax.lax.cond(
+                cursor_f == jnp.int32(_total_static), _dense, _scattered)
+        else:
+            rows = _scattered()
         pix0 = (aligned_off // jnp.uint32(spp)).astype(jnp.int32)
         flat = jnp.zeros((ch * cw + n_buf // spp, N_BASE_CHANNELS))
         flat = jax.lax.dynamic_update_slice(flat, rows, (pix0, 0))
