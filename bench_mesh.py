@@ -65,6 +65,10 @@ def main():
     from eradiate_kernel_tpu.ops.pallas_intersect import (
         intersect_bvh, intersect_tiles)
 
+    # flip the axon relay into its synchronous (fast, honestly-timed)
+    # dispatch mode before ANY timing — see scene/build.py load_dict note
+    np.asarray(jnp.zeros(()))
+
     V, F = terrain(256)
     n_tris = len(F)
     tiles_np = accel.pack_tiles(V, None, F, np.zeros(n_tris, np.int32))

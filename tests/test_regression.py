@@ -107,10 +107,16 @@ def test_ztest_detects_regression(tmp_path):
 
 
 def test_ztest_atmosphere(tmp_path):
-    """The flagship volpath atmosphere scene under the z-test."""
+    """The flagship volpath atmosphere scene under the z-test.
+
+    Budgets sized so the CLT actually holds: the horizon-grazing pixels
+    have heavy-tailed sample distributions (sun NEE through the slab edge),
+    and at 48 spp a per-pixel mean can sit 5 sigma from truth with an
+    underestimated variance — a false z-test failure that comes and goes
+    with any rounding-level estimator change."""
     d = atmosphere(width=16, height=16, spp=16, max_depth=8)
     ok, frac, _ = ztest.check_scene(d, str(tmp_path), "atmo",
-                                    spp=48, ref_spp=192)
+                                    spp=160, ref_spp=640)
     assert ok, f"only {frac:.4f} of pixels passed"
 
 
