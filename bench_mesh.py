@@ -107,10 +107,13 @@ def main():
                 "hit_frac": round(hit_frac, 3), "n_tris": n_tris}))
 
     speedup = results["bvh_primary"] / results["tiles_primary"]
+    # the headline is what the framework's auto policy actually dispatches
+    # (_accel_mode: dense sweep <=2k tiles, BVH above / with instances)
+    policy = "tiles" if T <= 2048 else "bvh"
     print(json.dumps({
         "metric": "mesh_intersect_mrays_per_s",
-        "value": round(results["bvh_primary"], 2), "unit": "Mrays/s",
-        "vs_baseline": round(speedup, 2)}))
+        "value": round(results[f"{policy}_primary"], 2), "unit": "Mrays/s",
+        "policy": policy, "bvh_over_tiles": round(speedup, 2)}))
 
     # instanced forest: one 2k-tri canopy crown instanced N times — the
     # two-level path (geometry stored once, per-leaf ray transform)

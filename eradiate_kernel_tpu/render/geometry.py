@@ -486,6 +486,15 @@ def _accel_mode(geo: Geometry) -> str:
     eff_tris = geo.faces.shape[0] \
         + geo.n_instances * max(geo.ig_faces.shape[0], 0)
     if platform == "tpu" and eff_tris >= 1024:
+        # measured crossover on v5e (bench_mesh terrain): the precull +
+        # dense tile sweep beats the stack traversal up to ~2k tiles
+        # (~260k tris) — data-dependent per-node control flow is expensive
+        # on this architecture, so the hierarchy only pays once the sweep's
+        # O(admitted tiles) loop is long; instanced scenes always need the
+        # BVH (the flat sweep has no per-leaf transforms)
+        big = geo.tiles_v0.shape[0] > 2048
+        if geo.n_instances == 0 and not big:
+            return "tiles"
         return "bvh" if geo.bvh_box.shape[0] > 0 else "tiles"
     return "naive"
 
