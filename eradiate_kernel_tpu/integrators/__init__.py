@@ -256,14 +256,15 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
                                  jnp.zeros(n_lanes, jnp.uint32))
     rp = dict(cfg.rfilter_params)
     if use_log:
-        # (per-channel value logs, slot log, cursor); 1-D logs keep every
+        # (X/Y/Z value logs, packed-slot log, cursor); 1-D logs keep every
         # append/scatter transpose-free (a packed (n, 5) log comes out of
         # the while carry channel-major and the final scatter fuses two
-        # transposes — measured 26 ms vs sub-ms). Unwritten slot entries
-        # point at the trash slot n_buf and drop out in the final scatter.
-        image0 = (tuple(jnp.zeros((n_log,))
-                        for _ in range(N_BASE_CHANNELS)),
-                  jnp.full((n_log,), n_buf, jnp.int32), jnp.int32(0))
+        # transposes — measured 26 ms vs sub-ms). The key packs
+        # slot*2 + valid_flag (A is one bit and W is the constant 1, so
+        # neither needs a value channel). Unwritten entries hold the trash
+        # key 2*n_buf and drop out in the final placement.
+        image0 = ((jnp.zeros((n_log,)),) * 3,
+                  jnp.full((n_log,), 2 * n_buf, jnp.int32), jnp.int32(0))
     else:
         image0 = jnp.zeros((ch, cw, N_BASE_CHANNELS))
     state0 = (vp0, pos0, rw0, jnp.zeros(n_lanes, bool),
@@ -291,26 +292,26 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
 
         def _harvest():
             spec = vp.result * rw
-            values = _lane_values(cfg, spec, vp.valid_ray,
-                                  vp.ray.wavelengths)
             if use_log:
+                xyz = _lane_values(cfg, spec, vp.valid_ray,
+                                   vp.ray.wavelengths)[:, :3]
                 log_v, log_i, cursor = image
-                key = jnp.where(finished,
-                                jnp.arange(n_lanes, dtype=jnp.int32),
-                                jnp.int32(1 << 30))
-                slot = jnp.where(
-                    finished, (lane_sample - aligned_off).astype(jnp.int32),
-                    jnp.int32(n_buf))
+                slot = (lane_sample - aligned_off).astype(jnp.int32)
+                packed = jnp.where(
+                    finished, slot * 2 + vp.valid_ray.astype(jnp.int32),
+                    jnp.int32(2 * n_buf))
+                # one sort does compaction AND slot-orders the appended run
                 srt = jax.lax.sort(
-                    (key, slot) + tuple(values[:, c] for c in
-                                        range(N_BASE_CHANNELS)), num_keys=1)
+                    (packed, xyz[:, 0], xyz[:, 1], xyz[:, 2]), num_keys=1)
                 log_v = tuple(
                     jax.lax.dynamic_update_slice(lv, ch_v, (cursor,))
-                    for lv, ch_v in zip(log_v, srt[2:]))
-                log_i = jax.lax.dynamic_update_slice(log_i, srt[1], (cursor,))
+                    for lv, ch_v in zip(log_v, srt[1:]))
+                log_i = jax.lax.dynamic_update_slice(log_i, srt[0], (cursor,))
                 nf = jnp.sum(finished, dtype=jnp.int32)
                 return (log_v, log_i, jnp.minimum(cursor + nf,
                                                   jnp.int32(n_buf)))
+            values = _lane_values(cfg, spec, vp.valid_ray,
+                                  vp.ray.wavelengths)
             values = jnp.where(finished[..., None], values, 0.0)
             return film_put(image, pos - jnp.asarray([cx, cy], jnp.float32),
                             values, cfg.rfilter, rp)
@@ -381,14 +382,20 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
     if use_log:
         log_v, log_i, cursor_f = image_f
         srt = jax.lax.sort((log_i,) + tuple(log_v), num_keys=1)
+        keys = srt[0]
+        real = keys < 2 * n_buf  # trash entries sort last
+        a_col = (keys & 1).astype(jnp.float32)          # valid flag
+        w_col = jnp.where(real, 1.0, 0.0)               # weight = 1/sample
 
         def _scattered():
             # sorted-indices scatter (trash-slot duplicates land last and
             # overwrite each other harmlessly; ~100x faster than the
             # random-order scatter, but still ~3 ms/channel at 512k rows)
+            slot = jnp.minimum(keys >> 1, jnp.int32(n_buf))
             buf = jnp.stack(
-                [jnp.zeros((n_buf + 1,)).at[srt[0]].set(
-                    ch_v, indices_are_sorted=True) for ch_v in srt[1:]], -1)
+                [jnp.zeros((n_buf + 1,)).at[slot].set(
+                    ch_v, indices_are_sorted=True)
+                 for ch_v in srt[1:] + (a_col, w_col)], -1)
             return buf[:n_buf].reshape(n_buf // spp, spp,
                                        N_BASE_CHANNELS).sum(1)
 
@@ -398,7 +405,7 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
             # IS slot i — no scatter at all. The junk tail (trash-slot
             # rows sorted last) fills only the spp-alignment slack group,
             # which lands in the film pad rows and is sliced off below.
-            rows_all = jnp.stack(srt[1:], -1)[:n_buf]
+            rows_all = jnp.stack(srt[1:] + (a_col, w_col), -1)[:n_buf]
             return rows_all.reshape(n_buf // spp, spp,
                                     N_BASE_CHANNELS).sum(1)
 
