@@ -342,8 +342,14 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
                     jnp.where(refill[..., None], fresh_pos, pos),
                     jnp.where(refill[..., None], fresh_rw, rw))
 
-        vp, pos, rw = jax.lax.cond(jnp.any(refill), _refill,
-                                   lambda: (vp, pos, rw))
+        if not bounce_kwargs.get("gate_sites", True):
+            # TPU: a refill happens nearly every iteration, so the cond is
+            # an always-taken kernel boundary that copies the whole lane
+            # state (see gate_sites)
+            vp, pos, rw = _refill()
+        else:
+            vp, pos, rw = jax.lax.cond(jnp.any(refill), _refill,
+                                       lambda: (vp, pos, rw))
         lane_sample = jnp.where(refill, new_idx, lane_sample)
         occupied = occupied | refill
         its = jnp.where(refill, 0, its)
