@@ -59,7 +59,10 @@ def main():
     from eradiate_kernel_tpu.utils.scenes import atmosphere
 
     W = H = 256
-    spp = 8
+    # 32 spp per timed call: the axon relay costs ~45 ms of host dispatch
+    # per call in its synchronous mode, which at 8 spp masked ~2x of the
+    # actual device throughput (device time per 512k-sample pass is ~63 ms)
+    spp = 32
     if os.environ.get("BENCH_SIZE"):
         W, H, spp = (int(x) for x in os.environ["BENCH_SIZE"].split("x"))
     scene_kind = os.environ.get("BENCH_SCENE", "flagship")
