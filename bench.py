@@ -59,10 +59,11 @@ def main():
     from eradiate_kernel_tpu.utils.scenes import atmosphere
 
     W = H = 256
-    # 32 spp per timed call: the axon relay costs ~45 ms of host dispatch
-    # per call in its synchronous mode, which at 8 spp masked ~2x of the
-    # actual device throughput (device time per 512k-sample pass is ~63 ms)
-    spp = 32
+    # 64 spp per timed call (4.2M samples): the axon relay costs ~45 ms of
+    # host dispatch per call in its synchronous mode, which at the old 8-spp
+    # load masked >2x of the actual device throughput; throughput saturates
+    # by 64 spp (52.8 at 64, 53.7 at 128 — measured 2026-08-19)
+    spp = 64
     if os.environ.get("BENCH_SIZE"):
         W, H, spp = (int(x) for x in os.environ["BENCH_SIZE"].split("x"))
     scene_kind = os.environ.get("BENCH_SCENE", "flagship")
