@@ -228,24 +228,28 @@ def _run_walk(body, state, nee_steps, use_while):
     the scan path (step k draws dim0+k in both; skipped steps were no-ops
     for every lane). The scan variant stays the default because while_loop
     is not reverse-differentiable."""
+    dim0 = state.sampler.dim
     if not use_while:
         def scan_body(s, _):
             return match_dtypes(body(s), s), None
 
         final, _ = jax.lax.scan(scan_body, state, None, length=nee_steps)
-        return final
+    else:
+        def w_cond(carry):
+            s, k = carry
+            return jnp.any(s.active) & (k < nee_steps)
 
-    dim0 = state.sampler.dim
+        def w_body(carry):
+            s, k = carry
+            return match_dtypes(body(s), s), k + 1
 
-    def w_cond(carry):
-        s, k = carry
-        return jnp.any(s.active) & (k < nee_steps)
-
-    def w_body(carry):
-        s, k = carry
-        return match_dtypes(body(s), s), k + 1
-
-    final, _k = jax.lax.while_loop(w_cond, w_body, (state, jnp.int32(0)))
+        final, _k = jax.lax.while_loop(w_cond, w_body,
+                                       (state, jnp.int32(0)))
+    # pin the dimension counter to the same post-walk offset in BOTH
+    # variants (and for every walk body, including the deterministic ones
+    # that draw nothing): step k draws dim0+k wherever it draws at all, so
+    # scan, early-exited while, and skipped-site accounting stay bitwise
+    # interchangeable downstream
     return final.replace(
         sampler=final.sampler.replace(dim=dim0 + jnp.uint32(nee_steps)))
 
@@ -291,7 +295,34 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
 
     ca = _cond_any if gate_sites else _ungated
     extra = dict(scene.config.integrator.extra)
-    if extra.get("nee_transmittance", "track") == "quadrature":
+    nee_mode = extra.get("nee_transmittance", "residual")
+    if nee_mode == "residual":
+        # Default: residual ratio tracking (Novák et al. 2014) — UNBIASED
+        # like the tracked walk, but the closed-form control transmittance
+        # absorbs the bulk of the optical depth, so stochastic steps (each a
+        # full-wavefront grid gather + intersect on TPU) arrive at the
+        # residual rate |sigma - sigma_c| instead of the majorant. For
+        # plane-parallel profiles the residual is ZERO: the walk needs only
+        # its surface-crossing steps and is exact. 'track' recovers the
+        # reference's plain ratio tracking (volpath.cpp:282-365),
+        # 'quadrature' the deterministic Gauss-Legendre estimator.
+        if scene.config.het_profile1d:
+            # trace-time degenerate case: every heterogeneous medium is a
+            # plane-parallel profile, so the residual rate is IDENTICALLY
+            # zero and the estimator is the exact closed-form optical depth
+            # — run the deterministic walk body directly (no per-step rate
+            # computation, RNG draw, or collision site at all). Exact, so
+            # trivially unbiased here.
+            step = lambda s: _walk_step_quadrature(scene, s, ds, channel,
+                                                   8, ca=ca)
+        else:
+            step = lambda s: _walk_step_residual(scene, s, ds, channel,
+                                                 ca=ca)
+        final = _run_walk(step, state, nee_steps, use_while)
+        contrib = jnp.where(final.active[..., None], 0.0,
+                            final.transmittance) * emitter_val
+        return contrib, ds, final.sampler, final.n_rays
+    if nee_mode == "quadrature":
         # Deterministic option (SURVEY §7 perf note; estimator change, so
         # knob-gated): T = exp(-integral of sigma_t) by fixed Gauss-Legendre
         # quadrature per medium segment instead of ratio tracking — one walk
@@ -484,6 +515,115 @@ def _walk_step_quadrature(scene, s: _WalkState, ds, channel, K,
                       total_dist=total_dist, active=active, n_rays=n_rays)
 
 
+def _walk_step_residual(scene, s: _WalkState, ds, channel, ca=_cond_any):
+    """One residual-ratio-tracking NEE-walk step (Novák et al. 2014;
+    upgrade of the reference's plain ratio tracking, volpath.cpp:282-365).
+
+    Per step, over the medium segment up to the next surface:
+      T_seg = exp(-int sigma_c) * prod_collisions (1 - (sigma - sigma_c)/R)
+    with collisions sampled at the detached residual rate
+    R >= |sigma - sigma_c| (media.medium_residual_rate). The control
+    integral is exact (media.medium_ctrl_tau_segment), so plane-parallel
+    profiles produce NO collisions at all and general grids only as many
+    grid gathers as the residual heterogeneity warrants. Unbiased for any
+    (consistent) control — stale tables after a ParameterMap grid update
+    only raise variance. A step either collides (advance inside the
+    medium) or crosses the surface bounding the segment (null-transmission
+    multiply + medium transition, exactly like the tracked walk)."""
+    batch = s.ray.o.shape[:-1]
+    nc = s.transmittance.shape[-1]
+    remaining = jnp.clip(ds.dist * (1.0 - 1e-4) - s.total_dist,
+                         0.0, INVALID_T)
+    ray = s.ray.replace(maxt=remaining)
+    active = s.active & (remaining > 0)
+
+    do_isect = s.needs_intersection & active
+    si = ca(
+        do_isect,
+        lambda: _merge_si(_walk_hit(ray_intersect(scene.geo, ray)),
+                          s.si, do_isect),
+        s.si)
+    needs_intersection = s.needs_intersection & ~do_isect
+    n_rays = s.n_rays + jnp.sum(do_isect)
+
+    seg_end = jnp.minimum(jnp.minimum(si.t, remaining), INVALID_T)
+    in_medium = active & (s.medium_idx >= 0)
+    med = jnp.maximum(s.medium_idx, 0)
+    smp, xi = s.sampler.next_1d()
+
+    # medium segment [a, b] (clipped to the grid AABB and the next surface)
+    def med_block():
+        seg_ok, mint_m, maxt_m = media.medium_intersect_bounds(
+            scene, med, ray, in_medium)
+        a = jnp.where(seg_ok, jnp.clip(mint_m, 0.0, seg_end), 0.0)
+        b = jnp.where(seg_ok, jnp.clip(maxt_m, 0.0, seg_end), 0.0)
+        b = jnp.maximum(a, b)
+        rate = media.medium_residual_rate(scene, med, ray, a, b)
+        # residual collision at rate R; R == 0 -> dt = inf (pure control)
+        dt = a - jnp.log1p(-xi) / jnp.maximum(rate, 1e-20)
+        hit = in_medium & (dt < b) & (rate > 0)
+        t1 = jnp.where(hit, dt, b)
+        tau_c = media.medium_ctrl_tau_segment(scene, med, ray, a, t1,
+                                              ray.wavelengths)
+        return hit, jnp.where(hit, dt, 0.0), rate, tau_c
+
+    hit_res, dt, rate, tau_c = ca(
+        in_medium, med_block,
+        (jnp.zeros(batch, bool), jnp.zeros(batch), jnp.zeros(batch),
+         jnp.zeros(batch + (nc,))))
+    transmittance = jnp.where(in_medium[..., None],
+                              s.transmittance * jnp.exp(-tau_c),
+                              s.transmittance)
+
+    # collision weight: 1 - (sigma - sigma_c)/R (can dip epsilon-negative
+    # from the f32 safety margin — kept signed, the estimator is unbiased)
+    def col_block():
+        p_col = ray.at(jnp.where(hit_res, dt, 0.0))
+        st = media.medium_sigma_t(scene, med, p_col, ray.wavelengths)
+        sc = media.medium_ctrl_sigma(scene, med, p_col, ray.wavelengths)
+        den = jax.lax.stop_gradient(jnp.maximum(rate, 1e-20))[..., None]
+        return 1.0 - (st - sc) / den
+
+    w_col = ca(hit_res, col_block, jnp.ones(batch + (nc,)))
+    transmittance = jnp.where(hit_res[..., None],
+                              transmittance * w_col, transmittance)
+
+    # collided lanes advance inside the medium (si stays valid relative)
+    total_dist = s.total_dist + jnp.where(
+        active, jnp.where(hit_res, dt, seg_end), 0.0)
+    ray = ray.replace(
+        o=jnp.where(hit_res[..., None],
+                    ray.at(jnp.where(hit_res, dt, 0.0)), ray.o),
+        mint=jnp.where(hit_res, 0.0, ray.mint))
+    si = si.replace(t=jnp.where(hit_res, si.t - dt, si.t))
+
+    # passed lanes reach the segment end: emitter (done) or surface crossing
+    passed = active & ~hit_res
+    reached = passed & (~si.is_valid | (si.t > remaining))
+    active_surface = passed & si.is_valid & (si.t <= remaining) & ~reached
+
+    null_tr = _eval_null_transmission(scene, si, ray, active_surface)
+    transmittance = jnp.where(active_surface[..., None],
+                              transmittance * null_tr, transmittance)
+
+    o_new = si.offset_origin(ray.d)
+    ray = Ray(o=jnp.where(active_surface[..., None], o_new, ray.o),
+              d=ray.d, mint=jnp.where(active_surface, 0.0, ray.mint),
+              maxt=remaining, time=ray.time, wavelengths=ray.wavelengths)
+    needs_intersection = needs_intersection | active_surface
+
+    nonzero = jnp.any(transmittance != 0.0, -1)
+    active = (hit_res | active_surface) & nonzero
+    has_trans = active_surface & _is_medium_transition(scene, si)
+    medium_idx = jnp.where(has_trans, _target_medium(scene, si, ray.d),
+                           s.medium_idx)
+
+    return _WalkState(sampler=smp, ray=ray, si=si,
+                      needs_intersection=needs_intersection,
+                      medium_idx=medium_idx, transmittance=transmittance,
+                      total_dist=total_dist, active=active, n_rays=n_rays)
+
+
 def _pseudo_si(p, n, wavelengths, time):
     from ..core.frame import Frame
     from ..render.records import SurfaceInteraction
@@ -526,6 +666,115 @@ class _DirectState:
     n_rays: jnp.ndarray
 
 
+def _direct_step_residual(scene, s: _DirectState, ref_p, channel,
+                          ca=_cond_any):
+    """Residual-ratio-tracking variant of the evaluate_direct_light walk
+    body (see _walk_step_residual for the estimator): walk the BSDF-sampled
+    ray through media with closed-form control transmittance + sparse
+    residual collisions until an emitter (or nothing) is found."""
+    batch = s.ray.o.shape[:-1]
+    nc = s.transmittance.shape[-1]
+    active = s.active
+    ray = s.ray
+
+    do_isect = s.needs_intersection & active
+    si = ca(
+        do_isect,
+        lambda: _merge_si(_walk_hit(ray_intersect(scene.geo, ray)),
+                          s.si, do_isect),
+        s.si)
+    needs_intersection = s.needs_intersection & ~do_isect
+    n_rays = s.n_rays + jnp.sum(do_isect)
+
+    in_medium = active & (s.medium_idx >= 0)
+    med = jnp.maximum(s.medium_idx, 0)
+    smp, xi = s.sampler.next_1d()
+    seg_end = jnp.minimum(si.t, INVALID_T)
+
+    def med_block():
+        seg_ok, mint_m, maxt_m = media.medium_intersect_bounds(
+            scene, med, ray, in_medium)
+        a = jnp.where(seg_ok, jnp.clip(mint_m, 0.0, seg_end), 0.0)
+        b = jnp.where(seg_ok, jnp.clip(maxt_m, 0.0, seg_end), 0.0)
+        b = jnp.maximum(a, b)
+        rate = media.medium_residual_rate(scene, med, ray, a, b)
+        dt = a - jnp.log1p(-xi) / jnp.maximum(rate, 1e-20)
+        hit = in_medium & (dt < b) & (rate > 0)
+        t1 = jnp.where(hit, dt, b)
+        tau_c = media.medium_ctrl_tau_segment(scene, med, ray, a, t1,
+                                              ray.wavelengths)
+        return hit, jnp.where(hit, dt, 0.0), rate, tau_c
+
+    hit_res, dt, rate, tau_c = ca(
+        in_medium, med_block,
+        (jnp.zeros(batch, bool), jnp.zeros(batch), jnp.zeros(batch),
+         jnp.zeros(batch + (nc,))))
+    transmittance = jnp.where(in_medium[..., None],
+                              s.transmittance * jnp.exp(-tau_c),
+                              s.transmittance)
+
+    def col_block():
+        p_col = ray.at(dt)
+        st = media.medium_sigma_t(scene, med, p_col, ray.wavelengths)
+        sc = media.medium_ctrl_sigma(scene, med, p_col, ray.wavelengths)
+        den = jax.lax.stop_gradient(jnp.maximum(rate, 1e-20))[..., None]
+        return 1.0 - (st - sc) / den
+
+    w_col = ca(hit_res, col_block, jnp.ones(batch + (nc,)))
+    transmittance = jnp.where(hit_res[..., None],
+                              transmittance * w_col, transmittance)
+
+    ray = ray.replace(
+        o=jnp.where(hit_res[..., None],
+                    ray.at(jnp.where(hit_res, dt, 0.0)), ray.o),
+        mint=jnp.where(hit_res, 0.0, ray.mint))
+    si = si.replace(t=jnp.where(hit_res, si.t - dt, si.t))
+
+    # passed lanes reach the segment end: emitter hit / null crossing
+    passed = active & ~hit_res
+    em_idx = _tg(scene.shape_emitter, jnp.maximum(si.shape_index, 0))
+    hit_area = passed & si.is_valid & (em_idx >= 0)
+    hit_env = passed & ~si.is_valid & (scene.config.env_emitter >= 0)
+    emitter_hit = hit_area | hit_env
+
+    def _emitter_block():
+        si_v = si.view(ray.wavelengths)
+        e_area = emitters.eval_emitter_hit(scene, si_v, hit_area)
+        e_env = emitters.eval_environment(scene, ray, ~si.is_valid, hit_env)
+        e_val = jnp.where(emitter_hit[..., None],
+                          transmittance * (e_area + e_env), s.emitter_val)
+        epdf = emitters.pdf_emitter_direction(
+            scene, ref_p, si_v, ~si.is_valid, emitter_hit, d=ray.d)
+        return e_val, jnp.where(emitter_hit, epdf, s.emitter_pdf)
+
+    emitter_val, emitter_pdf = ca(
+        emitter_hit, _emitter_block, (s.emitter_val, s.emitter_pdf))
+    active = active & ~emitter_hit
+    hit_res = hit_res & active
+
+    active_surface = passed & active & si.is_valid
+    null_tr = _eval_null_transmission(scene, si, ray, active_surface)
+    transmittance = jnp.where(active_surface[..., None],
+                              transmittance * null_tr, transmittance)
+
+    o_new = si.offset_origin(ray.d)
+    ray = Ray(o=jnp.where(active_surface[..., None], o_new, ray.o),
+              d=ray.d, mint=jnp.where(active_surface, 0.0, ray.mint),
+              maxt=ray.maxt, time=ray.time, wavelengths=ray.wavelengths)
+    needs_intersection = needs_intersection | active_surface
+
+    nonzero = jnp.any(transmittance != 0.0, -1)
+    active = (hit_res | active_surface) & nonzero
+    has_trans = active_surface & _is_medium_transition(scene, si)
+    medium_idx = jnp.where(has_trans, _target_medium(scene, si, ray.d),
+                           s.medium_idx)
+    return _DirectState(sampler=smp, ray=ray, si=si,
+                        needs_intersection=needs_intersection,
+                        medium_idx=medium_idx, transmittance=transmittance,
+                        emitter_val=emitter_val, emitter_pdf=emitter_pdf,
+                        active=active, n_rays=n_rays)
+
+
 def _evaluate_direct_light(scene, ref_p, ray, si_ray, medium_idx, channel,
                            sampler, active, nee_steps, use_while=False,
                            gate_sites=True):
@@ -542,6 +791,15 @@ def _evaluate_direct_light(scene, ref_p, ray, si_ray, medium_idx, channel,
         active=active, n_rays=jnp.zeros(()))
 
     ca = _cond_any if gate_sites else _ungated
+    extra = dict(scene.config.integrator.extra)
+    if extra.get("nee_transmittance", "residual") == "residual":
+        # (under het_profile1d the residual tables are identically zero, so
+        # this body is the exact closed form with a dead collision site)
+        final = _run_walk(
+            lambda s: _direct_step_residual(scene, s, ref_p, channel, ca=ca),
+            state, nee_steps, use_while)
+        return (final.emitter_val, final.emitter_pdf, final.sampler,
+                final.n_rays)
 
     def body(s: _DirectState):
         active = s.active

@@ -136,16 +136,8 @@ def medium_majorant_segment(scene, medium_idx, ray, mint, maxt, wavelengths):
     t1 = jnp.minimum(maxt, INVALID_T)
     p0 = jnp.clip(w2l.transform_affine_point(ray.at(mint)), 0.0, 1.0)
     p1 = jnp.clip(w2l.transform_affine_point(ray.at(t1)), 0.0, 1.0)
-    lo = jnp.minimum(p0, p1)                  # (..., 3)
-    hi = jnp.maximum(p0, p1)
-    P = AXPROF_BINS
-    ia = jnp.clip((lo * P).astype(jnp.int32), 0, P - 1)   # (..., 3)
-    ib = jnp.clip((hi * P).astype(jnp.int32), 0, P - 1)
-    prof = tg(params["axprof"], slot)         # (..., 3, P) normalized
-    ar = jnp.arange(P)
-    mask = (ar >= ia[..., None]) & (ar <= ib[..., None])  # (..., 3, P)
-    per_axis = jnp.max(jnp.where(mask, prof, 0.0), axis=-1)   # (..., 3)
-    seg = jnp.min(per_axis, axis=-1) * tg(params["majorant"], slot)
+    seg = _axis_range_max(tg(params["axprof"], slot), p0, p1) \
+        * tg(params["majorant"], slot)
     seg = jax.lax.stop_gradient(jnp.maximum(seg, 1e-8))
     return jnp.where(m[..., None], seg[..., None], out)
 
@@ -197,6 +189,177 @@ def _profile_lerp_setup(prof, Dn, z):
     return i0, f, p0, p1
 
 
+def _tau_1d_profile(prof, cum, Dn, o_z, dlz, a, b):
+    """Exact optical depth of a piecewise-linear vertical profile over the
+    ray segment [a, b] (unscaled): tau = (T(z(b)) - T(z(a))) / dlz with the
+    cumulative table T, horizontal rays falling back to sigma(z0)*(b-a).
+    prof/cum: (..., Dmax); Dn: (...,) true knot counts; o_z/dlz: local-z
+    ray origin/direction components; a/b: world-scale ray parameters."""
+    from ..core.gather import select_along_axis
+
+    z0 = o_z + dlz * a
+    z1 = o_z + dlz * b
+
+    def T(z):
+        i0, f, p0, p1 = _profile_lerp_setup(prof, Dn, z)
+        c0 = select_along_axis(cum, i0)
+        dz = 1.0 / jnp.maximum(Dn - 1, 1)
+        t_multi = c0 + dz * (p0 * f + 0.5 * (p1 - p0) * f * f)
+        # D == 1: constant profile, T(z) = p0 * z
+        return jnp.where(Dn > 1, t_multi, p0 * jnp.clip(z, 0.0, 1.0))
+
+    straight = jnp.abs(dlz) > 1e-8
+    dlz_s = jnp.where(straight, dlz, 1.0)
+    # horizontal rays: sigma is constant along the segment
+    _i, f0, p0, p1 = _profile_lerp_setup(prof, Dn, z0)
+    sig0 = p0 * (1.0 - f0) + p1 * f0
+    tau = jnp.where(straight, (T(z1) - T(z0)) / dlz_s,
+                    sig0 * jnp.maximum(b - a, 0.0))
+    return jnp.maximum(tau, 0.0)
+
+
+def _axis_range_max(prof3, p0, p1):
+    """min over axes of the per-axis range-max of a (..., 3, P) profile set
+    over the local-coordinate box [p0, p1] (both (..., 3), clipped to
+    [0, 1]) — the loop-free DDA-supergrid bound shared by the segment
+    majorant and the residual collision rate."""
+    lo = jnp.minimum(p0, p1)
+    hi = jnp.maximum(p0, p1)
+    P = prof3.shape[-1]
+    ia = jnp.clip((lo * P).astype(jnp.int32), 0, P - 1)
+    ib = jnp.clip((hi * P).astype(jnp.int32), 0, P - 1)
+    ar = jnp.arange(P)
+    mask = (ar >= ia[..., None]) & (ar <= ib[..., None])  # (..., 3, P)
+    per_axis = jnp.max(jnp.where(mask, prof3, 0.0), axis=-1)  # (..., 3)
+    return jnp.min(per_axis, axis=-1)
+
+
+def medium_ctrl_tau_segment(scene, medium_idx, ray, a, b, wavelengths):
+    """CONTROL optical depth over the ray segment [a, b] -> (..., nc): the
+    exact integral of the medium's control field sigma_c. Homogeneous media
+    use sigma_t itself (full closed form, zero residual); heterogeneous
+    media use the horizontal-mean vertical profile built at scene load
+    (build_spectra._control_and_residual_profiles). Building block of the
+    residual ratio-tracking NEE estimator (Novák et al. 2014; the reference
+    only ratio-tracks, volpath.cpp:282-365)."""
+    cfg = scene.config
+    nc = wavelengths.shape[-1] if cfg.variant.is_spectral \
+        else cfg.variant.n_channels
+    batch = jnp.broadcast_shapes(a.shape, b.shape)
+    tau = jnp.zeros(batch + (nc,))
+    if not cfg.medium_kinds:
+        return tau
+    kind = tg(scene.medium_kind, medium_idx)
+    slot = tg(scene.medium_slot, medium_idx)
+    seg = jnp.maximum(b - a, 0.0)
+    for k, kname in enumerate(cfg.medium_kinds):
+        m = kind == k
+        params = scene.media[kname]
+        if kname == "homogeneous":
+            st = _spec(scene, tg(params["sigma_t"], slot), wavelengths) \
+                * tg(params["scale"], slot)[..., None]
+            v = st * seg[..., None]
+        elif kname == "heterogeneous":
+            w2l = Transform(m=tg(params["w2l_m"], slot),
+                            inv_t=tg(params["w2l_it"], slot))
+            o_z = w2l.transform_affine_point(ray.o)[..., 2]
+            dlz = w2l.transform_vector(ray.d)[..., 2]
+            t1d = _tau_1d_profile(tg(params["cprof"], slot),
+                                  tg(params["ccum"], slot),
+                                  tg(params["cD"], slot), o_z, dlz, a, b)
+            v = (t1d * tg(params["scale"], slot))[..., None] * jnp.ones((nc,))
+        else:
+            raise ValueError(kname)
+        tau = jnp.where(m[..., None], v, tau)
+    return jnp.clip(tau, 0.0, 60.0)
+
+
+def medium_residual_rate(scene, medium_idx, ray, a, b):
+    """Residual collision rate for the segment [a, b] -> (...,): a bound on
+    |sigma_t - sigma_c| over the segment (min over the per-axis range-max
+    residual profiles, times the medium's scale). Detached — a sampling
+    parameter like the majorant. Zero for homogeneous media (their control
+    is exact)."""
+    batch = jnp.broadcast_shapes(a.shape, b.shape)
+    out = jnp.zeros(batch)
+    cfg = scene.config
+    if "heterogeneous" not in cfg.medium_kinds:
+        return out
+    k_het = cfg.medium_kinds.index("heterogeneous")
+    kind = tg(scene.medium_kind, medium_idx)
+    slot = tg(scene.medium_slot, medium_idx)
+    m = kind == k_het
+    params = scene.media["heterogeneous"]
+    w2l = Transform(m=tg(params["w2l_m"], slot), inv_t=tg(params["w2l_it"], slot))
+    t1 = jnp.minimum(b, INVALID_T)
+    p0 = jnp.clip(w2l.transform_affine_point(ray.at(a)), 0.0, 1.0)
+    p1 = jnp.clip(w2l.transform_affine_point(ray.at(t1)), 0.0, 1.0)
+    rate = _axis_range_max(tg(params["resprof"], slot), p0, p1) \
+        * tg(params["scale"], slot)
+    rate = jax.lax.stop_gradient(jnp.maximum(rate, 0.0))
+    return jnp.where(m, rate, out)
+
+
+def medium_ctrl_sigma(scene, medium_idx, p, wavelengths):
+    """Control field sigma_c at world point p -> (..., nc) (scale included;
+    the subtrahend of the residual collision weight). Homogeneous: sigma_t
+    itself; heterogeneous: the vertical control profile."""
+    cfg = scene.config
+    nc = wavelengths.shape[-1] if cfg.variant.is_spectral \
+        else cfg.variant.n_channels
+    out = jnp.zeros(medium_idx.shape + (nc,))
+    if not cfg.medium_kinds:
+        return out
+    kind = tg(scene.medium_kind, medium_idx)
+    slot = tg(scene.medium_slot, medium_idx)
+    for k, kname in enumerate(cfg.medium_kinds):
+        m = kind == k
+        params = scene.media[kname]
+        if kname == "homogeneous":
+            v = _spec(scene, tg(params["sigma_t"], slot), wavelengths) \
+                * tg(params["scale"], slot)[..., None]
+        elif kname == "heterogeneous":
+            w2l = Transform(m=tg(params["w2l_m"], slot),
+                            inv_t=tg(params["w2l_it"], slot))
+            z = w2l.transform_affine_point(p)[..., 2]
+            prof = tg(params["cprof"], slot)
+            Dn = tg(params["cD"], slot)
+            _i, f, p0, p1 = _profile_lerp_setup(prof, Dn, z)
+            sig = p0 * (1.0 - f) + p1 * f
+            v = (sig * tg(params["scale"], slot))[..., None] * jnp.ones((nc,))
+        else:
+            raise ValueError(kname)
+        out = jnp.where(m[..., None], v, out)
+    return out
+
+
+def medium_sigma_t(scene, medium_idx, p, wavelengths):
+    """sigma_t alone at world point p -> (..., nc) (the residual-collision
+    integrand; skips the albedo volume eval medium_scattering_coefficients
+    would pay — on TPU every volume eval is a full-wavefront gather)."""
+    cfg = scene.config
+    nc = wavelengths.shape[-1] if cfg.variant.is_spectral \
+        else cfg.variant.n_channels
+    out = jnp.zeros(medium_idx.shape + (nc,))
+    if not cfg.medium_kinds:
+        return out
+    kind = tg(scene.medium_kind, medium_idx)
+    slot = tg(scene.medium_slot, medium_idx)
+    for k, kname in enumerate(cfg.medium_kinds):
+        m = kind == k
+        params = scene.media[kname]
+        if kname == "homogeneous":
+            v = _spec(scene, tg(params["sigma_t"], slot), wavelengths) \
+                * tg(params["scale"], slot)[..., None]
+        elif kname == "heterogeneous":
+            v = volume_eval(scene, tg(params["sigma_t_vol"], slot), p,
+                            wavelengths) * tg(params["scale"], slot)[..., None]
+        else:
+            raise ValueError(kname)
+        out = jnp.where(m[..., None], v, out)
+    return out
+
+
 def medium_tau_segment(scene, medium_idx, ray, a, b, wavelengths,
                        quad_points=8):
     """Optical depth integral of sigma_t over the ray segment [a, b]
@@ -238,33 +401,13 @@ def medium_tau_segment(scene, medium_idx, ray, a, b, wavelengths,
             if cfg.het_profile1d:
                 w2l = Transform(m=tg(params["w2l_m"], slot),
                                 inv_t=tg(params["w2l_it"], slot))
-                o_l = w2l.transform_affine_point(ray.o)
+                o_z = w2l.transform_affine_point(ray.o)[..., 2]
                 dlz = w2l.transform_vector(ray.d)[..., 2]
-                z0 = o_l[..., 2] + dlz * a
-                z1 = o_l[..., 2] + dlz * b
-                prof = tg(params["zprof"], slot)     # (..., Dmax)
-                cum = tg(params["zcum"], slot)
-                Dn = tg(params["zD"], slot)
-                scale = tg(params["scale"], slot)
-
-                def T(z):
-                    from ..core.gather import select_along_axis
-                    i0, f, p0, p1 = _profile_lerp_setup(prof, Dn, z)
-                    c0 = select_along_axis(cum, i0)
-                    dz = 1.0 / jnp.maximum(Dn - 1, 1)
-                    t_multi = c0 + dz * (p0 * f + 0.5 * (p1 - p0) * f * f)
-                    # D == 1: constant profile, T(z) = p0 * z
-                    return jnp.where(Dn > 1, t_multi,
-                                     p0 * jnp.clip(z, 0.0, 1.0))
-
-                straight = jnp.abs(dlz) > 1e-8
-                dlz_s = jnp.where(straight, dlz, 1.0)
-                # horizontal rays: sigma is constant along the segment
-                _i, f0, p0, p1 = _profile_lerp_setup(prof, Dn, z0)
-                sig0 = p0 * (1.0 - f0) + p1 * f0
-                tau_s = jnp.where(straight, (T(z1) - T(z0)) / dlz_s,
-                                  sig0 * seg)
-                v = (jnp.maximum(tau_s, 0.0) * scale)[..., None] \
+                tau_s = _tau_1d_profile(tg(params["zprof"], slot),
+                                        tg(params["zcum"], slot),
+                                        tg(params["zD"], slot),
+                                        o_z, dlz, a, b)
+                v = (tau_s * tg(params["scale"], slot))[..., None] \
                     * jnp.ones((nc,))
             else:
                 # Gauss-Legendre over the segment (general 3D grids)

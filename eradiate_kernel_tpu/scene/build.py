@@ -22,7 +22,8 @@ from ..render.geometry import (FAMILY_CONE, FAMILY_CYLINDER, FAMILY_DISK,
 from .scene import IntegratorConfig, Scene, SceneConfig
 from .build_sensors import _SENSOR_TYPES, _build_sensor, _build_srf  # noqa: F401
 from .build_spectra import (_axis_majorant_profiles,  # noqa: F401
-                            _cie_rgb_of_spectrum, _image_data,
+                            _cie_rgb_of_spectrum,
+                            _control_and_residual_profiles, _image_data,
                             _spectrum_sampling_table, _srgb_const_coeff)
 from .build_emitters import (_build_bsdf,  # noqa: F401
                              _build_emitter_for_shape, _build_scene_emitter)
@@ -340,6 +341,12 @@ class SceneBuilder:
                 ).astype(np.float32)
             else:
                 zcum = np.zeros(1, np.float32)
+            # residual ratio-tracking tables (control profile = horizontal
+            # mean per z-slice with closed-form cumulative integral, plus
+            # per-axis residual-bound profiles; see
+            # build_spectra._control_and_residual_profiles)
+            cprof, ccum, resprof = _control_and_residual_profiles(
+                kind, prof_rows, vmax)
             row = {
                 "sigma_t_vol": np.int32(st_vol),
                 "albedo_vol": np.int32(al_vol),
@@ -349,6 +356,8 @@ class SceneBuilder:
                 "w2l_m": w2l_m, "w2l_it": w2l_it,
                 "zok": np.bool_(zok), "zprof": zprof, "zcum": zcum,
                 "zD": np.int32(D),
+                "cprof": cprof, "ccum": ccum,
+                "cD": np.int32(len(cprof)), "resprof": resprof,
             }
             return self.add_medium_row("heterogeneous", row, phase_idx)
         raise ValueError(f"unknown medium type {t!r}")
@@ -843,11 +852,16 @@ class SceneBuilder:
         het_profile1d = bool(het_rows) and all(bool(r["zok"]) for r in het_rows)
         if het_rows:
             dmax = max(len(r["zprof"]) for r in het_rows)
+            cmax = max(len(r["cprof"]) for r in het_rows)
             for r in het_rows:
                 pad = dmax - len(r["zprof"])
                 if pad:
                     r["zprof"] = np.pad(r["zprof"], (0, pad), mode="edge")
                     r["zcum"] = np.pad(r["zcum"], (0, pad), mode="edge")
+                cpad = cmax - len(r["cprof"])
+                if cpad:
+                    r["cprof"] = np.pad(r["cprof"], (0, cpad), mode="edge")
+                    r["ccum"] = np.pad(r["ccum"], (0, cpad), mode="edge")
         phase_kind_arr, phase_slot_arr = table_arrays(self.phase_table, list(phase_kinds))
         vol_kind_arr, vol_slot_arr = table_arrays(self.volume_table, list(volume_kinds))
 

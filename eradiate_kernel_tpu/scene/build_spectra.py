@@ -150,3 +150,70 @@ def _axis_majorant_profiles(vol_row, vmax):
     return out * np.float32((1.0 + 1e-4) / vmax)
 
 
+def _control_and_residual_profiles(vol_kind, vol_row, vmax):
+    """Control profile + per-axis residual-bound profiles for the residual
+    ratio-tracking NEE estimator (Novák et al. 2014 "Residual ratio
+    tracking"; no reference counterpart — the reference only ratio-tracks
+    against the global majorant, volpath.cpp:282-365).
+
+    The transmittance over a segment factorizes as
+        T = exp(-int sigma_c) * E[ prod_i (1 - (sigma(x_i) - sigma_c(x_i))/R) ]
+    where sigma_c is ANY control field with a closed-form integral and the
+    collisions x_i arrive at rate R >= |sigma - sigma_c| on the segment.
+    Here sigma_c(z) is the horizontal mean of the grid per z-slice —
+    piecewise linear in local z, so its optical depth is exact via a
+    cumulative table (same machinery as the plane-parallel zprof/zcum).
+    The residual rate per segment is the min over the three per-axis
+    range-max profiles of |grid - sigma_c| — for a plane-parallel profile
+    the residual is ZERO (the estimator degenerates to the exact closed
+    form with no stochastic steps at all), and for mildly heterogeneous
+    atmospheres it is far below the majorant, collapsing the NEE walk's
+    step count (each step costs a full-wavefront grid gather on TPU).
+
+    Unbiasedness is robust to STALE tables (e.g. after a ParameterMap grid
+    update): the same sigma_c appears in the closed form and in the
+    collision weights, so any control cancels in expectation as long as
+    rate > 0 wherever sigma != sigma_c (weights merely leave [0, 2] and
+    variance grows). cprof/ccum/resprof are therefore sampling parameters,
+    like the majorant knob.
+
+    Returns (cprof (D,), ccum (D,), resprof (3, P) — resprof in absolute
+    sigma units BEFORE the medium's traced `scale`)."""
+    P = AXPROF_BINS
+    grid = vol_row.get("grid")
+    if vol_kind == "constvolume":
+        val = float(np.max(vol_row["value"]))
+        return (np.asarray([val], np.float32), np.zeros(1, np.float32),
+                np.zeros((3, P), np.float32))
+    ctrl_ok = (vol_kind == "gridvolume" and grid is not None
+               and int(vol_row.get("wrap", 0)) == 0
+               and grid.shape[-1] == 1)
+    if not ctrl_ok:
+        # zero control: residual tracking degenerates to per-segment-
+        # majorant ratio tracking (resprof = the unnormalized axis majorant)
+        return (np.zeros(1, np.float32), np.zeros(1, np.float32),
+                _axis_majorant_profiles(vol_row, vmax) * np.float32(vmax)
+                if vmax > 0 else np.zeros((3, P), np.float32))
+    g = grid[..., 0].astype(np.float64)          # (D, H, W), axis 0 = z
+    cprof = g.mean(axis=(1, 2))                  # horizontal mean per slice
+    D = len(cprof)
+    if D > 1:
+        dz = 1.0 / (D - 1)
+        ccum = np.concatenate(
+            [[0.0], np.cumsum(0.5 * (cprof[:-1] + cprof[1:]) * dz)])
+    else:
+        ccum = np.zeros(1)
+    resid = np.abs(g - cprof[:, None, None])     # (D, H, W)
+    out = np.empty((3, P), np.float32)
+    for a_out, a_grid in ((0, 2), (1, 1), (2, 0)):  # out rows: x, y, z
+        other = tuple(i for i in range(3) if i != a_grid)
+        node_max = resid.max(axis=other)
+        n = len(node_max)
+        for i in range(P):
+            g0 = int(np.floor(i / P * (n - 1)))
+            g1 = int(np.ceil((i + 1) / P * (n - 1)))
+            out[a_out, i] = node_max[g0:g1 + 1].max()
+    return (cprof.astype(np.float32), ccum.astype(np.float32),
+            out * np.float32(1.0 + 1e-4))
+
+
