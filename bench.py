@@ -74,22 +74,16 @@ def main():
         grid = 64
         metric = "atmosphere64_volpath_mrays_per_s_per_chip"
     d = atmosphere(width=W, height=H, spp=spp, max_depth=12, grid_res=grid)
-    # Flagship NEE estimator: deterministic Gauss-Legendre transmittance
-    # (integrator extra nee_transmittance='quadrature', K=8). Measured on
-    # v5e 2026-08-18: 14.5 Mrays/s vs 6.27 with unbiased ratio tracking
-    # (2.3x) at a film-mean delta of 3e-5 relative on this workload
-    # (smooth exponential profile, tau=0.36 — the quadrature bias is far
-    # below sampling noise; parity gate: tests/test_volpath.py:305).
-    # BENCH_NEE=track reverts to the unbiased ratio-tracked walk.
-    # Estimator per workload: the plane-parallel profile has a CLOSED-FORM
-    # transmittance (media.medium_tau_segment) — quadrature mode uses it, so
-    # NEE costs two table lookups and is exact. True 3D grids would pay K
-    # trilinear grid evals per segment there; unbiased ratio tracking with
-    # per-segment majorants needs fewer grid lookups (measured on v5e:
-    # 6.1 vs 3.3 Mrays/s on the 64^3 grid). BENCH_NEE overrides.
-    nee_default = "track" if scene_kind == "large3d" else "quadrature"
-    if os.environ.get("BENCH_NEE", nee_default) == "quadrature":
-        d["integrator"]["nee_transmittance"] = "quadrature"
+    # NEE estimator: residual ratio tracking (the round-4 default) — an
+    # UNBIASED estimator for both workloads. Plane-parallel profiles have
+    # zero residual, so the walk is the exact closed form (matches the old
+    # quadrature-mode speed: 52.7 vs 53.2 Mrays/s measured 2026-08-20,
+    # without the quadrature estimator's theoretical bias); the 64^3 grid
+    # walks only its residual heterogeneity (9.4 vs 7.6 with plain ratio
+    # tracking). BENCH_NEE=track/quadrature overrides for ablation.
+    nee = os.environ.get("BENCH_NEE", "residual")
+    d["integrator"]["nee_transmittance"] = nee
+    if nee == "quadrature":
         d["integrator"]["nee_quad_points"] = 8
     scene = load_dict(d)
     # regenerating wavefront: the 512k-sample workload streams through a
