@@ -1,27 +1,127 @@
 """Image IO — the Bitmap analog (reference: src/libcore/bitmap.cpp).
 
-The reference links OpenEXR/libpng/libjpeg; this environment has no EXR
-backend, so HDR IO uses a self-contained OpenEXR codec. Writing supports
-NONE/RLE/ZIPS/ZIP compression in f32 or f16 (scanline images); reading
-supports the same set, which covers the overwhelming majority of real-world
-EXR assets (envmaps, measured data — ZIP is the OpenEXR default). PIZ/B44/
-DWA remain unsupported. LDR paths go through PIL with sRGB gamma.
+The reference links OpenEXR/libpng/libjpeg. EXR IO here is two-tier:
+
+- **Native bridge** (csrc/exr_bridge.cpp, ctypes-loaded): links the system
+  libOpenEXR exactly like the reference's Bitmap does — every scanline
+  compression (NONE/RLE/ZIPS/ZIP/PIZ/PXR24/B44/B44A/DWAA/DWAB), used when
+  the library is present.
+- **Pure-Python codec** (this module): self-contained scanline EXR
+  read/write for NONE/RLE/ZIPS/ZIP in f32/f16/u32, plus PIZ and PXR24
+  reading (wavelet+Huffman and 24-bit-float transforms re-derived from the
+  public OpenEXR format spec) — validated byte-for-byte against
+  libOpenEXR-written files in tests/test_core.py. This is the fallback when
+  no system OpenEXR exists.
+
+LDR paths go through PIL with sRGB gamma.
 """
 
 from __future__ import annotations
 
+import ctypes
+import os
 import struct
+import subprocess
+import tempfile
 import zlib
 
 import numpy as np
+
+# --- native OpenEXR bridge (csrc/exr_bridge.cpp) -----------------------------
+
+_bridge = None
+_bridge_tried = False
+
+
+def _load_bridge():
+    """Compile-on-demand + ctypes-load the OpenEXR bridge (same scheme as
+    ops/accel.py's tile-builder). Returns None when libOpenEXR is absent."""
+    global _bridge, _bridge_tried
+    if _bridge_tried:
+        return _bridge
+    _bridge_tried = True
+    if os.environ.get("ERT_NO_EXR_BRIDGE"):  # test hook: force pure path
+        return None
+    src = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..",
+                                       "csrc", "exr_bridge.cpp"))
+    if not os.path.exists(src):
+        return None
+    cache_dir = os.path.join(tempfile.gettempdir(), "ert_native")
+    os.makedirs(cache_dir, exist_ok=True)
+    so_path = os.path.join(cache_dir, "exr_bridge.so")
+    try:
+        if (not os.path.exists(so_path)
+                or os.path.getmtime(so_path) < os.path.getmtime(src)):
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC",
+                 "-I/usr/include/OpenEXR", "-I/usr/include/Imath",
+                 "-o", so_path, src,
+                 "-lOpenEXR-3_1", "-lIex-3_1", "-lIlmThread-3_1",
+                 "-lImath-3_1"],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(so_path)
+        lib.exr_read.restype = ctypes.c_int
+        lib.exr_write.restype = ctypes.c_int
+        lib.exr_last_error.restype = ctypes.c_char_p
+        _bridge = lib
+    except Exception:
+        _bridge = None
+    return _bridge
+
+
+_BRIDGE_COMPRESSION = {"none": 0, "rle": 1, "zips": 2, "zip": 3, "piz": 4,
+                       "pxr24": 5, "b44": 6, "b44a": 7, "dwaa": 8, "dwab": 9}
+
+
+def _bridge_read_exr(path: str):
+    lib = _load_bridge()
+    if lib is None:
+        return None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    c = ctypes.c_int()
+    data = ctypes.POINTER(ctypes.c_float)()
+    names_p = ctypes.POINTER(ctypes.c_char_p)()
+    rc = lib.exr_read(path.encode(), ctypes.byref(w), ctypes.byref(h),
+                      ctypes.byref(c), ctypes.byref(data),
+                      ctypes.byref(names_p))
+    if rc != 0:
+        raise ValueError(
+            f"OpenEXR: {lib.exr_last_error().decode()} ({path})")
+    try:
+        img = np.ctypeslib.as_array(
+            data, shape=(h.value, w.value, c.value)).copy()
+        names = [names_p[i].decode() for i in range(c.value)]
+    finally:
+        lib.exr_free(data)
+        lib.exr_free_names(names_p, c.value)
+    return img, names
+
+
+def _bridge_write_exr(path, img, channel_names, compression, pixel_type):
+    lib = _load_bridge()
+    if lib is None or compression not in _BRIDGE_COMPRESSION:
+        return False
+    img = np.ascontiguousarray(img, np.float32)
+    H, W, C = img.shape
+    names = (ctypes.c_char_p * C)(*[n.encode() for n in channel_names])
+    rc = lib.exr_write(path.encode(), W, H, C,
+                       img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                       names, _BRIDGE_COMPRESSION[compression],
+                       1 if pixel_type == "f16" else 2)
+    if rc != 0:
+        raise ValueError(
+            f"OpenEXR: {lib.exr_last_error().decode()} ({path})")
+    return True
 
 _EXR_MAGIC = 20000630
 _PIXEL_HALF = 1   # OpenEXR HALF (f16)
 _PIXEL_FLOAT = 2  # OpenEXR FLOAT (f32)
 
 # compression enum (OpenEXR ImfCompression.h) -> scanlines per chunk
-_COMPRESSION = {"none": 0, "rle": 1, "zips": 2, "zip": 3}
-_LINES_PER_BLOCK = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32}
+_COMPRESSION = {"none": 0, "rle": 1, "zips": 2, "zip": 3, "piz": 4,
+                "pxr24": 5}
+_LINES_PER_BLOCK = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32, 5: 16}
 
 
 def _attr(name: str, type_: str, payload: bytes) -> bytes:
@@ -120,27 +220,47 @@ def _rle_decompress(data: bytes, out_size: int) -> bytes:
     return bytes(out)
 
 
-def _compress_chunk(raw: bytes, compression: int) -> bytes:
+def _compress_chunk(raw: bytes, compression: int, channels=None, W=0,
+                    ny=0) -> bytes:
     if compression == 0:
         return raw
     if compression == 1:
         packed = _rle_compress(_exr_pack(raw))
-    else:  # 2/3: zips/zip
+    elif compression in (2, 3):
         packed = zlib.compress(_exr_pack(raw))
+    elif compression == 4:
+        from .exr_piz import piz_compress
+
+        packed = piz_compress(raw, channels, W, ny)
+    elif compression == 5:
+        from .exr_piz import pxr24_compress
+
+        packed = pxr24_compress(raw, channels, W, ny)
+    else:
+        raise ValueError(f"unsupported EXR compression {compression}")
     # OpenEXR stores raw when compression does not shrink the chunk
     return packed if len(packed) < len(raw) else raw
 
 
-def _decompress_chunk(buf: bytes, raw_size: int, compression: int) -> bytes:
+def _decompress_chunk(buf: bytes, raw_size: int, compression: int,
+                      channels=None, W=0, ny=0) -> bytes:
     if compression == 0 or len(buf) >= raw_size:
         return buf
     if compression == 1:
         return _exr_unpack(_rle_decompress(buf, raw_size))
     if compression in (2, 3):
         return _exr_unpack(zlib.decompress(buf))
+    if compression == 4:
+        from .exr_piz import piz_decompress
+
+        return piz_decompress(buf, channels, W, ny)
+    if compression == 5:
+        from .exr_piz import pxr24_decompress
+
+        return pxr24_decompress(buf, channels, W, ny)
     raise ValueError(
         f"unsupported EXR compression {compression} (supported: "
-        f"none/rle/zips/zip; piz/pxr24/b44/dwa are not)")
+        f"none/rle/zips/zip/piz/pxr24; b44/dwa need the OpenEXR bridge)")
 
 
 def write_exr(path: str, img, channel_names=None, compression="zip",
@@ -154,15 +274,19 @@ def write_exr(path: str, img, channel_names=None, compression="zip",
     if img.ndim == 2:
         img = img[..., None]
     H, W, C = img.shape
-    comp = _COMPRESSION[compression]
-    lines_pb = _LINES_PER_BLOCK[comp]
-    ptype = _PIXEL_FLOAT if pixel_type == "f32" else _PIXEL_HALF
-    dtype = np.float32 if pixel_type == "f32" else np.float16
-    psize = dtype().itemsize
     if channel_names is None:
         channel_names = {1: ["Y"], 2: ["R", "G"], 3: ["R", "G", "B"],
                          4: ["R", "G", "B", "A"]}.get(C) or \
             [f"ch{i}" for i in range(C)]
+    if _bridge_write_exr(path, img, channel_names, compression, pixel_type):
+        return
+    # pure-Python writer: lossless subset only; degrade piz/pxr24/b44/dwa
+    # requests to zip (still a valid EXR, just different compression)
+    comp = _COMPRESSION.get(compression, _COMPRESSION["zip"])
+    lines_pb = _LINES_PER_BLOCK[comp]
+    ptype = _PIXEL_FLOAT if pixel_type == "f32" else _PIXEL_HALF
+    dtype = np.float32 if pixel_type == "f32" else np.float16
+    psize = dtype().itemsize
     assert len(channel_names) == C
     # EXR stores channels sorted alphabetically within each scanline
     order = sorted(range(C), key=lambda i: channel_names[i])
@@ -196,7 +320,8 @@ def write_exr(path: str, img, channel_names=None, compression="zip",
         raw = b"".join(
             np.ascontiguousarray(img[y0 + dy, :, i]).astype(dtype).tobytes()
             for dy in range(ny) for i in order)
-        chunks.append((y0, _compress_chunk(raw, comp)))
+        chans = [(channel_names[i], ptype) for i in order]
+        chunks.append((y0, _compress_chunk(raw, comp, chans, W, ny)))
 
     offset = len(head) + 8 * n_blocks
     with open(path, "wb") as f:
@@ -210,8 +335,16 @@ def write_exr(path: str, img, channel_names=None, compression="zip",
 
 
 def read_exr(path: str):
-    """Read a scanline EXR (none/rle/zips/zip; f32/f16/u32 channels)
-    -> (img (H, W, C) f32, names)."""
+    """Read a scanline EXR -> (img (H, W, C) f32, names). Native OpenEXR
+    bridge when available (all compressions); pure-Python codec otherwise
+    (none/rle/zips/zip/piz/pxr24; f32/f16/u32 channels)."""
+    if _load_bridge() is not None:
+        img, names = _bridge_read_exr(path)
+        want = [n for n in ("R", "G", "B", "A") if n in names]
+        if len(want) == len(names):
+            img = img[..., [names.index(n) for n in want]]
+            names = want
+        return img, names
     with open(path, "rb") as f:
         data = f.read()
     magic, _version = struct.unpack_from("<ii", data, 0)
@@ -253,10 +386,10 @@ def read_exr(path: str):
             compression = payload[0]
         elif name == "dataWindow":
             dw = struct.unpack("<iiii", payload)
-    if compression not in (0, 1, 2, 3):
+    if compression not in (0, 1, 2, 3, 4, 5):
         raise ValueError(
             f"unsupported EXR compression {compression} (supported: "
-            f"none/rle/zips/zip; piz/pxr24/b44/dwa are not)")
+            f"none/rle/zips/zip/piz/pxr24; b44/dwa need the OpenEXR bridge)")
     lines_pb = _LINES_PER_BLOCK[compression]
     x0, y0, x1, y1 = dw
     W = x1 - x0 + 1
@@ -273,7 +406,7 @@ def read_exr(path: str):
         yb = y - y0
         ny = min(lines_pb, H - yb)
         raw = _decompress_chunk(data[off + 8:off + 8 + size],
-                                ny * line_bytes, compression)
+                                ny * line_bytes, compression, channels, W, ny)
         p = 0
         for dy in range(ny):
             for ci, (_cname, ptype) in enumerate(channels):
@@ -431,8 +564,62 @@ def write_rgbe(path: str, img):
         f.write(rgbe.tobytes())
 
 
+def _rgbe_decode_scanlines(data: bytes, h: int, w: int) -> np.ndarray:
+    """Radiance scanline decoding: new-style RLE (0x02 0x02 marker,
+    per-component runs), old-style repeat markers (1,1,1,n), and flat
+    scanlines — the full format Ward's ray tools emit."""
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    pos = 0
+    y = 0
+    prev = None
+    while y < h:
+        if (w >= 8 and w < 0x8000 and pos + 4 <= len(data)
+                and data[pos] == 2 and data[pos + 1] == 2
+                and ((data[pos + 2] << 8) | data[pos + 3]) == w):
+            pos += 4
+            line = np.zeros((4, w), np.uint8)
+            for comp in range(4):
+                x = 0
+                while x < w:
+                    count = data[pos]
+                    pos += 1
+                    if count > 128:  # run
+                        line[comp, x:x + count - 128] = data[pos]
+                        pos += 1
+                        x += count - 128
+                    else:            # literals
+                        line[comp, x:x + count] = np.frombuffer(
+                            data, np.uint8, count, pos)
+                        pos += count
+                        x += count
+            rgbe[y] = line.T
+            prev = rgbe[y]
+            y += 1
+        else:
+            # flat scanline, possibly with old-style repeat markers
+            x = 0
+            shift = 0
+            while x < w:
+                px = np.frombuffer(data, np.uint8, 4, pos)
+                pos += 4
+                if px[0] == 1 and px[1] == 1 and px[2] == 1:
+                    rep = int(px[3]) << shift
+                    src = rgbe[y, x - 1] if x > 0 else prev[-1]
+                    rgbe[y, x:x + rep] = src
+                    x += rep
+                    shift += 8
+                else:
+                    rgbe[y, x] = px
+                    x += 1
+                    shift = 0
+            prev = rgbe[y]
+            y += 1
+    return rgbe
+
+
 def read_rgbe(path: str):
-    """Read an uncompressed Radiance .hdr -> linear float32 (H, W, 3)."""
+    """Read a Radiance .hdr (flat, old-style, or new-style RLE scanlines)
+    -> linear float32 (H, W, 3)."""
     with open(path, "rb") as f:
         assert f.readline().startswith(b"#?"), "not a Radiance file"
         line = f.readline()
@@ -441,10 +628,11 @@ def read_rgbe(path: str):
         res = f.readline().split()
         assert res[0] == b"-Y" and res[2] == b"+X", "unsupported orientation"
         h, w = int(res[1]), int(res[3])
-        data = np.frombuffer(f.read(h * w * 4), np.uint8)
-        if data.size != h * w * 4:
-            raise ValueError("RLE-compressed .hdr not supported")
-        rgbe = data.reshape(h, w, 4)
+        data = f.read()
+    if len(data) == h * w * 4:
+        rgbe = np.frombuffer(data, np.uint8).reshape(h, w, 4)
+    else:
+        rgbe = _rgbe_decode_scanlines(data, h, w)
     e = rgbe[..., 3].astype(np.int32)
     scale = np.where(e > 0, np.ldexp(1.0, e - 136), 0.0)
     return (rgbe[..., :3].astype(np.float32) * scale[..., None]) \

@@ -45,6 +45,114 @@ def test_exr_compressed_roundtrip(tmp_path, compression, pixel_type):
     assert np.array_equal(back, expect)
 
 
+@pytest.fixture
+def pure_exr(monkeypatch):
+    """Force the pure-Python EXR codec (disable the OpenEXR bridge)."""
+    monkeypatch.setattr(bitmap, "_bridge", None)
+    monkeypatch.setattr(bitmap, "_bridge_tried", True)
+
+
+@pytest.mark.parametrize("compression", ["piz", "pxr24"])
+@pytest.mark.parametrize("pixel_type", ["f32", "f16"])
+def test_exr_piz_pxr24_pure_roundtrip(tmp_path, pure_exr, compression,
+                                      pixel_type):
+    """The pure-Python PIZ (wavelet+Huffman) and PXR24 codecs round-trip.
+    Height 70 exercises a partial final PIZ 32-line block; PXR24 f32 is
+    lossy by design (24-bit floats, ImfPxr24Compressor)."""
+    rng = np.random.default_rng(7)
+    img = (rng.standard_normal((70, 41, 3)) * 5).astype(np.float32)
+    img[10:20] = 0.25
+    p = str(tmp_path / f"p_{compression}_{pixel_type}.exr")
+    bitmap.write_exr(p, img, compression=compression, pixel_type=pixel_type)
+    back, names = bitmap.read_exr(p)
+    assert names == ["R", "G", "B"]
+    expect = img if pixel_type == "f32" else \
+        img.astype(np.float16).astype(np.float32)
+    if compression == "pxr24" and pixel_type == "f32":
+        assert np.abs(back - expect).max() <= 2e-4 * np.abs(expect).max()
+    else:
+        assert np.array_equal(back, expect)
+
+
+_HAVE_BRIDGE = bitmap._load_bridge() is not None
+
+
+@pytest.mark.skipif(not _HAVE_BRIDGE, reason="no system libOpenEXR")
+@pytest.mark.parametrize("compression", ["zip", "piz", "pxr24"])
+def test_exr_pure_codec_interop_with_openexr(tmp_path, monkeypatch,
+                                             compression):
+    """Interop both ways against the REAL OpenEXR library
+    (csrc/exr_bridge.cpp): files written by the pure codec must decode
+    with libOpenEXR, and libOpenEXR-written files must decode with the
+    pure codec — guards against a self-consistent-but-wrong format."""
+    rng = np.random.default_rng(11)
+    img = (rng.standard_normal((37, 53, 3)) * 10).astype(np.float32)
+    img[5:9, 3:7] = 0.0
+
+    tol = 2e-4 * np.abs(img).max() if compression == "pxr24" else 0.0
+
+    # pure write -> OpenEXR read
+    p1 = str(tmp_path / "pure.exr")
+    monkeypatch.setattr(bitmap, "_bridge", None)
+    monkeypatch.setattr(bitmap, "_bridge_tried", True)
+    bitmap.write_exr(p1, img, compression=compression)
+    monkeypatch.undo()
+    back, names = bitmap.read_exr(p1)  # bridge path
+    assert names == ["R", "G", "B"]
+    assert np.abs(back - img).max() <= tol
+
+    # OpenEXR write -> pure read
+    p2 = str(tmp_path / "lib.exr")
+    bitmap.write_exr(p2, img, compression=compression)  # bridge path
+    monkeypatch.setattr(bitmap, "_bridge", None)
+    monkeypatch.setattr(bitmap, "_bridge_tried", True)
+    back2, names2 = bitmap.read_exr(p2)
+    assert names2 == ["R", "G", "B"]
+    assert np.abs(back2 - img).max() <= tol
+
+
+def test_rgbe_rle_scanlines():
+    """New-style RLE .hdr scanlines (0x02 0x02 marker, per-component runs)
+    decode; buffer assembled by hand from Ward's published format."""
+    w, h = 16, 2
+    rng = np.random.default_rng(5)
+    rgbe = rng.integers(10, 200, (h, w, 4), dtype=np.uint8)
+    rgbe[0, 4:12] = rgbe[0, 3]  # a run
+    payload = bytearray()
+    for y in range(h):
+        payload += bytes([2, 2, w >> 8, w & 0xFF])
+        for comp in range(4):
+            col = rgbe[y, :, comp]
+            x = 0
+            while x < w:
+                run = 1
+                while x + run < w and col[x + run] == col[x] and run < 127:
+                    run += 1
+                if run >= 3:
+                    payload += bytes([128 + run, int(col[x])])
+                    x += run
+                else:
+                    payload += bytes([run]) + col[x:x + run].tobytes()
+                    x += run
+    import io
+
+    buf = (b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n"
+           + b"-Y %d +X %d\n" % (h, w) + bytes(payload))
+    import tempfile, os
+
+    fd, path = tempfile.mkstemp(suffix=".hdr")
+    os.write(fd, buf)
+    os.close(fd)
+    try:
+        img = bitmap.read_rgbe(path)
+    finally:
+        os.unlink(path)
+    e = rgbe[..., 3].astype(np.int32)
+    scale = np.where(e > 0, np.ldexp(1.0, e - 136), 0.0)
+    expect = rgbe[..., :3].astype(np.float32) * scale[..., None]
+    assert np.array_equal(img, expect.astype(np.float32))
+
+
 def test_exr_zip_chunk_layout_matches_openexr_spec():
     """Decode a ZIPS chunk assembled by hand from the published OpenEXR
     spec (de-interleave + delta predictor + zlib), independent of our
