@@ -424,6 +424,9 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
         flat = jnp.zeros((ch * cw + n_buf // spp, N_BASE_CHANNELS))
         flat = jax.lax.dynamic_update_slice(flat, rows, (pix0, 0))
         image_f = flat[:ch * cw].reshape(ch, cw, N_BASE_CHANNELS)
+    if _os.environ.get("ERT_REGEN_STATS"):
+        # perf diagnostics: (film, rays) -> (film, rays, loop iterations)
+        return image_f, rays_f, final[9]
     return image_f, rays_f
 
 

@@ -97,7 +97,10 @@ def _invalid_mi(batch, nc):
     return media.MediumInteraction(
         t=jnp.full(batch, INVALID_T), p=jnp.zeros(batch + (3,)),
         mint=jnp.zeros(batch), sigma_s=z, sigma_n=z, sigma_t=z,
-        combined_extinction=z)
+        combined_extinction=z, maxt=jnp.full(batch, INVALID_T),
+        ff_mq=jnp.zeros(batch + (media.AXPROF_BINS,)),
+        ff_qa=jnp.zeros(batch), ff_qb=jnp.zeros(batch),
+        ff_adlz=jnp.ones(batch), ff_on=jnp.zeros(batch, bool))
 
 
 def _medium_phase(scene, medium_idx):
@@ -375,15 +378,9 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
 
         mi = mi.replace(t=jnp.where(active_medium & (si.t < mi.t), INVALID_T, mi.t))
 
-        # transmittance estimator (volpath.cpp:305-312)
-        t_clip = jnp.clip(
-            jnp.minimum(remaining, jnp.minimum(mi.t, si.t)) - mi.mint,
-            0.0, INVALID_T)
-        x = jnp.clip(t_clip[..., None] * mi.combined_extinction, 0.0, 60.0)
-        tr = jnp.exp(-x)
-        pdf_medium_event = tr * mi.combined_extinction
-        passed = (si.t < mi.t) | (mi.t > remaining)
-        ff_pdf = jnp.where(passed[..., None], tr, pdf_medium_event)
+        # transmittance estimator (volpath.cpp:305-312); profile-flight
+        # lanes rebuild the exact inhomogeneous optical depth inside
+        tr, ff_pdf = media.eval_tr_and_pdf(mi, jnp.minimum(si.t, remaining))
         tr_pdf = _index_ch(ff_pdf, channel)
         # double-where: a max(x, 1e-30) denominator leaves 1e30-scale values
         # in masked lanes whose cotangents overflow to inf*0=NaN in reverse
@@ -558,10 +555,11 @@ def _walk_step_residual(scene, s: _WalkState, ds, channel, ca=_cond_any):
         a = jnp.where(seg_ok, jnp.clip(mint_m, 0.0, seg_end), 0.0)
         b = jnp.where(seg_ok, jnp.clip(maxt_m, 0.0, seg_end), 0.0)
         b = jnp.maximum(a, b)
-        rate = media.medium_residual_rate(scene, med, ray, a, b)
-        # residual collision at rate R; R == 0 -> dt = inf (pure control)
-        dt = a - jnp.log1p(-xi) / jnp.maximum(rate, 1e-20)
-        hit = in_medium & (dt < b) & (rate > 0)
+        # first residual collision from the LOCAL z-profile rate (rate is
+        # the rate AT the sampled point — the ratio weight denominator)
+        hit_m, dt, rate = media.medium_residual_sample(scene, med, ray,
+                                                       a, b, xi)
+        hit = in_medium & hit_m
         t1 = jnp.where(hit, dt, b)
         tau_c = media.medium_ctrl_tau_segment(scene, med, ray, a, t1,
                                               ray.wavelengths)
@@ -697,9 +695,9 @@ def _direct_step_residual(scene, s: _DirectState, ref_p, channel,
         a = jnp.where(seg_ok, jnp.clip(mint_m, 0.0, seg_end), 0.0)
         b = jnp.where(seg_ok, jnp.clip(maxt_m, 0.0, seg_end), 0.0)
         b = jnp.maximum(a, b)
-        rate = media.medium_residual_rate(scene, med, ray, a, b)
-        dt = a - jnp.log1p(-xi) / jnp.maximum(rate, 1e-20)
-        hit = in_medium & (dt < b) & (rate > 0)
+        hit_m, dt, rate = media.medium_residual_sample(scene, med, ray,
+                                                       a, b, xi)
+        hit = in_medium & hit_m
         t1 = jnp.where(hit, dt, b)
         tau_c = media.medium_ctrl_tau_segment(scene, med, ray, a, t1,
                                               ray.wavelengths)

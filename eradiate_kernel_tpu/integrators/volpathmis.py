@@ -146,15 +146,9 @@ def _sample_emitter_mis(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
         mi = mi.replace(t=jnp.where(active_medium & (si.t < mi.t),
                                     INVALID_T, mi.t))
 
-        # free-flight transmittance (volpathmis.cpp:370-381)
-        t_clip = jnp.clip(
-            jnp.minimum(remaining, jnp.minimum(mi.t, si.t)) - mi.mint,
-            0.0, INVALID_T)
-        x = jnp.clip(t_clip[..., None] * mi.combined_extinction, 0.0, 60.0)
-        tr = jnp.exp(-x)
-        pdf_event = tr * mi.combined_extinction
-        passed = (si.t < mi.t) | (mi.t > remaining)
-        ff_pdf = jnp.where(passed[..., None], tr, pdf_event)
+        # free-flight transmittance (volpathmis.cpp:370-381); profile-
+        # flight lanes rebuild the exact inhomogeneous optical depth
+        tr, ff_pdf = media.eval_tr_and_pdf(mi, jnp.minimum(si.t, remaining))
         pf_nee = _update(s.pf_nee, ff_pdf, tr, active_medium)
         pf_uni = _update(s.pf_uni, ff_pdf, tr, active_medium)
 

@@ -1040,7 +1040,8 @@ def load_dict(d: dict, variant: Variant | None = None) -> Scene:
                         extra.append((k, val[k]))
             extra += [(k, v) for k, v in props.items()
                       if k in ("max_iterations", "nee_steps",
-                               "nee_transmittance", "nee_quad_points")]
+                               "nee_transmittance", "nee_quad_points",
+                               "ff_majorant")]
             integrator_cfg = IntegratorConfig(
                 kind=t,
                 max_depth=int(props.get("max_depth", 8)),

@@ -65,3 +65,31 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if any(s in str(item.fspath) for s in slow_files):
             item.add_marker(_pytest.mark.slow)
+
+
+def assert_driver_equivalent(a, b, max_flips=0, tol=1e-4):
+    """Assert two renders of the SAME per-sample estimator (different
+    drivers/shardings/compilations) agree sample-for-sample, modulo up to
+    ``max_flips`` pixels of discrete estimator divergence.
+
+    Why not exact: free-flight delta tracking makes DISCONTINUOUS decisions
+    (null/real classification, majorant-profile bin selection) from f32
+    state. XLA compiles each driver separately and may contract FMAs or
+    fuse differently, so a lane's state can differ by an ULP between
+    programs — almost always invisible, but when it crosses a decision
+    boundary the lane takes a different (equally unbiased) path and that
+    pixel's value legitimately diverges. Rate observed: ~1 pixel per few
+    hundred samples on the atmosphere scene. Pixels beyond the flip budget
+    fail the test; flipped pixels must still be finite and bounded."""
+    import numpy as np
+
+    a = np.asarray(a)
+    b = np.asarray(b)
+    diff = np.abs(a - b).max(axis=-1)
+    scale = np.abs(a).max(axis=-1) + 1e-6
+    bad = diff > tol * np.maximum(scale, 1.0)
+    assert bad.sum() <= max_flips, \
+        f"{bad.sum()} pixels diverged (budget {max_flips}); max {diff.max()}"
+    if bad.any():
+        assert np.isfinite(b).all()
+        assert diff[bad].max() < 10 * (np.abs(a).mean() + 1.0)

@@ -253,8 +253,8 @@ def test_regen_matches_fixed_trip():
     # lane pool much smaller than the 256-sample workload -> many refills
     img_rg = np.asarray(integrators.render(sc, seed=5, regen=True,
                                            samples_per_pass=64))
-    assert np.allclose(img_std, img_rg, rtol=1e-4, atol=1e-6), \
-        np.abs(img_std - img_rg).max()
+    from conftest import assert_driver_equivalent
+    assert_driver_equivalent(img_std, img_rg, max_flips=4)
 
 
 def test_regen_path_integrator():
@@ -285,7 +285,8 @@ def test_regen_volpathmis():
     a = np.asarray(integrators.render(sc, seed=2))
     b = np.asarray(integrators.render(sc, seed=2, regen=True,
                                       samples_per_pass=64))
-    assert np.allclose(a, b, rtol=1e-4, atol=1e-6), np.abs(a - b).max()
+    from conftest import assert_driver_equivalent
+    assert_driver_equivalent(a, b, max_flips=4)
 
 
 def test_regen_spectral_distant():
@@ -301,7 +302,8 @@ def test_regen_spectral_distant():
     a = np.asarray(integrators.render(sc, seed=4))
     b = np.asarray(integrators.render(sc, seed=4, regen=True,
                                       samples_per_pass=4))
-    assert np.allclose(a, b, rtol=1e-4, atol=1e-6), np.abs(a - b).max()
+    from conftest import assert_driver_equivalent
+    assert_driver_equivalent(a, b, max_flips=2)
     assert np.isfinite(a).all() and a.max() > 0
 
 
@@ -530,3 +532,71 @@ def test_residual_tables_bound_and_control():
     resid = np.where(inside, np.abs(st - scc), 0.0)
     assert (resid.max(1) <= rate + 1e-5).all(), \
         float((resid.max(1) - rate).max())
+
+
+def test_flight_profile_sampler_exact():
+    """Profile free-flight sampling (media._flight_sample) is the exact
+    inverse transform of its piecewise-constant rate: Lambda(t) == -log(1-xi)
+    for every non-escaped lane, escapes exactly when the target depth
+    exceeds the segment total, and the local rate equals the profile bin at
+    the sampled point. _flight_tau cross-checked against dense numeric
+    integration."""
+    from eradiate_kernel_tpu.media import _flight_sample, _flight_tau
+    from eradiate_kernel_tpu.core.math import INVALID_T
+
+    rng = np.random.default_rng(0)
+    P, N = 64, 4096
+    mq = jnp.asarray(rng.random((N, P)).astype(np.float32) * 2.0)
+    qa = jnp.asarray(rng.random(N).astype(np.float32) * 0.5)
+    qb = qa + jnp.asarray(rng.random(N).astype(np.float32) * 0.5)
+    adlz = jnp.asarray((rng.random(N) * 0.9 + 0.05).astype(np.float32))
+    a = jnp.asarray(rng.random(N).astype(np.float32) * 3.0)
+    xi = jnp.asarray(rng.random(N).astype(np.float32) * 0.999)
+
+    t, m_loc, lam_tot = _flight_sample(mq, qa, qb, adlz, a, xi)
+    lam_at_t = _flight_tau(mq, qa, qb, adlz, a, t)
+    tau = -np.log1p(-np.asarray(xi))
+    esc = np.asarray(t) > 0.5 * INVALID_T
+    assert 0.1 < esc.mean() < 0.9  # both branches exercised
+    assert np.abs(np.asarray(lam_at_t) - tau)[~esc].max() < 1e-4
+    # escape <-> target depth >= segment total
+    assert np.all(tau[esc] >= np.asarray(lam_tot)[esc] - 1e-4)
+    assert np.all(tau[~esc] <= np.asarray(lam_tot)[~esc] + 1e-4)
+    # local rate = profile value at the sampled travel coordinate
+    q_star = np.asarray(qa) + np.asarray(adlz) * (np.asarray(t) - np.asarray(a))
+    k = np.clip((np.where(esc, 0.0, q_star) * P).astype(int), 0, P - 1)
+    ml = np.asarray(mq)[np.arange(N), k]
+    assert np.abs(np.where(esc, 0.0, ml - np.asarray(m_loc))).max() < 1e-5
+    # numeric cross-check of Lambda on a few lanes
+    for i in range(4):
+        t_i = float(a[i]) + 0.3
+        qs = np.linspace(float(qa[i]),
+                         min(float(qa[i]) + float(adlz[i]) * 0.3,
+                             float(qb[i])), 20001)
+        vals = np.asarray(mq[i])[np.clip((qs * P).astype(int), 0, P - 1)]
+        ref = np.trapezoid(vals, qs) / float(adlz[i])
+        got = float(_flight_tau(mq, qa, qb, adlz, a,
+                                jnp.full((N,), t_i))[i])
+        assert abs(got - ref) < 2e-3, (i, got, ref)
+
+
+def test_profile_vs_segment_majorant_same_estimate():
+    """ff_majorant='profile' (local z-profile free flight + local residual
+    NEE rates) and 'segment' (round-3 scalar bounds) are both unbiased for
+    the same integral: means on a 3-D heterogeneous grid must agree within
+    combined noise."""
+    from eradiate_kernel_tpu.utils.scenes import atmosphere
+
+    means = {}
+    for mode in ("profile", "segment"):
+        acc = []
+        for seed in (3, 11, 19):
+            d = atmosphere(width=10, height=10, spp=64, max_depth=8,
+                           grid_res=(16, 16, 16))
+            d["integrator"]["ff_majorant"] = mode
+            img = np.asarray(integrators.render(load_dict(d), seed=seed))
+            acc.append(img[..., :3].mean())
+        means[mode] = (np.mean(acc), np.std(acc) / np.sqrt(len(acc)))
+    mp, sp = means["profile"]
+    ms, ss = means["segment"]
+    assert abs(mp - ms) < 4 * np.hypot(sp, ss) + 0.002, means
