@@ -32,8 +32,9 @@ from .accel import TILE_K
 
 # rays per kernel program: larger blocks amortize per-block scalar traversal
 # overhead, smaller blocks keep the block frustum tight (fewer admitted
-# tiles per ray). 512 won the v5e sweep for both coherent and bounce rays.
-RAY_BLOCK = int(os.environ.get("ERT_RAY_BLOCK", 512))
+# tiles per ray). With the direction-aware coherence sort, 256 won the v5e
+# sweep on every load (coherent/bounce/instanced); 512 won pre-sort-fix.
+RAY_BLOCK = int(os.environ.get("ERT_RAY_BLOCK", 256))
 
 
 def _intersect_tile(j, rays, tris_ref, prim_ref, shape_ref, carry,
