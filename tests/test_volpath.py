@@ -600,3 +600,24 @@ def test_profile_vs_segment_majorant_same_estimate():
     mp, sp = means["profile"]
     ms, ss = means["segment"]
     assert abs(mp - ms) < 4 * np.hypot(sp, ss) + 0.002, means
+
+
+def test_profile_flight_volpathmis_3d_consistent():
+    """volpathmis inherits the profile free flight through
+    sample_interaction/eval_tr_and_pdf: its estimate on a 3-D grid must
+    agree with plain volpath (same integral, both unbiased)."""
+    from eradiate_kernel_tpu.utils.scenes import atmosphere
+
+    means = {}
+    for kind in ("volpath", "volpathmis"):
+        acc = []
+        for seed in (3, 11, 19):
+            d = atmosphere(width=8, height=8, spp=48, max_depth=6,
+                           grid_res=(16, 16, 16))
+            d["integrator"]["type"] = kind
+            img = np.asarray(integrators.render(load_dict(d), seed=seed))
+            acc.append(img[..., :3].mean())
+        means[kind] = (np.mean(acc), np.std(acc) / np.sqrt(3))
+    mv, sv = means["volpath"]
+    mm, sm = means["volpathmis"]
+    assert abs(mv - mm) < 4 * np.hypot(sv, sm) + 0.002, means
