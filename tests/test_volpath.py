@@ -163,7 +163,31 @@ def test_large_grid_volpath():
 def test_volpathmis_chromatic_absorption_unbiased():
     """volpathmis on a strongly chromatic absorbing slab: unbiased with far
     lower variance than volpath's single-channel ratio tracking (the point
-    of volpathmis.cpp's spectral MIS)."""
+    of volpathmis.cpp's spectral MIS).
+
+    Runs in a SUBPROCESS: this is the heaviest volpathmis compile in the
+    suite (max_depth=24 fixed-trip scan), and XLA's CPU pipeline has
+    segfaulted compiling it ~20-45 min into long single-process pytest
+    sessions (algebraic-simplifier circular-loop warnings precede it; the
+    same compile always succeeds in a fresh process — an upstream compiler
+    fragility, not an estimator bug). Process isolation keeps the full
+    suite runnable in one command."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=root + os.pathsep + os.environ.get("PYTHONPATH", ""),
+               XLA_FLAGS=os.environ.get("XLA_FLAGS", "")
+               + " --xla_force_host_platform_device_count=8")
+    r = subprocess.run(
+        [sys.executable, __file__, "--chromatic-subprocess"],
+        capture_output=True, text=True, timeout=900, env=env)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+
+
+def _chromatic_absorption_body():
     import jax
     import jax.numpy as jnp
 
@@ -621,3 +645,8 @@ def test_profile_flight_volpathmis_3d_consistent():
     mv, sv = means["volpath"]
     mm, sm = means["volpathmis"]
     assert abs(mv - mm) < 4 * np.hypot(sv, sm) + 0.002, means
+
+
+if __name__ == "__main__" and "--chromatic-subprocess" in __import__("sys").argv:
+    _chromatic_absorption_body()
+    print("chromatic subprocess ok")
