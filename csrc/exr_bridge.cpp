@@ -56,8 +56,11 @@ int exr_read(const char *path, int *w, int *h, int *c, float **data,
 
     FrameBuffer fb;
     for (int i = 0; i < C; ++i) {
+      // signed offset: data windows may legally have negative min coords;
+      // size_t casts would underflow into UB pointer arithmetic
       char *base = (char *)(buf + (size_t)i) -
-                   ((size_t)dw.min.y * W + dw.min.x) * C * sizeof(float);
+                   ((ptrdiff_t)dw.min.y * W + dw.min.x) *
+                       (ptrdiff_t)(C * sizeof(float));
       fb.insert(chans[i].c_str(),
                 Slice(FLOAT, base, sizeof(float) * C,
                       sizeof(float) * C * (size_t)W));

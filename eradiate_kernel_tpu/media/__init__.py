@@ -174,7 +174,9 @@ def _flight_profile_setup(prof3, mag, w2l, ray, a, b):
     1 - z, so q is increasing; the profile is flipped to match. Returns
     (mq (..., P), qa, qb, adlz, m_at_a, is_const) with mq magnitude-scaled
     and detached; horizontal rays (|dlz| ~ 0) set is_const and use the
-    constant rate m_at_a (the profile value at the ray's z, x/y-capped)."""
+    constant rate m_at_a (the range-max of the x/y-capped profile over the
+    segment's [qa, qb] span — a true bound even when the residual z-drift
+    adlz*(b-a) crosses bins on long segments)."""
     P = prof3.shape[-1]
     t1 = jnp.minimum(b, INVALID_T)
     p0 = jnp.clip(w2l.transform_affine_point(ray.at(a)), 0.0, 1.0)
@@ -199,9 +201,17 @@ def _flight_profile_setup(prof3, mag, w2l, ray, a, b):
     qb = jnp.where(up, zh, 1.0 - zh)
     qb = jnp.maximum(qa, qb)
     mq = jnp.where(up[..., None], m_eff, jnp.flip(m_eff, -1))
-    # constant fallback: profile value at the start z (one-hot select)
-    k0 = jnp.clip((zl * P).astype(jnp.int32), 0, P - 1)
-    m_at_a = jnp.sum(jnp.where(ar == k0[..., None], m_eff, 0.0), -1)
+    # constant fallback rate: the range-max of mq over [qa, qb]. Even with
+    # adlz < 1e-7, z drifts adlz*(b-a) over the segment — for long
+    # world-space segments that spans several profile bins, and the value
+    # at the *start* bin alone would under-bound sigma_t downstream
+    # (sigma_n clamps at 0, biasing radiance dark). The range-max is a
+    # true majorant for the whole drift; for short segments qa==qb and it
+    # degenerates to the start-bin value exactly as before.
+    k0 = jnp.clip((qa * P).astype(jnp.int32), 0, P - 1)
+    k1 = jnp.clip((qb * P).astype(jnp.int32), 0, P - 1)
+    span = (ar >= k0[..., None]) & (ar <= k1[..., None])
+    m_at_a = jnp.max(jnp.where(span, mq, 0.0), -1)
     is_const = adlz < 1e-7
     sg = jax.lax.stop_gradient
     return sg(mq), qa, qb, jnp.maximum(adlz, 1e-20), sg(m_at_a), is_const
@@ -237,7 +247,12 @@ def _flight_sample(mq, qa, qb, adlz, a, xi):
     target_z = -jnp.log1p(-xi) * adlz
     escaped = target_z >= lam_total_z
     k = jnp.sum((cum < target_z[..., None]).astype(jnp.int32), -1)
-    kc = jnp.minimum(k, P - 1)
+    # xi == 0 (target_z == 0, probability ~2^-24 per draw) selects k = 0
+    # even when qa lies in a later bin; without a lower bound the returned
+    # local rate would be mq[0] — possibly 0 or an unrelated bin — forcing
+    # a spurious real scatter at the segment start. Clamp to qa's bin.
+    k_qa = (qa * P).astype(jnp.int32)
+    kc = jnp.clip(jnp.maximum(k, k_qa), 0, P - 1)
     onehot = ar == kc[..., None]
     cum_k = jnp.sum(jnp.where(onehot, cum, 0.0), -1)
     lam_k = jnp.sum(jnp.where(onehot, lam_bins, 0.0), -1)

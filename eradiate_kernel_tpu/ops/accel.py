@@ -25,7 +25,6 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-import tempfile
 
 import numpy as np
 
@@ -45,8 +44,8 @@ def _load_builder():
     src = os.path.abspath(src)
     if not os.path.exists(src):
         return None
-    cache_dir = os.path.join(tempfile.gettempdir(), "ert_native")
-    os.makedirs(cache_dir, exist_ok=True)
+    from ..utils.native_cache import native_cache_dir
+    cache_dir = native_cache_dir()
     so_path = os.path.join(cache_dir, "tile_builder.so")
     try:
         if (not os.path.exists(so_path)

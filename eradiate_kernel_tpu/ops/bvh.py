@@ -26,7 +26,6 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-import tempfile
 
 import numpy as np
 
@@ -50,8 +49,8 @@ def _load_builder():
                                        "..", "csrc", "bvh_builder.cpp"))
     if not os.path.exists(src) or os.environ.get("ERT_NO_NATIVE"):
         return None
-    cache_dir = os.path.join(tempfile.gettempdir(), "ert_native")
-    os.makedirs(cache_dir, exist_ok=True)
+    from ..utils.native_cache import native_cache_dir
+    cache_dir = native_cache_dir()
     so_path = os.path.join(cache_dir, "bvh_builder.so")
     try:
         if (not os.path.exists(so_path)

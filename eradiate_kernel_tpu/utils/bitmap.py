@@ -22,7 +22,6 @@ import ctypes
 import os
 import struct
 import subprocess
-import tempfile
 import zlib
 
 import numpy as np
@@ -46,8 +45,8 @@ def _load_bridge():
                                        "csrc", "exr_bridge.cpp"))
     if not os.path.exists(src):
         return None
-    cache_dir = os.path.join(tempfile.gettempdir(), "ert_native")
-    os.makedirs(cache_dir, exist_ok=True)
+    from .native_cache import native_cache_dir
+    cache_dir = native_cache_dir()
     so_path = os.path.join(cache_dir, "exr_bridge.so")
     try:
         if (not os.path.exists(so_path)

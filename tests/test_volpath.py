@@ -604,6 +604,57 @@ def test_flight_profile_sampler_exact():
         assert abs(got - ref) < 2e-3, (i, got, ref)
 
 
+def test_flight_const_fallback_bounds_long_segment_drift():
+    """Advisor regression (round 4, severity medium): near-horizontal lanes
+    (adlz < 1e-7) take the constant-rate fallback, but over a long
+    world-space segment the z drift adlz*(b-a) can span multiple profile
+    bins — the constant rate must bound the profile over the WHOLE covered
+    span, not just the start bin (else sigma_n clamps at 0 downstream and
+    radiance biases dark)."""
+    from eradiate_kernel_tpu.media import _flight_profile_setup, AXPROF_BINS
+    from eradiate_kernel_tpu.core.transform import Transform
+    from eradiate_kernel_tpu.core.ray import Ray
+
+    P = AXPROF_BINS
+    # profile rises sharply away from the start bin
+    prof_z = np.linspace(0.1, 1.0, P).astype(np.float32)
+    prof3 = np.ones((1, 3, P), np.float32)
+    prof3[0, 2] = prof_z        # rate grows with z
+    ident = Transform(m=jnp.eye(4), inv_t=jnp.eye(4))
+    # ray: starts at z=0.05, drifts to z~0.95 over a 1e7-unit segment with
+    # dlz = 9e-8 (is_const fires, drift spans ~58 bins)
+    o = jnp.asarray([[0.5, 0.5, 0.05]])
+    d = jnp.asarray([[1.0, 0.0, 9e-8]])
+    ray = Ray(o=o, d=d, mint=jnp.zeros(1), maxt=jnp.full((1,), 1e7),
+              wavelengths=jnp.zeros((1, 0)), time=jnp.zeros(1))
+    mq, qa, qb, adlz, m_const, is_const = _flight_profile_setup(
+        jnp.asarray(prof3), jnp.ones(1), ident, ray,
+        jnp.zeros(1), jnp.full((1,), 1e7))
+    assert bool(is_const[0])
+    # true max of the profile over the covered z range [0.05, ~0.95]
+    z_hi = min(0.05 + 9e-8 * 1e7, 1.0)
+    ks = np.arange(int(0.05 * P), min(int(z_hi * P) + 1, P))
+    required = float(prof_z[ks].max())
+    assert float(m_const[0]) >= required - 1e-6, \
+        (float(m_const[0]), required)
+
+
+def test_flight_sample_xi_zero_rate_at_qa():
+    """Advisor regression (round 4): xi=0 (target depth 0) must return the
+    local rate at qa's bin, not bin 0 — a leading-empty-bin profile would
+    otherwise report rate 0 and force a spurious real scatter."""
+    from eradiate_kernel_tpu.media import _flight_sample
+
+    P = 8
+    mq = np.zeros((1, P), np.float32)
+    mq[0, 4:] = 2.0          # leading bins empty; qa sits in bin 5
+    t, m_loc, _lam = _flight_sample(
+        jnp.asarray(mq), jnp.full((1,), 5.3 / P), jnp.full((1,), 7.5 / P),
+        jnp.ones(1), jnp.zeros(1), jnp.zeros(1))
+    assert float(t[0]) == 0.0           # collision at the segment start
+    assert float(m_loc[0]) == 2.0       # rate of qa's bin, not mq[0]=0
+
+
 def test_profile_vs_segment_majorant_same_estimate():
     """ff_majorant='profile' (local z-profile free flight + local residual
     NEE rates) and 'segment' (round-3 scalar bounds) are both unbiased for
