@@ -166,7 +166,7 @@ def _lane_values(cfg, spec, valid, wavelengths, n_extra=0):
 
 
 def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
-                           total=None, max_total=None):
+                           total=None, max_total=None, sample_log=False):
     """Regenerating wavefront render: lanes whose path terminates are
     harvested into the film and immediately refilled with the next unstarted
     camera sample, so occupancy stays near 100% regardless of path-length
@@ -196,6 +196,15 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
     Returns ``(film, n_rays)`` where film is the (ch, cw, C) partial film
     over samples [sample_offset, sample_offset+total) and n_rays counts
     every masked ray_intersect actually issued.
+
+    ``sample_log=True`` (static) additionally returns a third output: the
+    per-sample spectral result log (n_buf, nc) — row s is sample s's
+    integrator ``result`` (pre ray-weight, spec space). This is the
+    radiance-total table the path-replay backward pass
+    (integrators/replay.py) needs to form its radiance-to-go cotangents;
+    it is logged through the same sort-compact append machinery as the
+    film channels (or, for wide-filter renders where the film takes the
+    in-loop ``film_put`` path, through a parallel slot-keyed log).
     """
     cfg = scene.config
     mod = REGISTRY[cfg.integrator.kind]
@@ -254,6 +263,8 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
 
     vp0, pos0, rw0 = fresh_lanes(jnp.zeros(n_lanes, bool),
                                  jnp.zeros(n_lanes, jnp.uint32))
+    nc = vp0.result.shape[-1]
+    n_logged = 3 + (nc if sample_log else 0)
     rp = dict(cfg.rfilter_params)
     if use_log:
         # (X/Y/Z value logs, packed-slot log, cursor); 1-D logs keep every
@@ -262,9 +273,17 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
         # transposes — measured 26 ms vs sub-ms). The key packs
         # slot*2 + valid_flag (A is one bit and W is the constant 1, so
         # neither needs a value channel). Unwritten entries hold the trash
-        # key 2*n_buf and drop out in the final placement.
-        image0 = ((jnp.zeros((n_log,)),) * 3,
+        # key 2*n_buf and drop out in the final placement. Under
+        # sample_log, nc more value channels ride the same sort: the
+        # lane's raw spectral result (pre ray-weight).
+        image0 = ((jnp.zeros((n_log,)),) * n_logged,
                   jnp.full((n_log,), 2 * n_buf, jnp.int32), jnp.int32(0))
+    elif sample_log:
+        # wide-filter film goes through film_put; the per-sample result
+        # log runs as a parallel slot-keyed append (trash key n_buf)
+        image0 = (jnp.zeros((ch, cw, N_BASE_CHANNELS)),
+                  (jnp.zeros((n_log,)),) * nc,
+                  jnp.full((n_log,), n_buf, jnp.int32), jnp.int32(0))
     else:
         image0 = jnp.zeros((ch, cw, N_BASE_CHANNELS))
     state0 = (vp0, pos0, rw0, jnp.zeros(n_lanes, bool),
@@ -290,39 +309,59 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
         # 1. harvest lanes whose path finished since the last visit
         finished = occupied & ~vp.active
 
-        def _harvest():
+        def _append(log_v, log_i, cursor, key, cols):
+            """Sort-compact append: one sort does compaction AND
+            slot-orders the appended run."""
+            srt = jax.lax.sort((key,) + cols, num_keys=1)
+            log_v = tuple(
+                jax.lax.dynamic_update_slice(lv, ch_v, (cursor,))
+                for lv, ch_v in zip(log_v, srt[1:]))
+            log_i = jax.lax.dynamic_update_slice(log_i, srt[0], (cursor,))
+            nf = jnp.sum(finished, dtype=jnp.int32)
+            return log_v, log_i, jnp.minimum(cursor + nf, jnp.int32(n_buf))
+
+        slot = (lane_sample - aligned_off).astype(jnp.int32)
+
+        def _harvest_log():
             spec = vp.result * rw
-            if use_log:
-                xyz = _lane_values(cfg, spec, vp.valid_ray,
-                                   vp.ray.wavelengths)[:, :3]
-                log_v, log_i, cursor = image
-                slot = (lane_sample - aligned_off).astype(jnp.int32)
-                packed = jnp.where(
-                    finished, slot * 2 + vp.valid_ray.astype(jnp.int32),
-                    jnp.int32(2 * n_buf))
-                # one sort does compaction AND slot-orders the appended run
-                srt = jax.lax.sort(
-                    (packed, xyz[:, 0], xyz[:, 1], xyz[:, 2]), num_keys=1)
-                log_v = tuple(
-                    jax.lax.dynamic_update_slice(lv, ch_v, (cursor,))
-                    for lv, ch_v in zip(log_v, srt[1:]))
-                log_i = jax.lax.dynamic_update_slice(log_i, srt[0], (cursor,))
-                nf = jnp.sum(finished, dtype=jnp.int32)
-                return (log_v, log_i, jnp.minimum(cursor + nf,
-                                                  jnp.int32(n_buf)))
+            xyz = _lane_values(cfg, spec, vp.valid_ray,
+                               vp.ray.wavelengths)[:, :3]
+            log_v, log_i, cursor = image
+            packed = jnp.where(
+                finished, slot * 2 + vp.valid_ray.astype(jnp.int32),
+                jnp.int32(2 * n_buf))
+            cols = (xyz[:, 0], xyz[:, 1], xyz[:, 2])
+            if sample_log:
+                cols = cols + tuple(vp.result[:, i] for i in range(nc))
+            return _append(log_v, log_i, cursor, packed, cols)
+
+        def _harvest_film(film):
+            spec = vp.result * rw
             values = _lane_values(cfg, spec, vp.valid_ray,
                                   vp.ray.wavelengths)
             values = jnp.where(finished[..., None], values, 0.0)
-            return film_put(image, pos - jnp.asarray([cx, cy], jnp.float32),
+            return film_put(film, pos - jnp.asarray([cx, cy], jnp.float32),
                             values, cfg.rfilter, rp)
 
         if use_log:
             # unconditional: sort+append is cheap, and a lax.cond here would
             # force XLA to copy the whole log through the conditional every
             # iteration (no in-place aliasing across cond boundaries)
-            image = _harvest()
+            image = _harvest_log()
+        elif sample_log:
+            film_c, rlog_v, rlog_i, rcur = image
+            film_c = jax.lax.cond(jnp.any(finished),
+                                  lambda: _harvest_film(film_c),
+                                  lambda: film_c)
+            key_r = jnp.where(finished, slot, jnp.int32(n_buf))
+            rlog_v, rlog_i, rcur = _append(
+                rlog_v, rlog_i, rcur, key_r,
+                tuple(vp.result[:, i] for i in range(nc)))
+            image = (film_c, rlog_v, rlog_i, rcur)
         else:
-            image = jax.lax.cond(jnp.any(finished), _harvest, lambda: image)
+            image = jax.lax.cond(jnp.any(finished),
+                                 lambda: _harvest_film(image),
+                                 lambda: image)
         occupied = occupied & vp.active
 
         # 2. refill dead lanes with the next unstarted samples
@@ -385,6 +424,16 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
                 d=dropped),
             lambda: None)
     image_f, rays_f = final[7], final[8]
+    slog = None
+
+    def _slot_scatter(slot_ids, cols):
+        """(n_buf, len(cols)) per-slot table from sorted (slot, value)
+        columns (trash rows carry slot n_buf and fall off the end)."""
+        return jnp.stack(
+            [jnp.zeros((n_buf + 1,)).at[slot_ids].set(
+                c, indices_are_sorted=True)
+             for c in cols], -1)[:n_buf]
+
     if use_log:
         log_v, log_i, cursor_f = image_f
         srt = jax.lax.sort((log_i,) + tuple(log_v), num_keys=1)
@@ -392,18 +441,15 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
         real = keys < 2 * n_buf  # trash entries sort last
         a_col = (keys & 1).astype(jnp.float32)          # valid flag
         w_col = jnp.where(real, 1.0, 0.0)               # weight = 1/sample
+        film_cols = srt[1:4] + (a_col, w_col)
 
         def _scattered():
             # sorted-indices scatter (trash-slot duplicates land last and
             # overwrite each other harmlessly; ~100x faster than the
             # random-order scatter, but still ~3 ms/channel at 512k rows)
             slot = jnp.minimum(keys >> 1, jnp.int32(n_buf))
-            buf = jnp.stack(
-                [jnp.zeros((n_buf + 1,)).at[slot].set(
-                    ch_v, indices_are_sorted=True)
-                 for ch_v in srt[1:] + (a_col, w_col)], -1)
-            return buf[:n_buf].reshape(n_buf // spp, spp,
-                                       N_BASE_CHANNELS).sum(1)
+            return _slot_scatter(slot, film_cols).reshape(
+                n_buf // spp, spp, N_BASE_CHANNELS).sum(1)
 
         def _dense():
             # complete render, zero sample offset: the real slots are
@@ -411,7 +457,7 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
             # IS slot i — no scatter at all. The junk tail (trash-slot
             # rows sorted last) fills only the spp-alignment slack group,
             # which lands in the film pad rows and is sliced off below.
-            rows_all = jnp.stack(srt[1:] + (a_col, w_col), -1)[:n_buf]
+            rows_all = jnp.stack(film_cols, -1)[:n_buf]
             return rows_all.reshape(n_buf // spp, spp,
                                     N_BASE_CHANNELS).sum(1)
 
@@ -423,7 +469,16 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
         pix0 = (aligned_off // jnp.uint32(spp)).astype(jnp.int32)
         flat = jnp.zeros((ch * cw + n_buf // spp, N_BASE_CHANNELS))
         flat = jax.lax.dynamic_update_slice(flat, rows, (pix0, 0))
+        if sample_log:
+            slog = _slot_scatter(jnp.minimum(keys >> 1, jnp.int32(n_buf)),
+                                 srt[4:])
         image_f = flat[:ch * cw].reshape(ch, cw, N_BASE_CHANNELS)
+    elif sample_log:
+        image_f, rlog_v, rlog_i, _rcur = image_f
+        srt = jax.lax.sort((rlog_i,) + tuple(rlog_v), num_keys=1)
+        slog = _slot_scatter(jnp.minimum(srt[0], jnp.int32(n_buf)), srt[1:])
+    if sample_log:
+        return image_f, rays_f, slog
     if _os.environ.get("ERT_REGEN_STATS"):
         # perf diagnostics: (film, rays) -> (film, rays, loop iterations)
         return image_f, rays_f, final[9]
@@ -451,9 +506,19 @@ def render(scene, seed=0, spp=None, samples_per_pass=None, develop_film=True,
     extra = n_aov(cfg)
     regen_ok = hasattr(REGISTRY[cfg.integrator.kind], "_bounce")
     if regen and regen_ok and extra == 0:
-        run = jax.jit(render_wavefront_regen,
-                      static_argnames=("n_lanes", "spp"))
-        film, _ = run(scene, min(total, samples_per_pass), seed, spp)
+        from . import replay
+        if replay.replay_supported(cfg):
+            # differentiable fast path: primal runs the identical while-loop
+            # driver; under jax.grad the backward is the path-replay sweep
+            # (integrators/replay.py)
+            run = jax.jit(replay.render_regen_diff,
+                          static_argnums=(2, 3))
+            film = run(scene, jnp.uint32(seed),
+                       min(total, samples_per_pass), spp)
+        else:
+            run = jax.jit(render_wavefront_regen,
+                          static_argnames=("n_lanes", "spp"))
+            film, _ = run(scene, min(total, samples_per_pass), seed, spp)
     else:
         film = jnp.zeros((ch, cw, N_BASE_CHANNELS + extra))
         run = jax.jit(render_wavefront, static_argnames=("n_lanes", "spp"))

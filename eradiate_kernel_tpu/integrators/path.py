@@ -49,6 +49,13 @@ class _PathState:
     n_rays: jnp.ndarray            # () f32 — rays traced (bench accounting)
 
 
+# path-replay backward support (integrators/replay.py): result/throughput
+# carry the analytic cotangents. prev_bsdf_pdf's cross-bounce cotangent is
+# dropped — the standard detached-MIS approximation (exact for value-class
+# parameters, whose pdfs are parameter-independent).
+_REPLAY_OK = True
+
+
 def _knobs(scene):
     """(max_iterations, bounce kwargs) — the regen-driver contract."""
     cfg = scene.config.integrator

@@ -1,0 +1,278 @@
+"""Path-replay backward pass for the regenerating wavefront driver.
+
+The reference differentiates the *same* wavefront program it renders
+(src/librender/integrator.cpp:140-172 + the Enoki tape); until round 5 this
+framework's fast driver (``render_wavefront_regen``, a ``lax.while_loop``)
+was primal-only and gradient renders fell back to the fixed-trip scan
+driver at ~1/6.5 of regen throughput. This module closes that gap with the
+SURVEY §7 design ("Autodiff = custom_vjp on the whole render with
+path-replay backward"): a ``jax.custom_vjp`` whose backward *re-runs* the
+regenerating render — same stateless threefry counters, so the replay
+retraces the identical paths — and accumulates parameter adjoints
+bounce-by-bounce instead of taping (Vicini et al. 2021, "Path Replay
+Backpropagation", re-derived for the masked-wavefront lane pool).
+
+Math. Per sample, the radiance estimate factorizes along the path:
+L = sum_k Delta_k with Delta_k = tau_k * delta_k(theta), where
+tau_k = prod_{j<k} T_j(theta) is the carried ``throughput`` and delta_k the
+bounce-local factors (NEE, emitter hits). With the detach discipline
+(volpath.cpp:83) and *value-class* parameters (volume grids, textures,
+albedos, emitter radiance, spectra — anything that does not move sampled
+trajectories), the path geometry is theta-independent, so exact reverse
+mode needs only the cotangents of the two value carries:
+
+    ct(result_j)     = delta_pix                   (additive accumulator)
+    ct(throughput_j) = delta_pix * R_j / tau_j     (multiplicative chain)
+
+with R_j = L - result_j the per-lane *radiance to go*, computable during a
+forward replay from the per-sample totals the primal pass logged
+(``render_wavefront_regen(..., sample_log=True)``). Each replay bounce then
+runs ONE local ``jax.vjp`` of the bounce body w.r.t. the scene's float
+leaves with exactly those output cotangents — O(1) memory in path length,
+and *identical* to the scan driver's ``jax.grad`` for value-class
+parameters (the dropped cross-bounce trajectory cotangents are zero
+there). For trajectory-class parameters (shape vertices, lobe shapes
+entering sampled directions, MIS pdfs carried across bounces) this is the
+standard detached-sampling approximation — use the scan driver when those
+must be attached.
+
+Division caveat (shared with every PRB implementation): ct(throughput) uses
+R/tau, undefined where a throughput channel is exactly 0; such lanes
+contribute 0 (correct except exactly at parameter values that zero a
+factor, e.g. albedo == 0).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.rng import Sampler
+from ..films import N_BASE_CHANNELS, film_put
+
+
+# =============================================================================
+# scene pytree partition (float leaves are the differentiation targets)
+# =============================================================================
+
+def _partition(scene):
+    """(floats tuple, rebuild fn): split the scene pytree into its inexact
+    (differentiable) leaves and a closure that reassembles the scene from
+    them (integer/bool leaves captured as constants)."""
+    leaves, treedef = jax.tree_util.tree_flatten(scene)
+    idx = [i for i, x in enumerate(leaves)
+           if jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact)]
+    floats = tuple(leaves[i] for i in idx)
+
+    def rebuild(fl):
+        out = list(leaves)
+        for i, v in zip(idx, fl):
+            out[i] = v
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return floats, idx, leaves, treedef, rebuild
+
+
+def _zero_ct(tree):
+    """Cotangent pytree of zeros matching ``tree``: float leaves get real
+    zeros, integer/bool leaves the symbolic float0 zero jax.vjp expects."""
+    def z(x):
+        if jnp.issubdtype(x.dtype, jnp.inexact):
+            return jnp.zeros(x.shape, x.dtype)
+        return np.zeros(x.shape, jax.dtypes.float0)
+    return jax.tree_util.tree_map(z, tree)
+
+
+def replay_supported(cfg) -> bool:
+    from . import REGISTRY
+    mod = REGISTRY[cfg.integrator.kind]
+    return bool(getattr(mod, "_REPLAY_OK", False))
+
+
+# =============================================================================
+# the adjoint sweep: a regenerating replay that accumulates scene adjoints
+# =============================================================================
+
+def _adjoint_sweep(scene, seed, slog, ct_film, n_lanes, spp):
+    """Replay the regen render (same seed -> same threefry counters -> same
+    paths) while accumulating d(loss)/d(scene float leaves). Mirrors
+    ``integrators.render_wavefront_regen``'s lane-pool schedule exactly;
+    the bounce body runs through the *differentiable* (scan-walk, gated)
+    configuration, and each iteration performs one local jax.vjp with the
+    analytic result/throughput cotangents derived in the module docstring."""
+    from . import REGISTRY
+    from . import _lane_values
+    from .volpath import match_dtypes
+    from .. import sensors
+
+    cfg = scene.config
+    mod = REGISTRY[cfg.integrator.kind]
+    H, W = cfg.film_height, cfg.film_width
+    cw, ch = cfg.crop_size if cfg.crop_size else (W, H)
+    cx, cy = cfg.crop_offset
+    total = ch * cw * spp
+    n_buf = (-(-total // spp) + 1) * spp
+    rp = dict(cfg.rfilter_params)
+    max_iterations, bounce_kwargs = mod._knobs(scene)
+    # NOTE: no _PRIMAL_BOUNCE_KWARGS here — the replay bounce must be
+    # reverse-differentiable, so NEE walks run as bounded scans with
+    # _cond_any gates (bitwise-equivalent decisions; see _run_walk)
+
+    floats, _idx, _leaves, _treedef, rebuild = _partition(scene)
+
+    def sensor_stream(sc, refill, new_idx):
+        """Exactly render_wavefront_regen.fresh_lanes' sample stream."""
+        lane = jnp.where(refill, new_idx, 0).astype(jnp.uint32)
+        smp = Sampler.seed(seed, lane, kind=cfg.sampler_kind, spp=spp)
+        smp, jitter = smp.next_2d()
+        pixel = (lane // jnp.uint32(spp)).astype(jnp.uint32)
+        px = (pixel % cw).astype(jnp.float32) + cx
+        py = (pixel // cw).astype(jnp.float32) + cy
+        pos = jnp.stack([px, py], -1) + jitter
+        pos_film = pos / jnp.asarray([W, H], jnp.float32)
+        ray, rw, smp = sensors.sample_ray(sc, smp, pos_film,
+                                          jnp.zeros(n_lanes))
+        return smp, ray, rw, pos
+
+    def merge_lanes(fresh, old, mask):
+        return jax.tree_util.tree_map(
+            lambda a, b: b if a.ndim < mask.ndim else jnp.where(
+                mask.reshape(mask.shape + (1,) * (a.ndim - mask.ndim)), a, b),
+            fresh, old)
+
+    smp0, ray0, _rw0, _pos0 = sensor_stream(
+        scene, jnp.zeros(n_lanes, bool), jnp.zeros(n_lanes, jnp.uint32))
+    vp0 = mod._init_state(scene, smp0, ray0, jnp.zeros(n_lanes, bool))
+    nc = vp0.result.shape[-1]
+    grads0 = tuple(jnp.zeros_like(f) for f in floats)
+    state0 = (vp0, jnp.zeros(n_lanes, bool), jnp.zeros(n_lanes, jnp.int32),
+              jnp.uint32(0), jnp.zeros((n_lanes, nc)),
+              jnp.zeros((n_lanes, nc)), grads0, jnp.int32(0))
+
+    total_u = jnp.uint32(total)
+
+    def cond(st):
+        occupied, next_sample, it = st[1], st[3], st[7]
+        cap = jnp.int32(20 * max_iterations * (1 + total // n_lanes))
+        return ((next_sample < total_u) | jnp.any(occupied)) & (it < cap)
+
+    def body(st):
+        vp, occupied, its, next_sample, delta, L_bar, grads, it = st
+
+        # 1. harvest: finished lanes free up (their contributions were
+        # already counted bounce-by-bounce; nothing to write)
+        occupied = occupied & vp.active
+        delta = jnp.where(occupied[..., None], delta, 0.0)
+
+        # 2. refill dead lanes with the next unstarted samples, gathering
+        # the per-sample radiance total (slog) and film cotangent
+        dead = ~occupied
+        rank = jnp.cumsum(dead.astype(jnp.uint32)) - dead.astype(jnp.uint32)
+        new_idx = next_sample + rank
+        refill = dead & (new_idx < total_u)
+
+        slot = jnp.minimum(new_idx, jnp.uint32(n_buf - 1)).astype(jnp.int32)
+        L_new = jnp.where(refill[..., None], slog[slot], 0.0)
+
+        def refill_film(fl, L_b):
+            # the refilled samples' film rows as a function of (scene
+            # floats, radiance total): its vjp against the film cotangent
+            # yields BOTH the per-lane result cotangent delta (through the
+            # ray weight, spectral->XYZ conversion, and filter footprint —
+            # any rfilter) AND the sensor-parameter adjoints d(film)/d(rw)
+            sc = rebuild(fl)
+            _smp, ray_f, rw_f, pos_f = sensor_stream(sc, refill, new_idx)
+            vals = _lane_values(cfg, L_b * rw_f, jnp.ones(n_lanes, bool),
+                                ray_f.wavelengths)
+            vals = jnp.where(refill[..., None], vals, 0.0)
+            return film_put(jnp.zeros((ch, cw, N_BASE_CHANNELS)),
+                            pos_f - jnp.asarray([cx, cy], jnp.float32),
+                            vals, cfg.rfilter, rp)
+
+        _film_unused, vjp_rf = jax.vjp(refill_film, floats, L_new)
+        g_rf, delta_new = vjp_rf(ct_film)
+        grads = tuple(a + b for a, b in zip(grads, g_rf))
+
+        # primal lane refresh (identical to the forward driver's)
+        smp_f, ray_f, _rw_f, _pos_f = sensor_stream(scene, refill, new_idx)
+        fresh_vp = mod._init_state(scene, smp_f, ray_f, refill)
+        if hasattr(fresh_vp, "si"):
+            fresh_vp = fresh_vp.replace(si=vp.si)
+        vp = merge_lanes(fresh_vp, vp, refill)
+        delta = jnp.where(refill[..., None], delta_new, delta)
+        L_bar = jnp.where(refill[..., None], L_new, L_bar)
+        occupied = occupied | refill
+        its = jnp.where(refill, 0, its)
+        next_sample = next_sample + jnp.sum(refill, dtype=jnp.uint32)
+
+        # 3. one bounce + its local vjp with the analytic cotangents
+        vp_in = vp.replace(active=vp.active & occupied,
+                           n_rays=jnp.zeros(()))
+
+        def bounce_f(fl):
+            return mod._bounce(rebuild(fl), vp_in, **bounce_kwargs)
+
+        vp_new, vjp_b = jax.vjp(bounce_f, floats)
+        R = L_bar - vp_new.result                    # radiance to go
+        tp = vp_new.throughput
+        ok = occupied[..., None] & (tp != 0.0)
+        ct_tp = jnp.where(ok, delta * R / jnp.where(ok, tp, 1.0), 0.0)
+        ct_res = jnp.where(occupied[..., None], delta, 0.0)
+        ct_state = _zero_ct(vp_new).replace(result=ct_res, throughput=ct_tp)
+        (g_b,) = vjp_b(ct_state)
+        grads = tuple(a + b for a, b in zip(grads, g_b))
+
+        its = its + 1
+        vp_new = vp_new.replace(active=vp_new.active & (its < max_iterations))
+        out = (vp_new, occupied, its, next_sample, delta, L_bar, grads,
+               it + 1)
+        return match_dtypes(out, st)
+
+    final = jax.lax.while_loop(cond, body, state0)
+    return final[6]
+
+
+# =============================================================================
+# the user-facing custom_vjp render
+# =============================================================================
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def render_regen_diff(scene, seed, n_lanes, spp):
+    """Differentiable regenerating-driver render -> raw film (ch, cw, C).
+
+    Primal calls run the fast while-loop driver untouched; under
+    ``jax.grad``/``jax.vjp`` the backward is the path-replay sweep above.
+    """
+    from . import render_wavefront_regen
+    film, _rays = render_wavefront_regen(scene, n_lanes, seed, spp)
+    return film
+
+
+def _fwd(scene, seed, n_lanes, spp):
+    from . import render_wavefront_regen
+    film, _rays, slog = render_wavefront_regen(scene, n_lanes, seed, spp,
+                                               sample_log=True)
+    return film, (scene, seed, slog)
+
+
+def _bwd(n_lanes, spp, res, ct_film):
+    scene, seed, slog = res
+    grads = _adjoint_sweep(scene, seed, slog, ct_film, n_lanes, spp)
+    floats, idx, leaves, treedef, _rebuild = _partition(scene)
+    out = []
+    k = 0
+    for i, leaf in enumerate(leaves):
+        if i in set(idx):
+            out.append(grads[k])
+            k += 1
+        else:
+            out.append(np.zeros(jnp.shape(leaf), jax.dtypes.float0))
+    scene_ct = jax.tree_util.tree_unflatten(treedef, out)
+    seed_ct = np.zeros(jnp.shape(seed), jax.dtypes.float0)
+    return scene_ct, seed_ct
+
+
+render_regen_diff.defvjp(_fwd, _bwd)

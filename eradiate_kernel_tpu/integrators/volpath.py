@@ -1225,6 +1225,14 @@ def _bounce(scene, s: _VolPathState, *, nee_steps, max_depth, rr_depth,
 
 
 
+# the regen driver's path-replay backward (integrators/replay.py) may
+# differentiate this integrator: its carry exposes the additive `result`
+# and multiplicative `throughput` channels the analytic cotangents need,
+# and every other float carry field (eta: only feeds the detached RR
+# probability; si/ray: theta-independent trajectory for value-class
+# parameters) has an exactly-zero cotangent under the detach discipline
+_REPLAY_OK = True
+
 # extra bounce kwargs the regenerating (primal-only, while_loop) driver
 # may add on top of _knobs' — see integrators.render_wavefront_regen
 # gate_sites None = decided by the driver per backend: on TPU the always-

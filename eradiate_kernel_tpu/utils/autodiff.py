@@ -31,19 +31,22 @@ __all__ = ["render", "SGD", "Adam", "render_torch", "traverse",
 
 
 def _render_trainable(trainable, pm: ParameterMap, seed, spp,
-                      samples_per_pass=None):
+                      samples_per_pass=None, regen=False):
     scene = pm.with_trainable(trainable)
     return integrators.render(scene, seed=seed, spp=spp,
-                              samples_per_pass=samples_per_pass)
+                              samples_per_pass=samples_per_pass, regen=regen)
 
 
-def _unbiased_fn(pm: ParameterMap):
+def _unbiased_fn(pm: ParameterMap, regen=False):
     """Per-ParameterMap custom_vjp closure. The map holds the scene's device
     arrays, so it must NOT live in nondiff_argnums (JAX forbids array-valued
     static args); closing over it keeps it a concrete capture while the
     cached function object keeps jit retracing stable across optimizer
-    iterations."""
-    fn = getattr(pm, "_unbiased_render_fn", None)
+    iterations. ``regen=True`` routes both passes through the regenerating
+    driver (primal film from its fast while-loop, adjoint via the
+    path-replay backward, integrators/replay.py)."""
+    attr = "_unbiased_render_fn_regen" if regen else "_unbiased_render_fn"
+    fn = getattr(pm, attr, None)
     if fn is not None:
         return fn
 
@@ -51,10 +54,10 @@ def _unbiased_fn(pm: ParameterMap):
     def fn(trainable, seed, spp):
         # seed is a TRACED uint32 (a static seed would recompile the whole
         # render every optimization iteration — 300x slower in practice)
-        return _render_trainable(trainable, pm, seed, spp)
+        return _render_trainable(trainable, pm, seed, spp, regen=regen)
 
     def fwd(trainable, seed, spp):
-        img = _render_trainable(trainable, pm, seed, spp)
+        img = _render_trainable(trainable, pm, seed, spp, regen=regen)
         return img, (trainable, seed)
 
     def bwd(spp, res, ct):
@@ -64,7 +67,7 @@ def _unbiased_fn(pm: ParameterMap):
         trainable, seed = res
         _, vjp = jax.vjp(
             lambda tr: _render_trainable(
-                tr, pm, seed + jnp.uint32(0x9E3779B9), spp),
+                tr, pm, seed + jnp.uint32(0x9E3779B9), spp, regen=regen),
             trainable)
         (g,) = vjp(ct)
         import numpy as _np
@@ -72,24 +75,31 @@ def _unbiased_fn(pm: ParameterMap):
         return (g, seed_ct)
 
     fn.defvjp(fwd, bwd)
-    pm._unbiased_render_fn = fn
+    setattr(pm, attr, fn)
     return fn
 
 
-def render(scene_or_pm, params=None, seed=0, spp=None, unbiased=False):
+def render(scene_or_pm, params=None, seed=0, spp=None, unbiased=False,
+           regen=False):
     """Differentiable render.
 
     scene_or_pm: Scene or ParameterMap. ``params``: optional trainable dict
     {key: array} overriding the map's kept parameters (this is what you
     differentiate with ``jax.grad``). ``unbiased=True`` decorrelates the
-    primal image from the gradient pass.
+    primal image from the gradient pass. ``regen=True`` uses the fast
+    regenerating driver for BOTH the primal and the gradient (path-replay
+    backward, integrators/replay.py) — exact for value-class parameters
+    (volumes, textures, albedos, emitters, spectra); trajectory-class
+    parameters (shape vertices, transforms, sensor pose) need the
+    default scan driver's attached derivatives.
     """
     pm = scene_or_pm if isinstance(scene_or_pm, ParameterMap) \
         else traverse(scene_or_pm)
     trainable = params if params is not None else pm.trainable()
     if unbiased:
-        return _unbiased_fn(pm)(trainable, jnp.uint32(seed), spp)
-    return _render_trainable(trainable, pm, jnp.uint32(seed), spp)
+        return _unbiased_fn(pm, regen=regen)(trainable, jnp.uint32(seed), spp)
+    return _render_trainable(trainable, pm, jnp.uint32(seed), spp,
+                             regen=regen)
 
 
 # =============================================================================
@@ -193,7 +203,8 @@ class Adam(Optimizer):
 # torch bridge (autodiff.py:381-483)
 # =============================================================================
 
-def render_torch(scene_or_pm, params: dict, seed=0, spp=None, unbiased=True):
+def render_torch(scene_or_pm, params: dict, seed=0, spp=None, unbiased=True,
+                 regen=False):
     """Render to a torch tensor with autograd support: gradients flow from a
     torch loss back into the torch parameter tensors via the JAX vjp."""
     import numpy as np
@@ -210,7 +221,7 @@ def render_torch(scene_or_pm, params: dict, seed=0, spp=None, unbiased=True):
                          for k, v in zip(keys, values)}
             img, vjp = jax.vjp(
                 lambda tr: render(pm, tr, seed=seed, spp=spp,
-                                  unbiased=unbiased), trainable)
+                                  unbiased=unbiased, regen=regen), trainable)
             ctx.vjp = vjp
             ctx.keys = keys
             return torch.from_numpy(np.asarray(img))

@@ -195,3 +195,151 @@ def test_remat_policy_gradient_invariance():
     g_off = np.asarray(grad_with(False))
     assert np.allclose(g_on, g_off, rtol=1e-6, atol=1e-9), \
         np.abs(g_on - g_off).max()
+
+
+# =============================================================================
+# Path-replay backward for the regenerating driver (integrators/replay.py)
+# =============================================================================
+
+def _het_slab_scene(width=4, spp=48, rfilter="box"):
+    rng = np.random.default_rng(3)
+    grid = (0.2 + 0.6 * rng.random((2, 2, 2))).astype(np.float32)
+    alb = (0.3 + 0.5 * rng.random((2, 2, 2))).astype(np.float32)
+    return load_dict({
+        "type": "scene",
+        "integrator": {"type": "volpath", "max_depth": 12,
+                       "max_iterations": 24},
+        "sensor": {"type": "perspective",
+                   "to_world": {"type": "look_at",
+                                "origin": [0.5, 0.5, -3],
+                                "target": [0.5, 0.5, 1], "up": [0, 1, 0]},
+                   "film": {"width": width, "height": width,
+                            "rfilter": {"type": rfilter}},
+                   "sampler": {"sample_count": spp}},
+        "slab": {"type": "cube",
+                 "bsdf": {"type": "null"},
+                 "interior": {"type": "heterogeneous",
+                              "sigma_t": {"type": "gridvolume",
+                                          "data": grid},
+                              "albedo": {"type": "gridvolume",
+                                         "data": alb}}},
+        "light": {"type": "constant", "radiance": 1.0},
+    })
+
+
+def _value_class_keys(pm):
+    """Trainable keys whose replay gradient is exact: grids + baked
+    spectra (value-class parameters — they never move sampled
+    trajectories)."""
+    return [k for k in pm._values
+            if k.endswith("gridvolume.grid") or ("baked" in k and "value" in k)]
+
+
+@pytest.mark.parametrize("rfilter", ["box", "gaussian"])
+def test_replay_grad_matches_scan_driver(rfilter):
+    """The regen driver's path-replay backward produces the SAME gradients
+    as jax.grad through the scan driver for value-class parameters (sigma_t
+    grid, albedo grid, emitter radiance spectra) — the round-5 headline
+    (VERDICT item 1; SURVEY §7 'Autodiff = custom_vjp ... path-replay
+    backward'). gaussian exercises the wide-filter film_put path of the
+    sample log / refill-vjp footprint gather."""
+    scene = _het_slab_scene(rfilter=rfilter)
+    pm = ad.traverse(scene)
+    keys = _value_class_keys(pm)
+    assert any("grid" in k for k in keys)
+    pm.keep(keys)
+    tr0 = pm.trainable()
+
+    def loss(tr, regen):
+        return jnp.mean(ad.render(pm, tr, seed=11, regen=regen))
+
+    g_fast = jax.grad(lambda t: loss(t, True))(tr0)
+    g_scan = jax.grad(lambda t: loss(t, False))(tr0)
+    for k in keys:
+        a, b = np.asarray(g_fast[k]), np.asarray(g_scan[k])
+        assert np.allclose(a, b, rtol=5e-3, atol=1e-7), \
+            (k, np.abs(a - b).max(), np.abs(b).max())
+    # and they are not trivially zero
+    assert sum(float(np.abs(np.asarray(g_fast[k])).sum()) for k in keys) > 0
+
+
+def test_replay_grad_matches_finite_differences():
+    """Replay gradient of the albedo grid against central finite
+    differences (BASELINE configs[4] acceptance: albedo + sigma_t grid;
+    the sigma_t half is covered by the exact scan-equivalence test above —
+    an FD probe of sigma_t itself is ill-posed because perturbing it flips
+    discrete null/real classifications within a fixed seed, so the
+    same-seed difference quotient measures decision flips, not the
+    derivative)."""
+    rng = np.random.default_rng(3)
+    alb = (0.3 + 0.5 * rng.random((2, 2, 2))).astype(np.float32)
+    scene = load_dict({
+        "type": "scene",
+        "integrator": {"type": "volpath", "max_depth": 12,
+                       "max_iterations": 24},
+        "sensor": {"type": "radiancemeter",
+                   "to_world": {"type": "look_at",
+                                "origin": [0.5, 0.5, -3],
+                                "target": [0.5, 0.5, 1], "up": [0, 1, 0]},
+                   "film": {"width": 1, "height": 1,
+                            "rfilter": {"type": "box"}},
+                   "sampler": {"sample_count": 512}},
+        "slab": {"type": "cube",
+                 "bsdf": {"type": "null"},
+                 "interior": {"type": "heterogeneous",
+                              "sigma_t": 0.8,
+                              "albedo": {"type": "gridvolume",
+                                         "data": alb}}},
+        "light": {"type": "constant", "radiance": 1.0},
+    })
+    pm = ad.traverse(scene)
+    key = [k for k in pm._values if k.endswith("gridvolume.grid")][0]
+    pm.keep([key])
+    tr0 = pm.trainable()
+
+    def loss(tr):
+        return jnp.mean(ad.render(pm, tr, seed=5, regen=True))
+
+    g = float(jnp.sum(jax.grad(loss)(tr0)[key]))
+    eps = 2e-2
+
+    def at(d):
+        tr = dict(tr0)
+        tr[key] = tr0[key] + d
+        return float(loss(tr))
+
+    fd = (at(eps) - at(-eps)) / (2 * eps)
+    assert g == pytest.approx(fd, rel=0.08), (g, fd)
+
+
+def test_replay_primal_film_matches_fast_driver():
+    """value_and_grad's primal output through the custom_vjp equals the
+    plain (non-differentiated) regen render bit-for-bit: the fwd rule runs
+    the identical while-loop driver, only adding the sample log."""
+    scene = _het_slab_scene()
+    from eradiate_kernel_tpu import integrators
+
+    img_plain = integrators.render(scene, seed=4, regen=True)
+    val, _ = jax.value_and_grad(
+        lambda sc: jnp.mean(integrators.render(sc, seed=4, regen=True)),
+        allow_int=True)(scene)
+    assert float(val) == float(jnp.mean(img_plain))
+
+
+def test_replay_grad_path_integrator():
+    """Replay backward drives the `path` integrator too (its state also
+    carries result/throughput): surface albedo gradient matches the scan
+    driver."""
+    scene = furnace_scene(0.5)
+    pm = ad.traverse(scene)
+    key = _albedo_key(pm)
+    pm.keep([key])
+    tr0 = pm.trainable()
+
+    def loss(tr, regen):
+        return jnp.mean(ad.render(pm, tr, seed=7, regen=regen))
+
+    g_fast = np.asarray(jax.grad(lambda t: loss(t, True))(tr0)[key])
+    g_scan = np.asarray(jax.grad(lambda t: loss(t, False))(tr0)[key])
+    assert np.allclose(g_fast, g_scan, rtol=5e-3, atol=1e-7), \
+        (np.abs(g_fast - g_scan).max(), np.abs(g_scan).max())
