@@ -72,6 +72,46 @@ def film_put(image, pos, values, rfilter_kind: str, rfilter_params=None):
     return flat.reshape(H, W, C)
 
 
+def film_gather(image, pos, rfilter_kind: str, rfilter_params=None):
+    """Adjoint of ``film_put``: filter-weighted gather of an (H, W, C)
+    cotangent image at continuous sample positions -> (N, C).
+
+    film_put is linear in ``values`` (a scatter with fixed weights A);
+    this computes A^T ct with the identical tap enumeration and weights,
+    so <film_put(0, pos, v), ct> == <v, film_gather(ct, pos)> exactly.
+    Used by the path-replay backward (integrators/replay.py) to route film
+    cotangents to per-sample result cotangents without materializing any
+    film inside a loop."""
+    H, W, C = image.shape
+    radius = filter_radius(rfilter_kind, rfilter_params)
+    if radius <= 0.5 + 1e-6:
+        px = jnp.clip(pos[:, 0].astype(jnp.int32), 0, W - 1)
+        py = jnp.clip(pos[:, 1].astype(jnp.int32), 0, H - 1)
+        return image[py, px]
+    n = int(2 * radius + 0.999) + 1
+    base_x = jnp.floor(pos[:, 0] - radius + 0.5).astype(jnp.int32)
+    base_y = jnp.floor(pos[:, 1] - radius + 0.5).astype(jnp.int32)
+    taps = jnp.arange(n, dtype=jnp.int32)
+    tap_y = base_y[:, None] + taps                     # (N, n)
+    tap_x = base_x[:, None] + taps
+    wy = eval_filter(rfilter_kind,
+                     (tap_y.astype(jnp.float32) + 0.5) - pos[:, 1:2],
+                     rfilter_params)
+    wx = eval_filter(rfilter_kind,
+                     (tap_x.astype(jnp.float32) + 0.5) - pos[:, 0:1],
+                     rfilter_params)
+    wy = jnp.where((tap_y >= 0) & (tap_y < H), wy, 0.0)
+    wx = jnp.where((tap_x >= 0) & (tap_x < W), wx, 0.0)
+    iy = jnp.clip(tap_y, 0, H - 1)
+    ix = jnp.clip(tap_x, 0, W - 1)
+    N = pos.shape[0]
+    flat = image.reshape(H * W, C)
+    lin = iy[:, :, None] * W + ix[:, None, :]          # (N, n, n)
+    rows = flat[lin.reshape(-1)].reshape(N, n, n, C)
+    w = wy[:, :, None] * wx[:, None, :]
+    return jnp.sum(rows * w[..., None], axis=(1, 2))
+
+
 def develop(image, mode: str = "rgb", pixel_format: str = "rgb"):
     """Weight-divide and convert (hdrfilm.cpp develop :97-160).
 

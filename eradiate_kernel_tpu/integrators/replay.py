@@ -51,7 +51,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.rng import Sampler
-from ..films import N_BASE_CHANNELS, film_put
+from ..films import film_gather
 
 
 # =============================================================================
@@ -102,7 +102,15 @@ def _adjoint_sweep(scene, seed, slog, ct_film, n_lanes, spp):
     ``integrators.render_wavefront_regen``'s lane-pool schedule exactly;
     the bounce body runs through the *differentiable* (scan-walk, gated)
     configuration, and each iteration performs one local jax.vjp with the
-    analytic result/throughput cotangents derived in the module docstring."""
+    analytic result/throughput cotangents derived in the module docstring.
+
+    Everything per-SAMPLE (the film-cotangent-to-result-cotangent map
+    through ray weight, spectral->XYZ and the filter footprint, plus the
+    sensor-parameter adjoint d(film)/d(ray_weight)) is hoisted OUT of the
+    loop into one vectorized pass over all ``total`` samples — the loop
+    body touches the film never and the per-sample tables through exactly
+    one packed row gather per iteration (in-loop film scatters and
+    repeated narrow gathers are the regen driver's measured top costs)."""
     from . import REGISTRY
     from . import _lane_values
     from .volpath import match_dtypes
@@ -123,9 +131,8 @@ def _adjoint_sweep(scene, seed, slog, ct_film, n_lanes, spp):
 
     floats, _idx, _leaves, _treedef, rebuild = _partition(scene)
 
-    def sensor_stream(sc, refill, new_idx):
+    def sensor_stream(sc, lane, n):
         """Exactly render_wavefront_regen.fresh_lanes' sample stream."""
-        lane = jnp.where(refill, new_idx, 0).astype(jnp.uint32)
         smp = Sampler.seed(seed, lane, kind=cfg.sampler_kind, spp=spp)
         smp, jitter = smp.next_2d()
         pixel = (lane // jnp.uint32(spp)).astype(jnp.uint32)
@@ -133,8 +140,7 @@ def _adjoint_sweep(scene, seed, slog, ct_film, n_lanes, spp):
         py = (pixel // cw).astype(jnp.float32) + cy
         pos = jnp.stack([px, py], -1) + jitter
         pos_film = pos / jnp.asarray([W, H], jnp.float32)
-        ray, rw, smp = sensors.sample_ray(sc, smp, pos_film,
-                                          jnp.zeros(n_lanes))
+        ray, rw, smp = sensors.sample_ray(sc, smp, pos_film, jnp.zeros(n))
         return smp, ray, rw, pos
 
     def merge_lanes(fresh, old, mask):
@@ -143,11 +149,32 @@ def _adjoint_sweep(scene, seed, slog, ct_film, n_lanes, spp):
                 mask.reshape(mask.shape + (1,) * (a.ndim - mask.ndim)), a, b),
             fresh, old)
 
+    # ---- hoisted per-sample pass: delta + sensor adjoints, all samples --
+    all_idx = jnp.arange(total, dtype=jnp.uint32)
+    _smp_a, _ray_a, _rw_a, pos_all = sensor_stream(scene, all_idx, total)
+    ct_rows = film_gather(ct_film,
+                          pos_all - jnp.asarray([cx, cy], jnp.float32),
+                          cfg.rfilter, rp)
+    ct_rows = jax.lax.stop_gradient(ct_rows)
+    L_all = slog[:total]
+
+    def samples_val(fl, L_b):
+        sc = rebuild(fl)
+        _smp, ray_a, rw_a, _pos = sensor_stream(sc, all_idx, total)
+        vals = _lane_values(cfg, L_b * rw_a, jnp.ones(total, bool),
+                            ray_a.wavelengths)
+        return jnp.sum(vals * ct_rows)
+
+    _v_unused, vjp_samples = jax.vjp(samples_val, floats, L_all)
+    g_sensor, delta_all = vjp_samples(jnp.ones(()))
+    # one packed per-sample table -> ONE row gather per loop iteration
+    table = jnp.concatenate([delta_all, slog[:total]], axis=-1)
+
     smp0, ray0, _rw0, _pos0 = sensor_stream(
-        scene, jnp.zeros(n_lanes, bool), jnp.zeros(n_lanes, jnp.uint32))
+        scene, jnp.zeros(n_lanes, jnp.uint32), n_lanes)
     vp0 = mod._init_state(scene, smp0, ray0, jnp.zeros(n_lanes, bool))
     nc = vp0.result.shape[-1]
-    grads0 = tuple(jnp.zeros_like(f) for f in floats)
+    grads0 = tuple(jnp.zeros_like(f) for f in g_sensor)
     state0 = (vp0, jnp.zeros(n_lanes, bool), jnp.zeros(n_lanes, jnp.int32),
               jnp.uint32(0), jnp.zeros((n_lanes, nc)),
               jnp.zeros((n_lanes, nc)), grads0, jnp.int32(0))
@@ -167,37 +194,21 @@ def _adjoint_sweep(scene, seed, slog, ct_film, n_lanes, spp):
         occupied = occupied & vp.active
         delta = jnp.where(occupied[..., None], delta, 0.0)
 
-        # 2. refill dead lanes with the next unstarted samples, gathering
-        # the per-sample radiance total (slog) and film cotangent
+        # 2. refill dead lanes with the next unstarted samples; their
+        # (delta, L) rows arrive in one packed gather
         dead = ~occupied
         rank = jnp.cumsum(dead.astype(jnp.uint32)) - dead.astype(jnp.uint32)
         new_idx = next_sample + rank
         refill = dead & (new_idx < total_u)
 
-        slot = jnp.minimum(new_idx, jnp.uint32(n_buf - 1)).astype(jnp.int32)
-        L_new = jnp.where(refill[..., None], slog[slot], 0.0)
-
-        def refill_film(fl, L_b):
-            # the refilled samples' film rows as a function of (scene
-            # floats, radiance total): its vjp against the film cotangent
-            # yields BOTH the per-lane result cotangent delta (through the
-            # ray weight, spectral->XYZ conversion, and filter footprint —
-            # any rfilter) AND the sensor-parameter adjoints d(film)/d(rw)
-            sc = rebuild(fl)
-            _smp, ray_f, rw_f, pos_f = sensor_stream(sc, refill, new_idx)
-            vals = _lane_values(cfg, L_b * rw_f, jnp.ones(n_lanes, bool),
-                                ray_f.wavelengths)
-            vals = jnp.where(refill[..., None], vals, 0.0)
-            return film_put(jnp.zeros((ch, cw, N_BASE_CHANNELS)),
-                            pos_f - jnp.asarray([cx, cy], jnp.float32),
-                            vals, cfg.rfilter, rp)
-
-        _film_unused, vjp_rf = jax.vjp(refill_film, floats, L_new)
-        g_rf, delta_new = vjp_rf(ct_film)
-        grads = tuple(a + b for a, b in zip(grads, g_rf))
+        slot = jnp.minimum(new_idx, jnp.uint32(total - 1)).astype(jnp.int32)
+        row = jnp.where(refill[..., None], table[slot], 0.0)
+        delta_new = row[..., :nc]
+        L_new = row[..., nc:]
 
         # primal lane refresh (identical to the forward driver's)
-        smp_f, ray_f, _rw_f, _pos_f = sensor_stream(scene, refill, new_idx)
+        lane = jnp.where(refill, new_idx, 0).astype(jnp.uint32)
+        smp_f, ray_f, _rw_f, _pos_f = sensor_stream(scene, lane, n_lanes)
         fresh_vp = mod._init_state(scene, smp_f, ray_f, refill)
         if hasattr(fresh_vp, "si"):
             fresh_vp = fresh_vp.replace(si=vp.si)
@@ -232,7 +243,8 @@ def _adjoint_sweep(scene, seed, slog, ct_film, n_lanes, spp):
         return match_dtypes(out, st)
 
     final = jax.lax.while_loop(cond, body, state0)
-    return final[6]
+    grads = tuple(a + b for a, b in zip(final[6], g_sensor))
+    return grads, final[7]
 
 
 # =============================================================================
@@ -260,7 +272,7 @@ def _fwd(scene, seed, n_lanes, spp):
 
 def _bwd(n_lanes, spp, res, ct_film):
     scene, seed, slog = res
-    grads = _adjoint_sweep(scene, seed, slog, ct_film, n_lanes, spp)
+    grads, _iters = _adjoint_sweep(scene, seed, slog, ct_film, n_lanes, spp)
     floats, idx, leaves, treedef, _rebuild = _partition(scene)
     out = []
     k = 0

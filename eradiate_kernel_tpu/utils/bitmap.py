@@ -120,7 +120,7 @@ _PIXEL_FLOAT = 2  # OpenEXR FLOAT (f32)
 # compression enum (OpenEXR ImfCompression.h) -> scanlines per chunk
 _COMPRESSION = {"none": 0, "rle": 1, "zips": 2, "zip": 3, "piz": 4,
                 "pxr24": 5}
-_LINES_PER_BLOCK = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32, 5: 16}
+_LINES_PER_BLOCK = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32, 5: 16, 6: 32, 7: 32}
 
 
 def _attr(name: str, type_: str, payload: bytes) -> bytes:
@@ -257,9 +257,14 @@ def _decompress_chunk(buf: bytes, raw_size: int, compression: int,
         from .exr_piz import pxr24_decompress
 
         return pxr24_decompress(buf, channels, W, ny)
+    if compression in (6, 7):
+        from .exr_b44 import b44_decompress
+
+        return b44_decompress(buf, channels, W, ny, b44a=compression == 7)
     raise ValueError(
         f"unsupported EXR compression {compression} (supported: "
-        f"none/rle/zips/zip/piz/pxr24; b44/dwa need the OpenEXR bridge)")
+        f"none/rle/zips/zip/piz/pxr24 + b44/b44a read; dwa needs the "
+        f"OpenEXR bridge)")
 
 
 def write_exr(path: str, img, channel_names=None, compression="zip",
@@ -385,10 +390,11 @@ def read_exr(path: str):
             compression = payload[0]
         elif name == "dataWindow":
             dw = struct.unpack("<iiii", payload)
-    if compression not in (0, 1, 2, 3, 4, 5):
+    if compression not in (0, 1, 2, 3, 4, 5, 6, 7):
         raise ValueError(
             f"unsupported EXR compression {compression} (supported: "
-            f"none/rle/zips/zip/piz/pxr24; b44/dwa need the OpenEXR bridge)")
+            f"none/rle/zips/zip/piz/pxr24 + b44/b44a read; dwa needs the "
+            f"OpenEXR bridge)")
     lines_pb = _LINES_PER_BLOCK[compression]
     x0, y0, x1, y1 = dw
     W = x1 - x0 + 1
