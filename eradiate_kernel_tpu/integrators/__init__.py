@@ -208,9 +208,20 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
     """
     cfg = scene.config
     mod = REGISTRY[cfg.integrator.kind]
-    assert all(hasattr(mod, h) for h in ("_init_state", "_bounce", "_knobs")), \
+    # wrapper integrators (aov/moment/bins/nbins) delegate the bounce loop
+    # to their child and contribute AOV hooks: _harvest_aov computes the
+    # extra film channels from the harvested lane state, _refill_aov
+    # (optional) computes camera-hit AOVs at lane refill, carried per lane
+    bmod = mod._regen_module(cfg) if hasattr(mod, "_regen_module") else mod
+    assert all(hasattr(bmod, h) for h in ("_init_state", "_bounce",
+                                          "_knobs")), \
         f"regen driver: integrator '{cfg.integrator.kind}' lacks bounce hooks"
-    assert n_aov(cfg) == 0, "regen driver does not support AOV integrators"
+    extra = n_aov(cfg)
+    assert extra == 0 or hasattr(mod, "_harvest_aov"), \
+        f"regen driver: AOV integrator '{cfg.integrator.kind}' lacks " \
+        "_harvest_aov (use the scan driver)"
+    has_refill_aov = bool(extra) and hasattr(mod, "_refill_aov")
+    n_ac = extra if has_refill_aov else 0
     H, W = cfg.film_height, cfg.film_width
     cw, ch = cfg.crop_size if cfg.crop_size else (W, H)
     cx, cy = cfg.crop_offset
@@ -232,11 +243,11 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
     aligned_off = (jnp.uint32(sample_offset) // jnp.uint32(spp)) \
         * jnp.uint32(spp)
     total = jnp.uint32(sample_offset + total)
-    max_iterations, bounce_kwargs = mod._knobs(scene)
+    max_iterations, bounce_kwargs = bmod._knobs(scene)
     # primal-only extras (e.g. volpath's early-terminating while-loop NEE
     # walks) — this driver is a while_loop itself, never differentiated
     bounce_kwargs = dict(bounce_kwargs,
-                         **getattr(mod, "_PRIMAL_BOUNCE_KWARGS", {}))
+                         **getattr(bmod, "_PRIMAL_BOUNCE_KWARGS", {}))
     if bounce_kwargs.get("gate_sites", True) is None:
         try:
             platform = jax.devices()[0].platform
@@ -258,13 +269,15 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
         pos_film = pos / jnp.asarray([W, H], jnp.float32)
         ray, rw, smp = sensors.sample_ray(scene, smp, pos_film,
                                           jnp.zeros(n_lanes))
-        vp = mod._init_state(scene, smp, ray, refill)
-        return vp, pos, rw
+        vp = bmod._init_state(scene, smp, ray, refill)
+        ac = (mod._refill_aov(scene, ray, refill) if has_refill_aov
+              else jnp.zeros((n_lanes, 0)))
+        return vp, pos, rw, ac
 
-    vp0, pos0, rw0 = fresh_lanes(jnp.zeros(n_lanes, bool),
-                                 jnp.zeros(n_lanes, jnp.uint32))
+    vp0, pos0, rw0, ac0 = fresh_lanes(jnp.zeros(n_lanes, bool),
+                                      jnp.zeros(n_lanes, jnp.uint32))
     nc = vp0.result.shape[-1]
-    n_logged = 3 + (nc if sample_log else 0)
+    n_logged = 3 + extra + (nc if sample_log else 0)
     rp = dict(cfg.rfilter_params)
     if use_log:
         # (X/Y/Z value logs, packed-slot log, cursor); 1-D logs keep every
@@ -281,15 +294,15 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
     elif sample_log:
         # wide-filter film goes through film_put; the per-sample result
         # log runs as a parallel slot-keyed append (trash key n_buf)
-        image0 = (jnp.zeros((ch, cw, N_BASE_CHANNELS)),
+        image0 = (jnp.zeros((ch, cw, N_BASE_CHANNELS + extra)),
                   (jnp.zeros((n_log,)),) * nc,
                   jnp.full((n_log,), n_buf, jnp.int32), jnp.int32(0))
     else:
-        image0 = jnp.zeros((ch, cw, N_BASE_CHANNELS))
+        image0 = jnp.zeros((ch, cw, N_BASE_CHANNELS + extra))
     state0 = (vp0, pos0, rw0, jnp.zeros(n_lanes, bool),
               jnp.zeros(n_lanes, jnp.int32), jnp.uint32(sample_offset),
               jnp.zeros(n_lanes, jnp.uint32),
-              image0, jnp.zeros(()), jnp.int32(0))
+              image0, jnp.zeros(()), jnp.int32(0), ac0)
 
     def merge_lanes(fresh, old, mask):
         return jax.tree_util.tree_map(
@@ -304,10 +317,12 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
 
     def body(st):
         (vp, pos, rw, occupied, its, next_sample, lane_sample, image, rays,
-         it) = st
+         it, ac) = st
 
         # 1. harvest lanes whose path finished since the last visit
         finished = occupied & ~vp.active
+        aov_vals = (mod._harvest_aov(scene, vp, rw, ac) if extra
+                    else None)
 
         def _append(log_v, log_i, cursor, key, cols):
             """Sort-compact append: one sort does compaction AND
@@ -331,6 +346,8 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
                 finished, slot * 2 + vp.valid_ray.astype(jnp.int32),
                 jnp.int32(2 * n_buf))
             cols = (xyz[:, 0], xyz[:, 1], xyz[:, 2])
+            if extra:
+                cols = cols + tuple(aov_vals[:, i] for i in range(extra))
             if sample_log:
                 cols = cols + tuple(vp.result[:, i] for i in range(nc))
             return _append(log_v, log_i, cursor, packed, cols)
@@ -338,7 +355,9 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
         def _harvest_film(film):
             spec = vp.result * rw
             values = _lane_values(cfg, spec, vp.valid_ray,
-                                  vp.ray.wavelengths)
+                                  vp.ray.wavelengths, n_extra=0)
+            if extra:
+                values = jnp.concatenate([values, aov_vals], -1)
             values = jnp.where(finished[..., None], values, 0.0)
             return film_put(film, pos - jnp.asarray([cx, cy], jnp.float32),
                             values, cfg.rfilter, rp)
@@ -371,7 +390,8 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
         refill = dead & (new_idx < total)
 
         def _refill():
-            fresh_vp, fresh_pos, fresh_rw = fresh_lanes(refill, new_idx)
+            fresh_vp, fresh_pos, fresh_rw, fresh_ac = fresh_lanes(refill,
+                                                                  new_idx)
             # skip the ~30-float/lane si merge: refilled lanes carry
             # needs_intersection=True, so their si is overwritten by the
             # next merged intersect before anything reads it
@@ -379,16 +399,17 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
                 fresh_vp = fresh_vp.replace(si=vp.si)
             return (merge_lanes(fresh_vp, vp, refill),
                     jnp.where(refill[..., None], fresh_pos, pos),
-                    jnp.where(refill[..., None], fresh_rw, rw))
+                    jnp.where(refill[..., None], fresh_rw, rw),
+                    jnp.where(refill[..., None], fresh_ac, ac))
 
         if not bounce_kwargs.get("gate_sites", True):
             # TPU: a refill happens nearly every iteration, so the cond is
             # an always-taken kernel boundary that copies the whole lane
             # state (see gate_sites)
-            vp, pos, rw = _refill()
+            vp, pos, rw, ac = _refill()
         else:
-            vp, pos, rw = jax.lax.cond(jnp.any(refill), _refill,
-                                       lambda: (vp, pos, rw))
+            vp, pos, rw, ac = jax.lax.cond(jnp.any(refill), _refill,
+                                           lambda: (vp, pos, rw, ac))
         lane_sample = jnp.where(refill, new_idx, lane_sample)
         occupied = occupied | refill
         its = jnp.where(refill, 0, its)
@@ -396,13 +417,13 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
 
         # 3. one bounce over the whole (nearly full) wavefront
         vp = vp.replace(active=vp.active & occupied, n_rays=jnp.zeros(()))
-        vp = mod._bounce(scene, vp, **bounce_kwargs)
+        vp = bmod._bounce(scene, vp, **bounce_kwargs)
         rays = rays + vp.n_rays
         its = its + 1
         # per-lane iteration cap (the scan-trip cap of _trace_full)
         vp = vp.replace(active=vp.active & (its < max_iterations))
         out = (vp, pos, rw, occupied, its, next_sample, lane_sample, image,
-               rays, it + 1)
+               rays, it + 1, ac)
         return volpath.match_dtypes(out, st)
 
     final = jax.lax.while_loop(cond, body, state0)
@@ -434,6 +455,7 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
                 c, indices_are_sorted=True)
              for c in cols], -1)[:n_buf]
 
+    n_film_ch = N_BASE_CHANNELS + extra
     if use_log:
         log_v, log_i, cursor_f = image_f
         srt = jax.lax.sort((log_i,) + tuple(log_v), num_keys=1)
@@ -441,7 +463,7 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
         real = keys < 2 * n_buf  # trash entries sort last
         a_col = (keys & 1).astype(jnp.float32)          # valid flag
         w_col = jnp.where(real, 1.0, 0.0)               # weight = 1/sample
-        film_cols = srt[1:4] + (a_col, w_col)
+        film_cols = srt[1:4] + (a_col, w_col) + srt[4:4 + extra]
 
         def _scattered():
             # sorted-indices scatter (trash-slot duplicates land last and
@@ -449,7 +471,7 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
             # random-order scatter, but still ~3 ms/channel at 512k rows)
             slot = jnp.minimum(keys >> 1, jnp.int32(n_buf))
             return _slot_scatter(slot, film_cols).reshape(
-                n_buf // spp, spp, N_BASE_CHANNELS).sum(1)
+                n_buf // spp, spp, n_film_ch).sum(1)
 
         def _dense():
             # complete render, zero sample offset: the real slots are
@@ -459,7 +481,7 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
             # which lands in the film pad rows and is sliced off below.
             rows_all = jnp.stack(film_cols, -1)[:n_buf]
             return rows_all.reshape(n_buf // spp, spp,
-                                    N_BASE_CHANNELS).sum(1)
+                                    n_film_ch).sum(1)
 
         if _total_static is not None and _offset_zero:
             rows = jax.lax.cond(
@@ -467,12 +489,12 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
         else:
             rows = _scattered()
         pix0 = (aligned_off // jnp.uint32(spp)).astype(jnp.int32)
-        flat = jnp.zeros((ch * cw + n_buf // spp, N_BASE_CHANNELS))
+        flat = jnp.zeros((ch * cw + n_buf // spp, n_film_ch))
         flat = jax.lax.dynamic_update_slice(flat, rows, (pix0, 0))
         if sample_log:
             slog = _slot_scatter(jnp.minimum(keys >> 1, jnp.int32(n_buf)),
-                                 srt[4:])
-        image_f = flat[:ch * cw].reshape(ch, cw, N_BASE_CHANNELS)
+                                 srt[4 + extra:])
+        image_f = flat[:ch * cw].reshape(ch, cw, n_film_ch)
     elif sample_log:
         image_f, rlog_v, rlog_i, _rcur = image_f
         srt = jax.lax.sort((rlog_i,) + tuple(rlog_v), num_keys=1)
@@ -483,6 +505,25 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
         # perf diagnostics: (film, rays) -> (film, rays, loop iterations)
         return image_f, rays_f, final[9]
     return image_f, rays_f
+
+
+def regen_supported(cfg) -> bool:
+    """Whether the regenerating driver can run this integrator config:
+    the (possibly wrapped) integrator must expose the bounce hooks, and
+    AOV wrappers must provide _harvest_aov (aov/moment/bins/nbins do;
+    duv_dx/duv_dy AOVs need the differential-ray machinery and keep the
+    scan driver)."""
+    mod = REGISTRY[cfg.integrator.kind]
+    bmod = mod._regen_module(cfg) if hasattr(mod, "_regen_module") else mod
+    if not all(hasattr(bmod, h) for h in ("_init_state", "_bounce",
+                                          "_knobs")):
+        return False
+    if n_aov(cfg):
+        if not hasattr(mod, "_harvest_aov"):
+            return False
+        if getattr(mod, "needs_differentials", lambda c: False)(cfg):
+            return False
+    return True
 
 
 def render(scene, seed=0, spp=None, samples_per_pass=None, develop_film=True,
@@ -504,10 +545,9 @@ def render(scene, seed=0, spp=None, samples_per_pass=None, develop_film=True,
     n_passes = -(-total // samples_per_pass)
 
     extra = n_aov(cfg)
-    regen_ok = hasattr(REGISTRY[cfg.integrator.kind], "_bounce")
-    if regen and regen_ok and extra == 0:
+    if regen and regen_supported(cfg):
         from . import replay
-        if replay.replay_supported(cfg):
+        if extra == 0 and replay.replay_supported(cfg):
             # differentiable fast path: primal runs the identical while-loop
             # driver; under jax.grad the backward is the path-replay sweep
             # (integrators/replay.py)

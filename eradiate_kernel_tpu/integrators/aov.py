@@ -67,14 +67,9 @@ def needs_differentials(cfg):
     return any(ty in ("duv_dx", "duv_dy") for _, ty in parse_aovs(cfg))
 
 
-def sample_aov(scene, sampler, ray, ray_weight, active=None, ray_diff=None):
-    cfg = scene.config
-    spec, valid, sampler = _child(cfg).sample(scene, sampler, ray, active)
-    si = ray_intersect(scene.geo, ray)
-    duv = None
-    if ray_diff is not None:
-        from ..render.records import compute_uv_partials
-        duv = compute_uv_partials(si, ray_diff)
+def _aov_columns(cfg, si, duv, spec_shape):
+    """Assemble the AOV channel block from the camera-ray hit (shared by
+    the scan driver's sample_aov and the regen driver's refill hook)."""
     cols = []
     for _name, ty in parse_aovs(cfg):
         if ty == "depth":
@@ -96,6 +91,37 @@ def sample_aov(scene, sampler, ray, ray_weight, active=None, ray_diff=None):
                 "duv aovs need the differential ray path (driver bug)"
             part = duv[0] if ty == "duv_dx" else duv[1]
             cols.append(jnp.where(si.is_valid[..., None], part, 0.0))
-    aovs = (jnp.concatenate(cols, -1) if cols
-            else jnp.zeros(spec.shape[:-1] + (0,)))
+    return (jnp.concatenate(cols, -1) if cols
+            else jnp.zeros(spec_shape[:-1] + (0,)))
+
+
+def sample_aov(scene, sampler, ray, ray_weight, active=None, ray_diff=None):
+    cfg = scene.config
+    spec, valid, sampler = _child(cfg).sample(scene, sampler, ray, active)
+    si = ray_intersect(scene.geo, ray)
+    duv = None
+    if ray_diff is not None:
+        from ..render.records import compute_uv_partials
+        duv = compute_uv_partials(si, ray_diff)
+    aovs = _aov_columns(cfg, si, duv, spec.shape)
     return spec, valid, sampler, aovs
+
+
+# --- regen-driver hooks (integrators.render_wavefront_regen) -----------------
+# The lane pool bounces the CHILD's state; AOVs come from the camera-ray
+# first hit, so they are computed once at lane refill and carried until
+# harvest. duv_dx/duv_dy need the differential-ray machinery and keep the
+# scan driver (integrators.regen_supported gates on needs_differentials).
+
+def _regen_module(cfg):
+    return _child(cfg)
+
+
+def _refill_aov(scene, ray, active):
+    cfg = scene.config
+    si = ray_intersect(scene.geo, ray)
+    return _aov_columns(cfg, si, None, ray.o.shape[:-1] + (1,))
+
+
+def _harvest_aov(scene, vp, rw, aov_carry):
+    return aov_carry

@@ -77,6 +77,25 @@ def make(narrow: bool):
                     else jnp.zeros(spec.shape[:-1] + (0,)))
             return spec, valid, sampler, aovs
 
+        # --- regen-driver hooks ----------------------------------------
+        @staticmethod
+        def _regen_module(cfg):
+            return _child(cfg)
+
+        @staticmethod
+        def _harvest_aov(scene, vp, rw, aov_carry):
+            cfg = scene.config
+            assert cfg.variant.is_spectral, \
+                "bins/nbins integrators require the spectral variant"
+            weighted = vp.result * rw
+            wl = vp.ray.wavelengths
+            cols = [jnp.mean(jnp.where((wl >= lo) & (wl < hi),
+                                       weighted, 0.0),
+                             axis=-1, keepdims=True)
+                    for _name, lo, hi in _parse(cfg, narrow)]
+            return (jnp.concatenate(cols, -1) if cols
+                    else jnp.zeros(weighted.shape[:-1] + (0,)))
+
     return _Mod
 
 

@@ -46,3 +46,24 @@ def sample_aov(scene, sampler, ray, ray_weight, active=None):
     else:
         xyz = sp.srgb_to_xyz(weighted)
     return spec, valid, sampler, xyz * xyz
+
+
+# --- regen-driver hooks ------------------------------------------------------
+
+def _regen_module(cfg):
+    return _child(cfg)
+
+
+def _harvest_aov(scene, vp, rw, aov_carry):
+    """Second moment of the splatted sample value, computed at lane
+    harvest from the carried path state (moment.cpp:28-46 semantics on
+    the regenerating driver)."""
+    cfg = scene.config
+    weighted = vp.result * rw
+    if cfg.variant.is_spectral:
+        xyz = sp.spectrum_to_xyz(weighted, vp.ray.wavelengths)
+    elif cfg.variant.is_monochromatic:
+        xyz = jnp.repeat(weighted, 3, axis=-1)
+    else:
+        xyz = sp.srgb_to_xyz(weighted)
+    return xyz * xyz

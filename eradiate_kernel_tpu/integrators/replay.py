@@ -58,13 +58,28 @@ from ..films import film_gather
 # scene pytree partition (float leaves are the differentiation targets)
 # =============================================================================
 
+_TRAJECTORY_PREFIXES = ("geo",)
+
+
 def _partition(scene):
     """(floats tuple, rebuild fn): split the scene pytree into its inexact
     (differentiable) leaves and a closure that reassembles the scene from
-    them (integer/bool leaves captured as constants)."""
-    leaves, treedef = jax.tree_util.tree_flatten(scene)
-    idx = [i for i, x in enumerate(leaves)
-           if jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact)]
+    them (integer/bool leaves captured as constants).
+
+    Geometry leaves (the ``scene.geo`` subtree: vertices, triangle tiles,
+    BVH boxes, analytic shape params, instance transforms) are excluded
+    from the differentiation set. Replay gradients are detached-sampling
+    (module docstring): trajectory-class cotangents would be incomplete
+    anyway, and their transpose machinery dominated the adjoint profile —
+    the mesh-intersect matmul transposed into a per-triangle sequential
+    loop costing ~half the sweep (measured r5, 21 ms/iteration on a
+    12-triangle scene). Their cotangent is an explicit, documented zero."""
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(scene)
+    idx = [i for i, (path, x) in enumerate(leaves)
+           if jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact)
+           and not (path and getattr(path[0], "name", None)
+                    in _TRAJECTORY_PREFIXES)]
+    leaves = [x for _p, x in leaves]
     floats = tuple(leaves[i] for i in idx)
 
     def rebuild(fl):
@@ -126,8 +141,18 @@ def _adjoint_sweep(scene, seed, slog, ct_film, n_lanes, spp):
     rp = dict(cfg.rfilter_params)
     max_iterations, bounce_kwargs = mod._knobs(scene)
     # NOTE: no _PRIMAL_BOUNCE_KWARGS here — the replay bounce must be
-    # reverse-differentiable, so NEE walks run as bounded scans with
-    # _cond_any gates (bitwise-equivalent decisions; see _run_walk)
+    # reverse-differentiable, so NEE walks run as bounded scans
+    # (bitwise-equivalent decisions; see _run_walk). The integrator's
+    # _REPLAY_BOUNCE_KWARGS tune the differentiable configuration
+    # (walk-step gates, per-step remat, platform-dependent block gates).
+    bounce_kwargs = dict(bounce_kwargs,
+                         **getattr(mod, "_REPLAY_BOUNCE_KWARGS", {}))
+    if bounce_kwargs.get("gate_sites", True) is None:
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:
+            platform = "cpu"
+        bounce_kwargs["gate_sites"] = platform != "tpu"
 
     floats, _idx, _leaves, _treedef, rebuild = _partition(scene)
 

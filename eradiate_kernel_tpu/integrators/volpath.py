@@ -221,7 +221,7 @@ class _WalkState:
     n_rays: jnp.ndarray  # () f32 — rays traced (bench accounting)
 
 
-def _run_walk(body, state, nee_steps, use_while):
+def _run_walk(body, state, nee_steps, use_while, remat=False):
     """Run a bounded transmittance walk. ``use_while`` (primal-only paths:
     the regenerating driver) terminates as soon as every lane converges
     instead of always paying ``nee_steps`` full-wavefront steps — most
@@ -236,6 +236,13 @@ def _run_walk(body, state, nee_steps, use_while):
         def scan_body(s, _):
             return match_dtypes(body(s), s), None
 
+        # remat: under reverse AD (the path-replay adjoint sweep), store
+        # only the slim per-step carries and recompute step interiors in
+        # the transpose — the stacked per-step interior residuals
+        # ((nee_steps, lanes, ...) masks and coefficient tensors) were the
+        # top HBM-traffic item of the adjoint profile (r5)
+        if remat:
+            scan_body = jax.checkpoint(scan_body)
         final, _ = jax.lax.scan(scan_body, state, None, length=nee_steps)
     else:
         def w_cond(carry):
@@ -259,7 +266,7 @@ def _run_walk(body, state, nee_steps, use_while):
 
 def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
                     medium_idx, channel, sampler, active, nee_steps,
-                    use_while=False, gate_sites=True):
+                    use_while=False, gate_sites=True, remat_walks=False):
     """Returns (contribution, ds, sampler): emitter radiance attenuated by
     ratio-tracked transmittance along the connection."""
     batch = ref_p.shape[:-1]
@@ -321,7 +328,8 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
         else:
             step = lambda s: _walk_step_residual(scene, s, ds, channel,
                                                  ca=ca)
-        final = _run_walk(step, state, nee_steps, use_while)
+        final = _run_walk(step, state, nee_steps, use_while,
+                          remat=remat_walks)
         contrib = jnp.where(final.active[..., None], 0.0,
                             final.transmittance) * emitter_val
         return contrib, ds, final.sampler, final.n_rays
@@ -337,7 +345,7 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
         final = _run_walk(
             lambda s: _walk_step_quadrature(scene, s, ds, channel, K,
                                             ca=ca),
-            state, nee_steps, use_while)
+            state, nee_steps, use_while, remat=remat_walks)
         contrib = jnp.where(final.active[..., None], 0.0,
                             final.transmittance) * emitter_val
         return contrib, ds, final.sampler, final.n_rays
@@ -437,7 +445,7 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
                           total_dist=total_dist, active=active,
                           n_rays=n_rays)
 
-    final = _run_walk(body, state, nee_steps, use_while)
+    final = _run_walk(body, state, nee_steps, use_while, remat=remat_walks)
     # lanes still active after the cap contribute nothing (conservative)
     contrib = jnp.where(final.active[..., None], 0.0,
                         final.transmittance) * emitter_val
@@ -775,7 +783,7 @@ def _direct_step_residual(scene, s: _DirectState, ref_p, channel,
 
 def _evaluate_direct_light(scene, ref_p, ray, si_ray, medium_idx, channel,
                            sampler, active, nee_steps, use_while=False,
-                           gate_sites=True):
+                           gate_sites=True, remat_walks=False):
     batch = ref_p.shape[:-1]
     nc = _nc(scene, ray)
 
@@ -795,7 +803,7 @@ def _evaluate_direct_light(scene, ref_p, ray, si_ray, medium_idx, channel,
         # this body is the exact closed form with a dead collision site)
         final = _run_walk(
             lambda s: _direct_step_residual(scene, s, ref_p, channel, ca=ca),
-            state, nee_steps, use_while)
+            state, nee_steps, use_while, remat=remat_walks)
         return (final.emitter_val, final.emitter_pdf, final.sampler,
                 final.n_rays)
 
@@ -890,7 +898,7 @@ def _evaluate_direct_light(scene, ref_p, ray, si_ray, medium_idx, channel,
                             emitter_val=emitter_val, emitter_pdf=emitter_pdf,
                             active=active, n_rays=n_rays)
 
-    final = _run_walk(body, state, nee_steps, use_while)
+    final = _run_walk(body, state, nee_steps, use_while, remat=remat_walks)
     return final.emitter_val, final.emitter_pdf, final.sampler, final.n_rays
 
 
@@ -942,13 +950,20 @@ def _probe(name, x):
 
 
 def _bounce(scene, s: _VolPathState, *, nee_steps, max_depth, rr_depth,
-            while_walks=False, gate_sites=True):
+            while_walks=False, gate_sites=True, gate_walks=None,
+            remat_walks=False):
     """One masked wavefront bounce (the loop body of volpath.cpp:38-258).
     Module-level so both the fixed-trip tracer (_trace_full) and the
     regenerating wavefront driver can drive it."""
     batch = s.ray.o.shape[:-1]
     nc = s.throughput.shape[-1]
     ca = _cond_any if gate_sites else _ungated
+    # walks may gate independently of the bounce-level sites: in the
+    # path-replay adjoint sweep the bounce-level conds are always-taken
+    # (regen occupancy ~100%) and their vjp transpose forces whole-lane
+    # relayout copies, while the scan-walk STEP gates skip real work
+    # (most walks converge in 1-3 of nee_steps steps)
+    gate_walks = gate_sites if gate_walks is None else gate_walks
     smp = s.sampler
     active = s.active & jnp.any(s.throughput != 0.0, -1)
     ray = s.ray
@@ -1102,7 +1117,8 @@ def _bounce(scene, s: _VolPathState, *, nee_steps, max_depth, rr_depth,
         emitted_s, ds_s, smp2, nr_s = _sample_emitter(
             scene, nee_ref_p, nee_ref_n, act_scatter, ray.wavelengths,
             ray.time, s.medium_idx, s.channel, smp, nee_active, nee_steps,
-            use_while=while_walks, gate_sites=gate_sites)
+            use_while=while_walks, gate_sites=gate_walks,
+            remat_walks=remat_walks)
         # medium lanes: phase x emitted
         phase_val = phase.phase_eval(scene, phase_idx, -nee_medium_d_in,
                                      ds_s.d, act_scatter)
@@ -1191,7 +1207,7 @@ def _bounce(scene, s: _VolPathState, *, nee_steps, max_depth, rr_depth,
             return _evaluate_direct_light(
                 scene, si.p, ray, si_new, medium_next, s.channel, smp,
                 add_emitter, nee_steps, use_while=while_walks,
-                gate_sites=gate_sites)
+                gate_sites=gate_walks, remat_walks=remat_walks)
 
         def _direct_skip():
             return (jnp.zeros(batch + (nc,)), jnp.zeros(batch),
@@ -1232,6 +1248,14 @@ def _bounce(scene, s: _VolPathState, *, nee_steps, max_depth, rr_depth,
 # probability; si/ray: theta-independent trajectory for value-class
 # parameters) has an exactly-zero cotangent under the detach discipline
 _REPLAY_OK = True
+
+# bounce kwargs for the path-replay ADJOINT sweep (integrators/replay.py):
+# reverse-differentiable (scan) walks with per-step remat, walk-step gates
+# on (they skip converged steps), bounce-level gates platform-dependent
+# like the fwd driver (None -> off on TPU: always-taken cond transposes
+# only add relayout copies there)
+_REPLAY_BOUNCE_KWARGS = {"gate_sites": None, "gate_walks": True,
+                         "remat_walks": True}
 
 # extra bounce kwargs the regenerating (primal-only, while_loop) driver
 # may add on top of _knobs' — see integrators.render_wavefront_regen

@@ -167,3 +167,65 @@ def test_aov_duv_render():
     # reference sample mapping (sensor.h:196-230), film y opposite to v
     assert d1x[w // 2, w // 2] == pytest.approx(-expect, rel=0.15)
     assert d2y[w // 2, w // 2] == pytest.approx(-expect, rel=0.15)
+
+
+# =============================================================================
+# Regen-driver support for wrapper integrators (VERDICT r4 item 6)
+# =============================================================================
+
+@pytest.mark.parametrize("integrator", [
+    {"type": "aov", "aovs": "dd:depth,nn:geo_normal,pp:position",
+     "child": {"type": "path", "max_depth": 3}},
+    {"type": "aov", "aovs": "dd:depth",
+     "child": {"type": "volpath", "max_depth": 3}},
+    {"type": "moment", "child": {"type": "path", "max_depth": 3}},
+])
+def test_wrapper_regen_matches_scan_driver(integrator):
+    """aov/moment wrappers run on the regenerating lane-pool driver
+    (camera-hit AOVs computed at lane refill and carried; harvest-time
+    AOVs from the carried state) and agree with the scan driver
+    sample-for-sample (reference: aov.cpp:65-99, moment.cpp:28-46)."""
+    scene = load_dict(scene_dict(integrator))
+    img_s, aov_s = integrators.render(scene, seed=3, return_aovs=True,
+                                      regen=False)
+    img_r, aov_r = integrators.render(scene, seed=3, return_aovs=True,
+                                      regen=True)
+    assert np.allclose(np.asarray(img_s), np.asarray(img_r), atol=2e-6)
+    assert set(aov_s) == set(aov_r)
+    for k in aov_s:
+        assert np.allclose(np.asarray(aov_s[k]), np.asarray(aov_r[k]),
+                           atol=2e-5), k
+
+
+def test_wrapper_regen_wide_filter_matches_scan():
+    """The film_put (wide-filter) regen path carries AOV channels too."""
+    d = scene_dict({"type": "moment", "child": {"type": "path",
+                                                "max_depth": 3}})
+    d["sensor"]["film"]["rfilter"] = {"type": "gaussian"}
+    scene = load_dict(d)
+    img_s, aov_s = integrators.render(scene, seed=5, return_aovs=True,
+                                      regen=False)
+    img_r, aov_r = integrators.render(scene, seed=5, return_aovs=True,
+                                      regen=True)
+    assert np.allclose(np.asarray(img_s), np.asarray(img_r), atol=2e-5)
+    for k in aov_s:
+        assert np.allclose(np.asarray(aov_s[k]), np.asarray(aov_r[k]),
+                           atol=2e-4), k
+
+
+def test_bins_regen_matches_scan_driver():
+    """bins on the regen driver (spectral variant)."""
+    from eradiate_kernel_tpu.core.types import Variant
+
+    d = scene_dict({"type": "bins",
+                    "bins": "lo:400:550,hi:550:700",
+                    "child": {"type": "path", "max_depth": 3}})
+    scene = load_dict(d, Variant("spectral"))
+    img_s, aov_s = integrators.render(scene, seed=7, return_aovs=True,
+                                      regen=False)
+    img_r, aov_r = integrators.render(scene, seed=7, return_aovs=True,
+                                      regen=True)
+    assert np.allclose(np.asarray(img_s), np.asarray(img_r), atol=2e-5)
+    for k in aov_s:
+        assert np.allclose(np.asarray(aov_s[k]), np.asarray(aov_r[k]),
+                           atol=2e-4), k
