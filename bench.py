@@ -67,13 +67,44 @@ def main():
     if os.environ.get("BENCH_SIZE"):
         W, H, spp = (int(x) for x in os.environ["BENCH_SIZE"].split("x"))
     scene_kind = os.environ.get("BENCH_SCENE", "flagship")
+    variant = None
     if scene_kind == "large3d":
         grid = (64, 64, 64)
         metric = "atmosphere3d64_volpath_mrays_per_s_per_chip"
+    elif scene_kind == "spectral":
+        # BASELINE configs[2]: spectral (4 hero wavelengths) 1-D atmosphere
+        # under a distant TOA sensor — the Eradiate bread-and-butter
+        # radiative-transfer configuration. Film is 1x1; the whole load is
+        # spp samples through the regen lane pool.
+        grid = 64
+        metric = "atmosphere64_spectral_distant_mrays_per_s_per_chip"
+    elif scene_kind == "polarized":
+        # stokes(volpath) full-Mueller transport; the stokes wrapper has
+        # AOV outputs (S1..S3) and runs the scan driver — its own metric
+        # is samples/s (no wavefront ray counter on that path)
+        grid = 64
+        metric = "atmosphere64_polarized_msamples_per_s_per_chip"
     else:
         grid = 64
         metric = "atmosphere64_volpath_mrays_per_s_per_chip"
-    d = atmosphere(width=W, height=H, spp=spp, max_depth=12, grid_res=grid)
+    if scene_kind == "spectral":
+        from eradiate_kernel_tpu.core.types import Variant
+        variant = Variant("spectral")
+        spp_d = W * H * spp // 16  # same sample budget at 1x1, 16 passes
+        d = atmosphere(spp=spp_d, max_depth=12, grid_res=grid,
+                       sensor="distant")
+    elif scene_kind == "polarized":
+        from eradiate_kernel_tpu.core.types import Variant
+        variant = Variant("rgb", polarized=True)
+        W = H = 64
+        spp = max(spp // 4, 1)
+        d = atmosphere(width=W, height=H, spp=spp, max_depth=8,
+                       grid_res=grid)
+        d["integrator"] = {"type": "stokes",
+                           "child": {"type": "volpath", "max_depth": 8}}
+    else:
+        d = atmosphere(width=W, height=H, spp=spp, max_depth=12,
+                       grid_res=grid)
     # NEE estimator: residual ratio tracking (the round-4 default) — an
     # UNBIASED estimator for both workloads. Plane-parallel profiles have
     # zero residual, so the walk is the exact closed form (matches the old
@@ -85,7 +116,7 @@ def main():
     d["integrator"]["nee_transmittance"] = nee
     if nee == "quadrature":
         d["integrator"]["nee_quad_points"] = 8
-    scene = load_dict(d)
+    scene = load_dict(d, variant) if variant is not None else load_dict(d)
     # regenerating wavefront: the 512k-sample workload streams through a
     # smaller resident lane pool; terminated paths are harvested and their
     # lanes refilled immediately, so every bounce runs near full occupancy
@@ -96,27 +127,48 @@ def main():
     # shifts the optimum up to 32k lanes
     n_lanes = int(os.environ.get("BENCH_LANES", 32 * 1024))
 
-    fn = jax.jit(integrators.render_wavefront_regen,
-                 static_argnames=("n_lanes", "spp"))
-    # 3 warmup iterations: the first compiles; the next two settle buffer
-    # donation/allocator reuse so the timed loop sees steady-state latency
-    for w in range(3):
-        film, n_rays = fn(scene, n_lanes, jnp.uint32(1000 + w), spp)
-    film.block_until_ready()
+    if scene_kind == "polarized":
+        # scan driver (stokes wrapper carries AOV channels); metric is
+        # sample throughput
+        fn = jax.jit(integrators.render_wavefront,
+                     static_argnames=("n_lanes", "spp"))
+        cfgH, cfgW = scene.config.film_height, scene.config.film_width
+        total = cfgH * cfgW * spp
+        for w in range(2):
+            film = fn(scene, jnp.uint32(0), total, jnp.uint32(1000 + w),
+                      spp)
+        film.block_until_ready()
+        iters = 8
+        t0 = time.perf_counter()
+        for i in range(iters):
+            film = fn(scene, jnp.uint32(0), total, jnp.uint32(i + 1), spp)
+        film.block_until_ready()
+        dt = time.perf_counter() - t0
+        mrays_per_s = iters * total / dt / 1e6  # Msamples/s
+    else:
+        spp_run = (scene.config.spp if scene_kind == "spectral" else spp)
+        fn = jax.jit(integrators.render_wavefront_regen,
+                     static_argnames=("n_lanes", "spp"))
+        # 3 warmup iterations: the first compiles; the next two settle
+        # buffer donation/allocator reuse so the timed loop sees
+        # steady-state latency
+        for w in range(3):
+            film, n_rays = fn(scene, n_lanes, jnp.uint32(1000 + w), spp_run)
+        film.block_until_ready()
 
-    # 8 timed iterations: the hardware relay adds multi-second latency
-    # spikes on early dispatches; shorter loops (4) under-reported by ~20%
-    iters = 8
-    t0 = time.perf_counter()
-    rays_dev = jnp.zeros(())
-    for i in range(iters):
-        film, n_rays = fn(scene, n_lanes, jnp.uint32(i + 1), spp)
-        rays_dev = rays_dev + n_rays  # stays on device: iterations pipeline
-    film.block_until_ready()
-    dt = time.perf_counter() - t0
-    rays = float(rays_dev)
+        # 8 timed iterations: the hardware relay adds multi-second latency
+        # spikes on early dispatches; shorter loops (4) under-reported ~20%
+        iters = 8
+        t0 = time.perf_counter()
+        rays_dev = jnp.zeros(())
+        for i in range(iters):
+            film, n_rays = fn(scene, n_lanes, jnp.uint32(i + 1), spp_run)
+            rays_dev = rays_dev + n_rays  # device-side: iterations pipeline
+        film.block_until_ready()
+        dt = time.perf_counter() - t0
+        rays = float(rays_dev)
 
-    mrays_per_s = rays / dt / 1e6
+        mrays_per_s = rays / dt / 1e6
     baseline_path = os.path.join(os.path.dirname(__file__),
                                  "bench_baseline.json")
     # per-metric baseline dict (a single-record file once let the 3D-variant
@@ -138,7 +190,7 @@ def main():
     print(json.dumps({
         "metric": metric,
         "value": round(mrays_per_s, 3),
-        "unit": "Mrays/s",
+        "unit": "Msamples/s" if scene_kind == "polarized" else "Mrays/s",
         "vs_baseline": round(mrays_per_s / base, 4),
     }))
 

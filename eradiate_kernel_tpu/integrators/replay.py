@@ -153,6 +153,11 @@ def _adjoint_sweep(scene, seed, slog, ct_film, n_lanes, spp):
         except Exception:
             platform = "cpu"
         bounce_kwargs["gate_sites"] = platform != "tpu"
+    import json as _json
+    import os as _os
+    env_kw = _os.environ.get("ERT_REPLAY_KW")  # ablation hook (perf work)
+    if env_kw:
+        bounce_kwargs.update(_json.loads(env_kw))
 
     floats, _idx, _leaves, _treedef, rebuild = _partition(scene)
 
