@@ -61,9 +61,9 @@ def main():
 
     from eradiate_kernel_tpu.core.ray import Ray
     from eradiate_kernel_tpu.ops import accel
-    from eradiate_kernel_tpu.ops.bvh import build_tile_bvh
+    from eradiate_kernel_tpu.ops.bvh import build_tile_bvh, collapse_to_bvh8
     from eradiate_kernel_tpu.ops.pallas_intersect import (
-        intersect_bvh, intersect_tiles)
+        intersect_bvh, intersect_bvh8, intersect_tiles)
 
     # flip the axon relay into its synchronous (fast, honestly-timed)
     # dispatch mode before ANY timing — see scene/build.py load_dict note
@@ -78,9 +78,12 @@ def main():
     tiles = {k: jnp.asarray(v) for k, v in tiles_np.items()}
     tiles["nbox"] = jnp.asarray(nbox)
     tiles["nmeta"] = jnp.asarray(nmeta)
+    cbox, cmeta = collapse_to_bvh8(nbox, nmeta)
+    tiles["cbox"] = jnp.asarray(cbox)
+    tiles["cmeta"] = jnp.asarray(cmeta)
     T = tiles_np["lo"].shape[0]
     print(f"# terrain: {n_tris} tris, {T} tiles, bvh depth {depth}, "
-          f"build {build_ms:.1f} ms")
+          f"{len(cbox)} bvh8 nodes, build {build_ms:.1f} ms")
 
     n_rays = 1 << 20
     results = {}
@@ -88,7 +91,8 @@ def main():
         o, d = make_rays(n_rays, kind)
         ray = Ray.make(jnp.asarray(o), jnp.asarray(d),
                        wavelengths=jnp.zeros((n_rays, 0)))
-        for name, fn in (("bvh", intersect_bvh), ("tiles", intersect_tiles)):
+        for name, fn in (("bvh", intersect_bvh), ("bvh8", intersect_bvh8),
+                         ("tiles", intersect_tiles)):
             run = jax.jit(lambda r, fn=fn: fn(tiles, r)[0])
             t = run(ray)
             t.block_until_ready()   # compile

@@ -147,12 +147,15 @@ def _adjoint_sweep(scene, seed, slog, ct_film, n_lanes, spp):
     # (walk-step gates, per-step remat, platform-dependent block gates).
     bounce_kwargs = dict(bounce_kwargs,
                          **getattr(mod, "_REPLAY_BOUNCE_KWARGS", {}))
-    if bounce_kwargs.get("gate_sites", True) is None:
+    if (bounce_kwargs.get("gate_sites", True) is None
+            or bounce_kwargs.get("gate_walks", True) is None):
         try:
             platform = jax.devices()[0].platform
         except Exception:
             platform = "cpu"
-        bounce_kwargs["gate_sites"] = platform != "tpu"
+        for k in ("gate_sites", "gate_walks"):
+            if bounce_kwargs.get(k, True) is None:
+                bounce_kwargs[k] = platform != "tpu"
     import json as _json
     import os as _os
     env_kw = _os.environ.get("ERT_REPLAY_KW")  # ablation hook (perf work)

@@ -1250,11 +1250,15 @@ def _bounce(scene, s: _VolPathState, *, nee_steps, max_depth, rr_depth,
 _REPLAY_OK = True
 
 # bounce kwargs for the path-replay ADJOINT sweep (integrators/replay.py):
-# reverse-differentiable (scan) walks with per-step remat, walk-step gates
-# on (they skip converged steps), bounce-level gates platform-dependent
-# like the fwd driver (None -> off on TPU: always-taken cond transposes
-# only add relayout copies there)
-_REPLAY_BOUNCE_KWARGS = {"gate_sites": None, "gate_walks": True,
+# reverse-differentiable (scan) walks with per-step remat. Gates are
+# platform-dependent (None -> off on TPU, on on CPU): measured on the
+# chip (r5 ablation, flagship spp=16), walk-step gates made the adjoint
+# 4.3x SLOWER (1891 ms vs 444 ms) — the cond transposes relayout the
+# whole lane state per step, far above the dead-step vector work they
+# skip — and bounce-level gates were worse still (2445 ms). Per-step
+# remat stays on: with ungated walks it halves the sweep again (444 vs
+# 880 ms) by dropping the stacked per-step interior residuals.
+_REPLAY_BOUNCE_KWARGS = {"gate_sites": None, "gate_walks": None,
                          "remat_walks": True}
 
 # extra bounce kwargs the regenerating (primal-only, while_loop) driver

@@ -192,3 +192,79 @@ def _choose_split(lo, hi, cent, force_median=False):
             + (n - ks) * area(suf_lo[ks], suf_hi[ks]))
     split = int(ks[np.argmin(cost)])
     return order, split
+
+
+# =============================================================================
+# BVH8: 8-wide nodes for the vectorized traversal kernel (round 5)
+# =============================================================================
+
+def collapse_to_bvh8(nbox, nmeta):
+    """Collapse the binary tile BVH into 8-wide nodes.
+
+    The binary kernel's per-node cost is dominated by SCALAR work (SMEM
+    stack ops, per-field metadata reductions) around a (1, B) slab test
+    that uses one sublane of the 8x128 VPU. An 8-wide node tests all 8
+    children in the SAME number of vector instructions ((8, B) operands,
+    children on the sublane axis) and amortizes the scalar node overhead
+    8x (cf. kdtree.h:2068-2301 per-ray traversal; Ylitie et al. 2017
+    wide-BVH collapse, re-derived for the block-traversal model).
+
+    Collapse: starting from the binary root, repeatedly expand the
+    largest-surface-area inner member of the child set until 8 slots are
+    used or only leaves remain; inner members become child BVH8 nodes.
+
+    Returns (cbox (N8, 8, 8) f32, cmeta (N8, 8, 4) i32):
+      cbox[n, j] = [lo.xyz, hi.xyz, 0, 0] of child j (empty slots get an
+                   inverted box that can never be hit)
+      cmeta[n, j] = [child_node, tile, inst, 0]; child_node >= 0 marks an
+                    inner child, else tile >= 0 marks a leaf; both -1 =
+                    empty slot.
+    """
+    nbox = np.asarray(nbox).reshape(-1, 8)
+    nmeta = np.asarray(nmeta)
+
+    def area(b):
+        d = np.maximum(b[3:6] - b[0:3], 0.0)
+        return d[0] * d[1] + d[1] * d[2] + d[2] * d[0]
+
+    out_box = []
+    out_meta = []
+    # queue of (bvh8 node id, binary node id)
+    out_box.append(np.zeros((8, 8), np.float32))
+    out_meta.append(np.full((8, 4), -1, np.int32))
+    work = [(0, 0)]
+    while work:
+        nid, b_root = work.pop()
+        # grow the member set: expand largest-area inner node
+        members = [b_root]
+        while len(members) < 8:
+            best, best_a = -1, -1.0
+            for i, m in enumerate(members):
+                if nmeta[m, 2] < 0:  # inner
+                    a = area(nbox[m])
+                    if a > best_a:
+                        best, best_a = i, a
+            if best < 0:
+                break
+            m = members.pop(best)
+            members.append(int(nmeta[m, 0]))
+            members.append(int(nmeta[m, 1]))
+        box = np.zeros((8, 8), np.float32)
+        box[:, 0:3] = 1e30   # inverted: empty slots never hit
+        box[:, 3:6] = -1e30
+        meta = np.full((8, 4), -1, np.int32)
+        for j, m in enumerate(members):
+            box[j, 0:6] = nbox[m, 0:6]
+            if nmeta[m, 2] >= 0:  # binary leaf
+                meta[j, 1] = nmeta[m, 2]
+                meta[j, 2] = nmeta[m, 3]
+            else:
+                child_id = len(out_box)
+                out_box.append(np.zeros((8, 8), np.float32))
+                out_meta.append(np.full((8, 4), -1, np.int32))
+                meta[j, 0] = child_id
+                work.append((child_id, m))
+        out_box[nid] = box
+        out_meta[nid] = meta
+    return (np.stack(out_box).astype(np.float32),
+            np.stack(out_meta).astype(np.int32))

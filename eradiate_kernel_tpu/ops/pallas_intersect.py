@@ -628,3 +628,253 @@ def intersect_tiles(tiles, ray, interpret=False):
     if unsort is not None:
         return t[unsort], uv[unsort], prim_o[unsort], shape_o[unsort]
     return t[:n], uv[:n], prim_o[:n], shape_o[:n]
+
+
+# =============================================================================
+# BVH8: 8-wide node traversal (round 5 — VERDICT r4 weak #2)
+# =============================================================================
+#
+# The binary kernel pays its way in SCALAR work: per inner node, SMEM
+# stack pops/pushes, four single-element metadata reductions, and a while
+# iteration wrap a slab test that occupies ONE sublane of the 8x128 VPU.
+# The 8-wide node tests all 8 children in the same number of vector
+# instructions — child boxes live on the sublane axis, rays on the lane
+# axis, so every op is a native (8, B) tile — and skips two binary levels
+# per visit. Leaf and inner children share one stack via an encoded entry
+# (inner: node id >= 0; leaf: -((tile << 12) | (inst + 1)) - 1), so each
+# loop iteration still runs exactly one branch.
+
+_LEAF_INST_BITS = 12  # inst+1 in the low bits; tile above
+
+
+def _bvh8_kernel(rays_ref, rays_t_ref, cbox_ref, cmeta_ref, xf_ref, base_ref,
+                 tris_ref, prim_ref, shape_ref,
+                 t_ref, uv_ref, prim_out_ref, shape_out_ref, stack_ref):
+    ox = rays_ref[:, 0:1]        # (B, 1)
+    oy = rays_ref[:, 1:2]
+    oz = rays_ref[:, 2:3]
+    dx = rays_ref[:, 3:4]
+    dy = rays_ref[:, 4:5]
+    dz = rays_ref[:, 5:6]
+    mint = rays_ref[:, 6:7]
+    maxt = rays_ref[:, 7:8]
+    B = ox.shape[0]
+
+    oxt = rays_t_ref[0:1, :]     # (1, B) lanes-major for traversal math
+    oyt = rays_t_ref[1:2, :]
+    ozt = rays_t_ref[2:3, :]
+    dxt = rays_t_ref[3:4, :]
+    dyt = rays_t_ref[4:5, :]
+    dzt = rays_t_ref[5:6, :]
+    mintt = rays_t_ref[6:7, :]
+    maxtt = rays_t_ref[7:8, :]
+
+    def rcp(d):
+        ad = jnp.abs(d)
+        s = jnp.where(d < 0, -1.0, 1.0)
+        return s / jnp.maximum(ad, 1e-30)
+
+    ix, iy, iz = rcp(dxt), rcp(dyt), rcp(dzt)
+
+    stack_ref[0] = 0  # root (inner encoding)
+
+    def cond(carry):
+        return carry[0] > 0
+
+    def body(carry):
+        sp, bt_ub, best_t, best_u, best_v, best_prim, best_shape = carry
+        sp = sp - 1
+        enc = stack_ref[sp]
+        is_leaf = enc < 0
+
+        def do_leaf(c):
+            code = -enc - 1
+            tile = code >> _LEAF_INST_BITS
+            k = code & ((1 << _LEAF_INST_BITS) - 1)  # inst + 1; 0 = identity
+            m00 = xf_ref[k, 0]
+            m01 = xf_ref[k, 1]
+            m02 = xf_ref[k, 2]
+            m03 = xf_ref[k, 3]
+            m10 = xf_ref[k, 4]
+            m11 = xf_ref[k, 5]
+            m12 = xf_ref[k, 6]
+            m13 = xf_ref[k, 7]
+            m20 = xf_ref[k, 8]
+            m21 = xf_ref[k, 9]
+            m22 = xf_ref[k, 10]
+            m23 = xf_ref[k, 11]
+            lox = m00 * ox + m01 * oy + m02 * oz + m03
+            loy = m10 * ox + m11 * oy + m12 * oz + m13
+            loz = m20 * ox + m21 * oy + m22 * oz + m23
+            ldx = m00 * dx + m01 * dy + m02 * dz
+            ldy = m10 * dx + m11 * dy + m12 * dz
+            ldz = m20 * dx + m21 * dy + m22 * dz
+            rays_l = (lox, loy, loz, ldx, ldy, ldz, mint, maxt)
+            out = _intersect_tile(tile, rays_l, tris_ref, prim_ref,
+                                  shape_ref, c[1:], shape_off=base_ref[k])
+            return (jnp.max(out[0]),) + out, sp
+
+        def do_inner(c):
+            node = enc
+            box8 = cbox_ref[node]                  # (8, 8)
+            # all 8 child slab tests as (8, B) tiles
+            t0x = (box8[:, 0:1] - oxt) * ix
+            t1x = (box8[:, 3:4] - oxt) * ix
+            t0y = (box8[:, 1:2] - oyt) * iy
+            t1y = (box8[:, 4:5] - oyt) * iy
+            t0z = (box8[:, 2:3] - ozt) * iz
+            t1z = (box8[:, 5:6] - ozt) * iz
+            near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                           jnp.minimum(t0y, t1y)),
+                               jnp.maximum(jnp.minimum(t0z, t1z), mintt))
+            far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                          jnp.maximum(t0y, t1y)),
+                              jnp.minimum(jnp.maximum(t0z, t1z),
+                                          jnp.minimum(maxtt, c[0])))
+            okm = near <= far                      # (8, B)
+            hit8 = jnp.any(okm, axis=1, keepdims=True)      # (8, 1)
+            near8 = jnp.min(jnp.where(okm, near, jnp.inf),
+                            axis=1, keepdims=True)           # (8, 1)
+
+            meta8 = cmeta_ref[node]                # (8, 4) i32
+            cid = meta8[:, 0:1]
+            tile8 = meta8[:, 1:2]
+            inst8 = meta8[:, 2:3]
+            valid = (cid >= 0) | (tile8 >= 0)
+            hit8 = hit8 & valid
+            enc8 = jnp.where(
+                cid >= 0, cid,
+                -((tile8 << _LEAF_INST_BITS) | (inst8 + 1)) - 1)  # (8, 1)
+
+            # push far-to-near so the nearest child pops first: 8 scalar
+            # selection steps over the (8, 1) near values
+            sp_cur = sp
+            remaining = hit8
+            sub = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+            for _ in range(8):
+                nv = jnp.where(remaining, near8, -jnp.inf)
+                # pick the child with the LARGEST near among remaining
+                mx = jnp.max(nv)
+                pick = remaining & (nv >= mx)
+                # break ties: highest sublane index
+                jstar = jnp.max(jnp.where(pick, sub, -1))
+                any_left = jstar >= 0
+                onehot = sub == jstar
+                # INT32_MIN+1 fill: leaf encodings reach below -(2^30)
+                e = jnp.max(jnp.where(onehot, enc8,
+                                      jnp.int32(-2147483647)))
+
+                @pl.when(any_left)
+                def _(sp_cur=sp_cur, e=e):
+                    stack_ref[sp_cur] = e
+
+                sp_cur = sp_cur + any_left.astype(jnp.int32)
+                remaining = remaining & ~onehot
+            return c, sp_cur
+
+        carry5 = (bt_ub, best_t, best_u, best_v, best_prim, best_shape)
+        best, sp = jax.lax.cond(is_leaf, do_leaf, do_inner, carry5)
+        return (sp,) + best
+
+    init = (jnp.int32(1), jnp.max(maxtt), maxt,
+            jnp.zeros((B, 1), jnp.float32),
+            jnp.zeros((B, 1), jnp.float32),
+            jnp.zeros((B, 1), jnp.int32), jnp.full((B, 1), -1, jnp.int32))
+    (_, _, best_t, best_u, best_v, best_prim,
+     best_shape) = jax.lax.while_loop(cond, body, init)
+
+    no_hit = best_t >= maxt
+    t_ref[:, :] = jnp.where(no_hit, jnp.inf, best_t)
+    uv_ref[:, 0:1] = best_u
+    uv_ref[:, 1:2] = best_v
+    prim_out_ref[:, :] = best_prim
+    shape_out_ref[:, :] = jnp.where(no_hit, -1, best_shape)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _run_bvh8(rays, cbox, cmeta, xf, sbase, tris, prim, shape,
+              interpret=False):
+    n = rays.shape[0]
+    T = tris.shape[0]
+    N8 = cbox.shape[0]
+    I1 = xf.shape[0]
+    grid = (n // RAY_BLOCK,)
+    rays_t = rays.T
+
+    t, uv, prim_o, shape_o = pl.pallas_call(
+        _bvh8_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((RAY_BLOCK, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N8, 8, 8), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N8, 8, 4), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((I1, 12), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((I1,), lambda i: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((T, 9, TILE_K), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 1, TILE_K), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 1, TILE_K), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 2), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.SMEM((STACK_SIZE,), jnp.int32)],
+        interpret=interpret,
+    )(rays, rays_t, cbox, cmeta, xf, sbase, tris, prim, shape)
+    return t[:, 0], uv, prim_o[:, 0], shape_o[:, 0]
+
+
+def intersect_bvh8(tiles, ray, interpret=False):
+    """Closest-hit query through the 8-wide tile BVH ('cbox'/'cmeta' from
+    ops.bvh.collapse_to_bvh8). Same contract as intersect_bvh."""
+    n = ray.o.shape[0]
+    n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
+    pad = n_pad - n
+
+    rays = jnp.stack([
+        ray.o[..., 0], ray.o[..., 1], ray.o[..., 2],
+        ray.d[..., 0], ray.d[..., 1], ray.d[..., 2],
+        jnp.broadcast_to(ray.mint, (n,)),
+        jnp.broadcast_to(ray.maxt, (n,))], axis=-1)   # (N, 8)
+    root = tiles["cbox"][0]
+    rays, unsort = _maybe_sorted(rays, root[:, 0:3].min(0),
+                                 root[:, 3:6].max(0))
+    if pad:
+        filler = jnp.zeros((pad, 8), rays.dtype).at[:, 5].set(1.0)
+        rays = jnp.concatenate([rays, filler], axis=0)
+
+    tris, prim, shape = _device_layout(tiles)
+    xf = tiles.get("xf")
+    if xf is None:
+        xf = _identity_xf()
+        sbase = jnp.zeros((1,), jnp.int32)
+    else:
+        sbase = tiles["sbase"]
+    t, uv, prim_o, shape_o = _run_bvh8(rays, tiles["cbox"], tiles["cmeta"],
+                                       xf, sbase, tris, prim, shape,
+                                       interpret=interpret)
+    if unsort is not None:
+        return t[unsort], uv[unsort], prim_o[unsort], shape_o[unsort]
+    return t[:n], uv[:n], prim_o[:n], shape_o[:n]

@@ -104,6 +104,8 @@ class Geometry:
     tiles_hi: jnp.ndarray      # (T, 3)
     bvh_box: jnp.ndarray       # (2T-1, 1, 8) f32 node AABBs (ops/bvh.py)
     bvh_meta: jnp.ndarray      # (2T-1, 4) i32 [left, right, tile, inst]
+    bvh8_box: jnp.ndarray = _dfield((0, 8, 8))   # (N8, 8, 8) wide nodes
+    bvh8_meta: jnp.ndarray = _dfield((0, 8, 4), True)  # [child, tile, inst, 0]
     tiles_xf: jnp.ndarray = _dc.field(default_factory=lambda: jnp.asarray(
         [[1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0]],
         jnp.float32))                             # (I+1, 12) w2l affine rows
@@ -473,10 +475,12 @@ def _accel_mode(geo: Geometry) -> str:
     mode = os.environ.get("ERT_ACCEL", "auto")
     if mode == "naive" or not geo.has_tiles:
         return "naive"
-    if mode in ("tiles", "bvh"):
-        # instanced leaves only exist in the BVH (nmeta inst column); the
+    if mode in ("tiles", "bvh", "bvh8"):
+        # instanced leaves only exist in the BVHs (meta inst column); the
         # flat sweep would hit group tiles without their transforms
         if geo.n_instances > 0 and mode == "tiles":
+            return "bvh"
+        if mode == "bvh8" and geo.bvh8_box.shape[0] == 0:
             return "bvh"
         return mode
     try:
@@ -495,6 +499,9 @@ def _accel_mode(geo: Geometry) -> str:
         big = geo.tiles_v0.shape[0] > 2048
         if geo.n_instances == 0 and not big:
             return "tiles"
+        if geo.bvh8_box.shape[0] > 0 \
+                and os.environ.get("ERT_BVH_WIDE", "1") != "0":
+            return "bvh8"
         return "bvh" if geo.bvh_box.shape[0] > 0 else "tiles"
     return "naive"
 
@@ -522,13 +529,16 @@ def ray_intersect_preliminary(geo: Geometry, ray: Ray) -> PreliminaryIntersectio
         if mode != "naive":
             import os
 
-            from ..ops.pallas_intersect import intersect_bvh, intersect_tiles
+            from ..ops.pallas_intersect import (intersect_bvh,
+                                                intersect_bvh8,
+                                                intersect_tiles)
 
             tiles = {"v0": geo.tiles_v0, "e1": geo.tiles_e1,
                      "e2": geo.tiles_e2, "prim": geo.tiles_prim,
                      "shape": geo.tiles_shape, "lo": geo.tiles_lo,
                      "hi": geo.tiles_hi, "nbox": geo.bvh_box,
-                     "nmeta": geo.bvh_meta, "xf": geo.tiles_xf,
+                     "nmeta": geo.bvh_meta, "cbox": geo.bvh8_box,
+                     "cmeta": geo.bvh8_meta, "xf": geo.tiles_xf,
                      "sbase": geo.tiles_sbase}
             interp = os.environ.get("ERT_ACCEL_INTERPRET", "") != ""
             flat_shape = batch
@@ -537,7 +547,8 @@ def ray_intersect_preliminary(geo: Geometry, ray: Ray) -> PreliminaryIntersectio
             # zero-size trailing axes (rgb rays carry (N, 0) wavelengths)
             ray_flat = jax.tree_util.tree_map(
                 lambda a: a.reshape((flat_n,) + a.shape[len(batch):]), ray)
-            fn = intersect_bvh if mode == "bvh" else intersect_tiles
+            fn = {"bvh": intersect_bvh, "bvh8": intersect_bvh8,
+                  "tiles": intersect_tiles}[mode]
             tt, tuv, tprim, tshape = fn(tiles, ray_flat, interpret=interp)
             merge((tt.reshape(flat_shape), tuv.reshape(flat_shape + (2,)),
                    tprim.reshape(flat_shape), tshape.reshape(flat_shape)))

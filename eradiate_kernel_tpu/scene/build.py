@@ -701,7 +701,7 @@ class SceneBuilder:
         have_inst = bool(self.instances)
         if len(F) > 0 or have_inst:
             from ..ops import accel as _accel
-            from ..ops.bvh import build_tile_bvh
+            from ..ops.bvh import build_tile_bvh, collapse_to_bvh8
 
             parts = []
             leaf_lo, leaf_hi, leaf_tile, leaf_inst = [], [], [], []
@@ -751,6 +751,15 @@ class SceneBuilder:
             _nbox, _nmeta, _depth = build_tile_bvh(
                 np.concatenate(leaf_lo), np.concatenate(leaf_hi),
                 np.concatenate(leaf_tile), np.concatenate(leaf_inst))
+            # BVH8 leaf encoding packs (tile << 12) | (inst + 1) into one
+            # i32 stack entry: guard its ranges (beyond them the binary
+            # kernel remains available)
+            _n_tiles_all = sum(len(t) for t in leaf_tile)
+            if _n_tiles_all < (1 << 18) and len(self.instances) < 4095:
+                _c8box, _c8meta = collapse_to_bvh8(_nbox, _nmeta)
+            else:
+                _c8box = np.zeros((0, 8, 8), np.float32)
+                _c8meta = np.zeros((0, 8, 4), np.int32)
             xf_rows = [np.asarray(
                 [1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0], np.float32)]
             sbase = [0]
@@ -768,6 +777,8 @@ class SceneBuilder:
                 tiles_hi=jnp.asarray(tiles_cat["hi"]),
                 bvh_box=jnp.asarray(_nbox),
                 bvh_meta=jnp.asarray(_nmeta),
+                bvh8_box=jnp.asarray(_c8box),
+                bvh8_meta=jnp.asarray(_c8meta),
                 tiles_xf=jnp.asarray(np.stack(xf_rows)),
                 tiles_sbase=jnp.asarray(np.asarray(sbase, np.int32)))
         else:

@@ -140,21 +140,26 @@ def test_native_bvh_builder_bitexact():
 
 
 def _bvh_tiles(verts, faces):
-    from eradiate_kernel_tpu.ops.bvh import build_tile_bvh
+    from eradiate_kernel_tpu.ops.bvh import build_tile_bvh, collapse_to_bvh8
 
     tiles_np = accel.pack_tiles(verts, None, faces,
                                 np.zeros(len(faces), np.int32))
     nbox, nmeta, _ = build_tile_bvh(tiles_np["lo"], tiles_np["hi"])
+    cbox, cmeta = collapse_to_bvh8(nbox, nmeta)
     tiles = {k: jnp.asarray(v) for k, v in tiles_np.items()}
     tiles["nbox"] = jnp.asarray(nbox)
     tiles["nmeta"] = jnp.asarray(nmeta)
+    tiles["cbox"] = jnp.asarray(cbox)
+    tiles["cmeta"] = jnp.asarray(cmeta)
     return tiles
 
 
+@pytest.mark.parametrize("wide", [False, True])
 @pytest.mark.parametrize("nfaces", [100, 1500])
-def test_bvh_kernel_matches_bruteforce(nfaces):
+def test_bvh_kernel_matches_bruteforce(nfaces, wide):
     from eradiate_kernel_tpu.core.ray import Ray
-    from eradiate_kernel_tpu.ops.pallas_intersect import intersect_bvh
+    from eradiate_kernel_tpu.ops.pallas_intersect import (intersect_bvh,
+                                                          intersect_bvh8)
     from eradiate_kernel_tpu.render.geometry import moller_trumbore
 
     verts, faces = soup(nfaces, seed=1)
@@ -174,7 +179,8 @@ def test_bvh_kernel_matches_bruteforce(nfaces):
     ray = Ray.make(jnp.asarray(o), jnp.asarray(d),
                    wavelengths=jnp.zeros((N, 0)), maxt=jnp.asarray(maxt))
 
-    t, uv, prim, shape = intersect_bvh(tiles, ray, interpret=True)
+    fn = intersect_bvh8 if wide else intersect_bvh
+    t, uv, prim, shape = fn(tiles, ray, interpret=True)
 
     v0 = verts[faces[:, 0]]
     v1 = verts[faces[:, 1]]
