@@ -701,3 +701,64 @@ def test_profile_flight_volpathmis_3d_consistent():
 if __name__ == "__main__" and "--chromatic-subprocess" in __import__("sys").argv:
     _chromatic_absorption_body()
     print("chromatic subprocess ok")
+
+
+@pytest.mark.slow
+def test_volpathmis_compile_canary():
+    """Compile-only canary for the XLA CPU segfault (ISSUES.md): the
+    production-size volpathmis program (max_depth=24) must lower+compile
+    cleanly in a fresh process. The long-session crash depends on
+    accumulated in-process compiler state; this canary turns a future
+    fresh-process regression (e.g. after an XLA upgrade) into a loud
+    failure instead of a lurking deployment risk."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=root + os.pathsep + os.environ.get("PYTHONPATH", ""),
+               XLA_FLAGS=os.environ.get("XLA_FLAGS", "")
+               + " --xla_force_host_platform_device_count=8")
+    r = subprocess.run(
+        [sys.executable, __file__, "--compile-canary"],
+        capture_output=True, text=True, timeout=900, env=env)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+
+
+def _compile_canary_body():
+    import jax
+    import jax.numpy as jnp
+
+    from eradiate_kernel_tpu import sensors
+    from eradiate_kernel_tpu.core.rng import Sampler
+    from eradiate_kernel_tpu.integrators import volpathmis as vpm
+
+    scene = load_dict({
+        "type": "scene",
+        "integrator": {"type": "volpathmis", "max_depth": 24},
+        "sensor": {"type": "radiancemeter",
+                   "to_world": {"type": "look_at", "origin": [0, 0, -3],
+                                "target": [0, 0, 1], "up": [0, 1, 0]},
+                   "film": {"width": 1, "height": 1,
+                            "rfilter": {"type": "box"}},
+                   "sampler": {"sample_count": 64}},
+        "slab": {"type": "cube", "bsdf": {"type": "null"},
+                 "interior": {"type": "homogeneous",
+                              "sigma_t": {"type": "rgb",
+                                          "value": [0.2, 1.0, 3.0]},
+                              "albedo": 0.3}},
+        "env": {"type": "constant", "radiance": 1.0},
+    })
+    n = 1 << 17
+    smp = Sampler.seed(5, jnp.arange(n, dtype=jnp.uint32))
+    smp, _ = smp.next_2d()
+    ray, _w, smp = sensors.sample_ray(scene, smp, jnp.full((n, 2), 0.5),
+                                      jnp.zeros(n))
+    # compile-only: the canary is about backend_compile_and_load surviving
+    jax.jit(vpm.sample).lower(scene, smp, ray).compile()
+
+
+if __name__ == "__main__" and "--compile-canary" in __import__("sys").argv:
+    _compile_canary_body()
+    print("compile canary ok")
