@@ -499,8 +499,12 @@ def _accel_mode(geo: Geometry) -> str:
         big = geo.tiles_v0.shape[0] > 2048
         if geo.n_instances == 0 and not big:
             return "tiles"
+        # BVH8 measured SLOWER than the binary kernel on v5e (2.59 vs
+        # 3.22 Mrays/s primary, 130k-tri terrain): its per-node ordering
+        # selection re-spends on the scalar core what the (8, B) wide
+        # slab test saves on the VPU. Kept opt-in for future hardware.
         if geo.bvh8_box.shape[0] > 0 \
-                and os.environ.get("ERT_BVH_WIDE", "1") != "0":
+                and os.environ.get("ERT_BVH_WIDE", "0") == "1":
             return "bvh8"
         return "bvh" if geo.bvh_box.shape[0] > 0 else "tiles"
     return "naive"
