@@ -187,12 +187,42 @@ def main():
                 and not os.environ.get("BENCH_SIZE")):
             data[metric] = {"value": base, "note": "first recorded run (v5e)"}
             json.dump(data, open(baseline_path, "w"), indent=1)
-    print(json.dumps({
+    rec = {
         "metric": metric,
         "value": round(mrays_per_s, 3),
         "unit": "Msamples/s" if scene_kind == "polarized" else "Mrays/s",
         "vs_baseline": round(mrays_per_s / base, 4),
-    }))
+    }
+    if scene_kind != "polarized":
+        # HBM-utilization lower bound (VERDICT r4 item 4): the loop carry
+        # must stream >= carry r+w per iteration; measured iterations from
+        # one ERT_REGEN_STATS run. XLA's static cost analysis counts while
+        # bodies ONCE (verified), so this model-x-measurement bound is the
+        # honest option without hardware counters. A LOW percentage means
+        # the workload is fusion-dispatch-bound, not bandwidth-bound.
+        try:
+            os.environ["ERT_REGEN_STATS"] = "1"
+            # fresh lambda: jit caches on the underlying function object,
+            # and the env flag is read at trace time
+            fn_s = jax.jit(lambda sc, seed: integrators
+                           .render_wavefront_regen(sc, n_lanes, seed,
+                                                   spp_run))
+            _f, _r, it_count = fn_s(scene, jnp.uint32(1))
+            loop_iters = float(it_count)
+            traffic = integrators.regen_iter_traffic_nbytes(
+                scene, n_lanes, spp_run)
+            secs_per_call = dt / iters  # iters = timed calls above
+            gbps = traffic * loop_iters / secs_per_call / 1e9
+            rec["pct_peak_hbm_lb"] = round(100.0 * gbps / 819.0, 1)
+            rec["iter_traffic_mb"] = round(traffic / 1e6, 1)
+            rec["loop_iters"] = int(loop_iters)
+        except Exception as e:
+            if os.environ.get("BENCH_DEBUG"):
+                import traceback
+                traceback.print_exc()
+        finally:
+            os.environ.pop("ERT_REGEN_STATS", None)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -176,8 +176,10 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
     spiral-block queue (integrator.cpp:99-139) and the gpu wavefront's
     ``none(active)`` early-outs both keep cores busy; a fixed-trip masked
     scan does not (SURVEY 5.7: "compaction + refill from a queue"). Runs as
-    a ``lax.while_loop`` so it is primal-only; differentiable renders use
-    ``render_wavefront``'s fixed-trip scan instead.
+    a ``lax.while_loop``, so this function itself is not reverse-
+    differentiable — gradient renders go through the path-replay
+    ``custom_vjp`` wrapper (integrators/replay.py), whose backward replays
+    this driver's schedule; ``render(regen=True)`` routes there.
 
     Harvesting: with a <=0.5-radius filter (the imageblock.cpp single-pixel
     fast path) each sample lands in exactly one pixel, so the film never
@@ -505,6 +507,46 @@ def render_wavefront_regen(scene, n_lanes, seed, spp, sample_offset=0,
         # perf diagnostics: (film, rays) -> (film, rays, loop iterations)
         return image_f, rays_f, final[9]
     return image_f, rays_f
+
+
+def regen_iter_traffic_nbytes(scene, n_lanes, spp) -> int:
+    """Modeled per-iteration memory traffic of the regen while loop (lane
+    state read+write plus the log-append write) — the model behind
+    bench.py's HBM-utilization lower bound. Computed from eval_shape
+    avals; no device work."""
+    import math
+
+    cfg = scene.config
+    mod = REGISTRY[cfg.integrator.kind]
+    bmod = mod._regen_module(cfg) if hasattr(mod, "_regen_module") else mod
+    H, W = cfg.film_height, cfg.film_width
+    cw, ch = cfg.crop_size if cfg.crop_size else (W, H)
+    total = ch * cw * spp
+    n_buf = (-(-total // spp) + 1) * spp
+    n_log = n_buf + n_lanes
+
+    def f():
+        lane = jnp.zeros(n_lanes, jnp.uint32)
+        smp = Sampler.seed(jnp.uint32(0), lane, kind=cfg.sampler_kind,
+                           spp=spp)
+        smp, _ = smp.next_2d()
+        ray, rw, smp = sensors.sample_ray(
+            scene, smp, jnp.zeros((n_lanes, 2)), jnp.zeros(n_lanes))
+        return bmod._init_state(scene, smp, ray, jnp.zeros(n_lanes, bool))
+
+    avals = jax.eval_shape(f)
+    vp_bytes = sum(math.prod(a.shape) * a.dtype.itemsize
+                   for a in jax.tree_util.tree_leaves(avals))
+    nc = avals.result.shape[-1]
+    extra = n_aov(cfg)
+    # pos/rw/occupied/its/lane_sample + misc scalars (~4B each per lane)
+    misc = n_lanes * (2 + nc + 1 + 1 + 1) * 4
+    # the sample log is NOT part of the per-iteration stream: its
+    # dynamic_update_slice appends alias in place (only ~n_lanes rows are
+    # written per iteration), so the per-iteration traffic model is
+    # lane-state read+write plus the append write
+    append_bytes = n_lanes * (3 + extra + 1) * 4
+    return int(vp_bytes + misc) * 2 + append_bytes
 
 
 def regen_supported(cfg) -> bool:

@@ -161,6 +161,14 @@ def _adjoint_sweep(scene, seed, slog, ct_film, n_lanes, spp):
     env_kw = _os.environ.get("ERT_REPLAY_KW")  # ablation hook (perf work)
     if env_kw:
         bounce_kwargs.update(_json.loads(env_kw))
+    # The sweep's lane count is independent of the forward's: trajectories
+    # are keyed per SAMPLE (fresh_lanes seeds by sample index), so the
+    # adjoint may pick a larger pool to amortize its higher per-iteration
+    # fixed cost over fewer iterations. Tunable via the integrator extra
+    # 'replay_lanes' or ERT_REPLAY_LANES.
+    extra_cfg = dict(cfg.integrator.extra)
+    n_lanes = int(_os.environ.get("ERT_REPLAY_LANES",
+                                  extra_cfg.get("replay_lanes", n_lanes)))
 
     floats, _idx, _leaves, _treedef, rebuild = _partition(scene)
 
