@@ -1277,8 +1277,11 @@ def _knobs(scene):
     extra = dict(cfg.extra)
     max_iterations = int(extra.get("max_iterations", cfg.max_depth + 8))
     nee_steps = int(extra.get("nee_steps", 8))
-    return max_iterations, dict(nee_steps=nee_steps, max_depth=cfg.max_depth,
-                                rr_depth=cfg.rr_depth)
+    kw = dict(nee_steps=nee_steps, max_depth=cfg.max_depth,
+              rr_depth=cfg.rr_depth)
+    if "gate_sites" in extra:  # scan-driver gate override (perf knob)
+        kw["gate_sites"] = bool(extra["gate_sites"])
+    return max_iterations, kw
 
 
 def _init_state(scene, sampler: Sampler, ray: Ray, active=None,
