@@ -183,7 +183,7 @@ def test_volpathmis_chromatic_absorption_unbiased():
                + " --xla_force_host_platform_device_count=8")
     r = subprocess.run(
         [sys.executable, __file__, "--chromatic-subprocess"],
-        capture_output=True, text=True, timeout=900, env=env)
+        capture_output=True, text=True, timeout=1800, env=env)
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
 
 
@@ -722,7 +722,7 @@ def test_volpathmis_compile_canary():
                + " --xla_force_host_platform_device_count=8")
     r = subprocess.run(
         [sys.executable, __file__, "--compile-canary"],
-        capture_output=True, text=True, timeout=900, env=env)
+        capture_output=True, text=True, timeout=1800, env=env)
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
 
 
