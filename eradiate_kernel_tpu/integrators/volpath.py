@@ -221,7 +221,150 @@ class _WalkState:
     n_rays: jnp.ndarray  # () f32 — rays traced (bench accounting)
 
 
-def _run_walk(body, state, nee_steps, use_while, remat=False):
+def _zero_walk_ct(tree):
+    """Cotangent pytree of zeros matching ``tree`` (float0 for ints)."""
+    import numpy as _np
+
+    def z(x):
+        if jnp.issubdtype(x.dtype, jnp.inexact):
+            return jnp.zeros(x.shape, x.dtype)
+        return _np.zeros(x.shape, jax.dtypes.float0)
+    return jax.tree_util.tree_map(z, tree)
+
+
+def _run_walk_prb(body, state, nee_steps, mult_fields, pass_fields):
+    """PRB-style walk execution: an early-exiting while_loop wrapped in a
+    custom_vjp whose backward REPLAYS the walk forward with per-step local
+    vjps instead of transposing a fixed-trip scan.
+
+    The walk's value state factorizes like the path itself: the declared
+    ``mult_fields`` (transmittance) are component-wise multiplicative
+    chains, so ct(F_s) = ct(F_final) * F_final / F_s at every step, and
+    ``pass_fields`` (the direct walk's emitter_val, written once from the
+    running transmittance) carry their final cotangent unchanged. With
+    those analytic state cotangents, one jax.vjp per *executed* step
+    (walks converge in 1-3 of nee_steps) yields exactly the scan
+    transpose's theta-gradients for value-class parameters — the same
+    argument as integrators/replay.py, one level down. Traced closure
+    constants (scene arrays, the emitter sample) become explicit
+    custom_vjp inputs via jax.closure_convert, so their cotangents flow
+    back into the enclosing bounce transpose.
+
+    Used by the path-replay adjoint sweep (prb_walks bounce kwarg); the
+    measured motivation: the adjoint's ungated scan walks pay
+    nee_steps full-wavefront steps forward + remat recompute + transpose,
+    while this pays ~2x the while-walk's executed steps."""
+    dim0 = state.sampler.dim
+    # Manual closure conversion hoisting ALL captured constants (not
+    # jax.closure_convert, which hoists only *perturbed* floats: integer
+    # captures — shape tables, faces — stay baked into the jaxpr, and
+    # when the whole render is itself nested under an outer jit/grad
+    # those are tracers, which the cond lowering rejects with "No
+    # constant handler for DynamicJaxprTracer").
+    flat_in, in_tree = jax.tree_util.tree_flatten((state,))
+    out_tree_box = []
+
+    def _fflat(*flat):
+        st = jax.tree_util.tree_unflatten(in_tree, flat)[0]
+        out = body(st)
+        out_flat, out_tree = jax.tree_util.tree_flatten(out)
+        out_tree_box.append(out_tree)
+        return out_flat
+
+    closed = jax.make_jaxpr(_fflat)(*flat_in)
+    consts = tuple(closed.consts)
+    out_tree = out_tree_box[0]
+
+    def conv(st, *cs):
+        flat = jax.tree_util.tree_flatten((st,))[0]
+        out_flat = jax.core.eval_jaxpr(closed.jaxpr, list(cs), *flat)
+        return jax.tree_util.tree_unflatten(out_tree, out_flat)
+
+    @jax.custom_vjp
+    def walk(state, *consts):
+        def w_cond(carry):
+            s, k = carry
+            return jnp.any(s.active) & (k < nee_steps)
+
+        def w_body(carry):
+            s, k = carry
+            return match_dtypes(conv(s, *consts), s), k + 1
+
+        final, _k = jax.lax.while_loop(w_cond, w_body,
+                                       (state, jnp.int32(0)))
+        return final
+
+    def fwd(state, *consts):
+        final = walk(state, *consts)
+        return final, (state, consts, final)
+
+    def bwd(res, ct_final):
+        state, consts, final = res
+        ct_mult = {f: getattr(ct_final, f) for f in mult_fields}
+        ct_pass = {f: getattr(ct_final, f) for f in pass_fields}
+        fin_mult = {f: getattr(final, f) for f in mult_fields}
+        g0 = tuple(jnp.zeros(jnp.shape(c), jnp.result_type(c))
+                   if jnp.issubdtype(jnp.result_type(c), jnp.inexact)
+                   else None for c in consts)
+        # None placeholders (int consts) are excluded from the carry
+        g_idx = [i for i, g in enumerate(g0) if g is not None]
+        g_carry0 = tuple(g0[i] for i in g_idx)
+
+        def w_cond(carry):
+            s, k, _g = carry
+            return jnp.any(s.active) & (k < nee_steps)
+
+        def w_body(carry):
+            s, k, g = carry
+            s_next, vjp_fn = jax.vjp(lambda st, *cs: conv(st, *cs),
+                                     s, *consts)
+            ct_step = _zero_walk_ct(s_next)
+            reps = {}
+            for f in mult_fields:
+                nxt = getattr(s_next, f)
+                fin = fin_mult[f]
+                ok = nxt != 0.0
+                reps[f] = jnp.where(ok, ct_mult[f] * fin
+                                    / jnp.where(ok, nxt, 1.0), 0.0)
+            for f in pass_fields:
+                reps[f] = ct_pass[f]
+            ct_step = ct_step.replace(**reps)
+            ct_all = vjp_fn(ct_step)
+            g_new = tuple(g[j] + ct_all[1 + i]
+                          for j, i in enumerate(g_idx))
+            return match_dtypes(s_next, s), k + 1, g_new
+
+        _s_fin, _k, g_fin = jax.lax.while_loop(
+            w_cond, w_body, (state, jnp.int32(0), g_carry0))
+
+        # input-state cotangent: analytic chain rules; everything else 0
+        ct_state = _zero_walk_ct(state)
+        reps = {}
+        for f in mult_fields:
+            s0 = getattr(state, f)
+            ok = s0 != 0.0
+            reps[f] = jnp.where(ok, ct_mult[f] * fin_mult[f]
+                                / jnp.where(ok, s0, 1.0), 0.0)
+        for f in pass_fields:
+            reps[f] = ct_pass[f]
+        ct_state = ct_state.replace(**reps)
+        out = [ct_state]
+        k = 0
+        import numpy as _np
+        for i, c in enumerate(consts):
+            if i in g_idx:
+                out.append(g_fin[g_idx.index(i)])
+            else:
+                out.append(_np.zeros(jnp.shape(c), jax.dtypes.float0))
+        return tuple(out)
+
+    walk.defvjp(fwd, bwd)
+    final = walk(state, *consts)
+    return final.replace(
+        sampler=final.sampler.replace(dim=dim0 + jnp.uint32(nee_steps)))
+
+
+def _run_walk(body, state, nee_steps, use_while, remat=False, prb=False):
     """Run a bounded transmittance walk. ``use_while`` (primal-only paths:
     the regenerating driver) terminates as soon as every lane converges
     instead of always paying ``nee_steps`` full-wavefront steps — most
@@ -231,6 +374,10 @@ def _run_walk(body, state, nee_steps, use_while, remat=False):
     the scan path (step k draws dim0+k in both; skipped steps were no-ops
     for every lane). The scan variant stays the default because while_loop
     is not reverse-differentiable."""
+    if prb and not use_while:
+        mult = ("transmittance",)
+        pas = ("emitter_val",) if hasattr(state, "emitter_val") else ()
+        return _run_walk_prb(body, state, nee_steps, mult, pas)
     dim0 = state.sampler.dim
     if not use_while:
         def scan_body(s, _):
@@ -266,7 +413,8 @@ def _run_walk(body, state, nee_steps, use_while, remat=False):
 
 def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
                     medium_idx, channel, sampler, active, nee_steps,
-                    use_while=False, gate_sites=True, remat_walks=False):
+                    use_while=False, gate_sites=True, remat_walks=False,
+                    prb_walks=False):
     """Returns (contribution, ds, sampler): emitter radiance attenuated by
     ratio-tracked transmittance along the connection."""
     batch = ref_p.shape[:-1]
@@ -329,7 +477,7 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
             step = lambda s: _walk_step_residual(scene, s, ds, channel,
                                                  ca=ca)
         final = _run_walk(step, state, nee_steps, use_while,
-                          remat=remat_walks)
+                          remat=remat_walks, prb=prb_walks)
         contrib = jnp.where(final.active[..., None], 0.0,
                             final.transmittance) * emitter_val
         return contrib, ds, final.sampler, final.n_rays
@@ -345,7 +493,7 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
         final = _run_walk(
             lambda s: _walk_step_quadrature(scene, s, ds, channel, K,
                                             ca=ca),
-            state, nee_steps, use_while, remat=remat_walks)
+            state, nee_steps, use_while, remat=remat_walks, prb=prb_walks)
         contrib = jnp.where(final.active[..., None], 0.0,
                             final.transmittance) * emitter_val
         return contrib, ds, final.sampler, final.n_rays
@@ -445,7 +593,8 @@ def _sample_emitter(scene, ref_p, ref_n, is_medium_ref, wavelengths, time,
                           total_dist=total_dist, active=active,
                           n_rays=n_rays)
 
-    final = _run_walk(body, state, nee_steps, use_while, remat=remat_walks)
+    final = _run_walk(body, state, nee_steps, use_while, remat=remat_walks,
+                      prb=prb_walks)
     # lanes still active after the cap contribute nothing (conservative)
     contrib = jnp.where(final.active[..., None], 0.0,
                         final.transmittance) * emitter_val
@@ -783,7 +932,8 @@ def _direct_step_residual(scene, s: _DirectState, ref_p, channel,
 
 def _evaluate_direct_light(scene, ref_p, ray, si_ray, medium_idx, channel,
                            sampler, active, nee_steps, use_while=False,
-                           gate_sites=True, remat_walks=False):
+                           gate_sites=True, remat_walks=False,
+                           prb_walks=False):
     batch = ref_p.shape[:-1]
     nc = _nc(scene, ray)
 
@@ -803,7 +953,7 @@ def _evaluate_direct_light(scene, ref_p, ray, si_ray, medium_idx, channel,
         # this body is the exact closed form with a dead collision site)
         final = _run_walk(
             lambda s: _direct_step_residual(scene, s, ref_p, channel, ca=ca),
-            state, nee_steps, use_while, remat=remat_walks)
+            state, nee_steps, use_while, remat=remat_walks, prb=prb_walks)
         return (final.emitter_val, final.emitter_pdf, final.sampler,
                 final.n_rays)
 
@@ -898,7 +1048,8 @@ def _evaluate_direct_light(scene, ref_p, ray, si_ray, medium_idx, channel,
                             emitter_val=emitter_val, emitter_pdf=emitter_pdf,
                             active=active, n_rays=n_rays)
 
-    final = _run_walk(body, state, nee_steps, use_while, remat=remat_walks)
+    final = _run_walk(body, state, nee_steps, use_while, remat=remat_walks,
+                      prb=prb_walks)
     return final.emitter_val, final.emitter_pdf, final.sampler, final.n_rays
 
 
@@ -951,7 +1102,7 @@ def _probe(name, x):
 
 def _bounce(scene, s: _VolPathState, *, nee_steps, max_depth, rr_depth,
             while_walks=False, gate_sites=True, gate_walks=None,
-            remat_walks=False):
+            remat_walks=False, prb_walks=False):
     """One masked wavefront bounce (the loop body of volpath.cpp:38-258).
     Module-level so both the fixed-trip tracer (_trace_full) and the
     regenerating wavefront driver can drive it."""
@@ -1118,7 +1269,7 @@ def _bounce(scene, s: _VolPathState, *, nee_steps, max_depth, rr_depth,
             scene, nee_ref_p, nee_ref_n, act_scatter, ray.wavelengths,
             ray.time, s.medium_idx, s.channel, smp, nee_active, nee_steps,
             use_while=while_walks, gate_sites=gate_walks,
-            remat_walks=remat_walks)
+            remat_walks=remat_walks, prb_walks=prb_walks)
         # medium lanes: phase x emitted
         phase_val = phase.phase_eval(scene, phase_idx, -nee_medium_d_in,
                                      ds_s.d, act_scatter)
@@ -1207,7 +1358,8 @@ def _bounce(scene, s: _VolPathState, *, nee_steps, max_depth, rr_depth,
             return _evaluate_direct_light(
                 scene, si.p, ray, si_new, medium_next, s.channel, smp,
                 add_emitter, nee_steps, use_while=while_walks,
-                gate_sites=gate_walks, remat_walks=remat_walks)
+                gate_sites=gate_walks, remat_walks=remat_walks,
+                prb_walks=prb_walks)
 
         def _direct_skip():
             return (jnp.zeros(batch + (nc,)), jnp.zeros(batch),
@@ -1249,17 +1401,18 @@ def _bounce(scene, s: _VolPathState, *, nee_steps, max_depth, rr_depth,
 # parameters) has an exactly-zero cotangent under the detach discipline
 _REPLAY_OK = True
 
-# bounce kwargs for the path-replay ADJOINT sweep (integrators/replay.py):
-# reverse-differentiable (scan) walks with per-step remat. Gates are
-# platform-dependent (None -> off on TPU, on on CPU): measured on the
-# chip (r5 ablation, flagship spp=16), walk-step gates made the adjoint
-# 4.3x SLOWER (1891 ms vs 444 ms) — the cond transposes relayout the
-# whole lane state per step, far above the dead-step vector work they
-# skip — and bounce-level gates were worse still (2445 ms). Per-step
-# remat stays on: with ungated walks it halves the sweep again (444 vs
-# 880 ms) by dropping the stacked per-step interior residuals.
+# bounce kwargs for the path-replay ADJOINT sweep (integrators/replay.py).
+# Measured on the chip (r5 ablations, flagship spp=16): walk-step cond
+# gates made the adjoint 4.3x SLOWER (1891 ms vs 444 ms — cond
+# transposes relayout the whole lane state per step) and bounce-level
+# gates were worse still (2445 ms), so gates are platform-dependent
+# (None -> off on TPU, on on CPU). prb_walks runs the NEE walks through
+# their own PRB custom_vjp (_run_walk_prb: early-exiting while loops in
+# BOTH adjoint passes instead of a fixed-trip scan + transpose) — 441 ms
+# -> 198 ms; remat_walks stays on as the fallback configuration's memory
+# policy (irrelevant under prb).
 _REPLAY_BOUNCE_KWARGS = {"gate_sites": None, "gate_walks": None,
-                         "remat_walks": True}
+                         "remat_walks": True, "prb_walks": True}
 
 # extra bounce kwargs the regenerating (primal-only, while_loop) driver
 # may add on top of _knobs' — see integrators.render_wavefront_regen

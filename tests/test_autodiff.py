@@ -386,3 +386,45 @@ def test_replay_grad_spectral_variant():
     assert np.allclose(g_fast, g_scan, rtol=5e-3, atol=1e-7), \
         (np.abs(g_fast - g_scan).max(), np.abs(g_scan).max())
     assert np.abs(g_fast).sum() > 0
+
+
+def test_replay_prb_walk_grad_matches_scan(monkeypatch):
+    """The PRB walk-level custom_vjp (volpath._run_walk_prb: while-loop
+    walks in both adjoint passes, multiplicative-chain cotangents,
+    closure_convert for scene captures) produces the same value-class
+    gradients as the scan transpose."""
+    monkeypatch.setenv("ERT_REPLAY_KW", '{"prb_walks": true}')
+    rng = np.random.default_rng(3)
+    grid = (0.2 + 0.6 * rng.random((2, 2, 2))).astype(np.float32)
+    scene = load_dict({
+        "type": "scene",
+        "integrator": {"type": "volpath", "max_depth": 4,
+                       "max_iterations": 8},
+        "sensor": {"type": "radiancemeter",
+                   "to_world": {"type": "look_at",
+                                "origin": [0.5, 0.5, -3],
+                                "target": [0.5, 0.5, 1], "up": [0, 1, 0]},
+                   "film": {"width": 2, "height": 2,
+                            "rfilter": {"type": "box"}},
+                   "sampler": {"sample_count": 16}},
+        "slab": {"type": "cube", "bsdf": {"type": "null"},
+                 "interior": {"type": "heterogeneous",
+                              "sigma_t": {"type": "gridvolume",
+                                          "data": grid},
+                              "albedo": 0.6}},
+        "light": {"type": "constant", "radiance": 1.0},
+    })
+    pm = ad.traverse(scene)
+    keys = [k for k in pm._values if k.endswith("gridvolume.grid")]
+    pm.keep(keys)
+    tr0 = pm.trainable()
+
+    def loss(tr, regen):
+        return jnp.mean(ad.render(pm, tr, seed=11, regen=regen))
+
+    g_prb = np.asarray(jax.grad(lambda t: loss(t, True))(tr0)[keys[0]])
+    monkeypatch.delenv("ERT_REPLAY_KW")
+    g_scan = np.asarray(jax.grad(lambda t: loss(t, False))(tr0)[keys[0]])
+    assert np.allclose(g_prb, g_scan, rtol=5e-3, atol=1e-7), \
+        (np.abs(g_prb - g_scan).max(), np.abs(g_scan).max())
+    assert np.abs(g_prb).sum() > 0
