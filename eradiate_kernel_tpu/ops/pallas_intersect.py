@@ -91,8 +91,9 @@ def _intersect_tile(j, rays, tris_ref, prim_ref, shape_ref, carry,
             jnp.where(hit, ipick(shape_ref[j]) + shape_off, best_shape))
 
 
-def _kernel(rays_ref, ids_ref, count_ref, tris_ref, prim_ref, shape_ref,
-            t_ref, uv_ref, prim_out_ref, shape_out_ref, *, n_tiles):
+def _kernel(rays_ref, ids_ref, count_ref, tnear_ref, tris_ref, prim_ref,
+            shape_ref, t_ref, uv_ref, prim_out_ref, shape_out_ref, *,
+            n_tiles, early_exit=True):
     ox = rays_ref[:, 0:1]        # (B, 1)
     oy = rays_ref[:, 1:2]
     oz = rays_ref[:, 2:3]
@@ -105,19 +106,42 @@ def _kernel(rays_ref, ids_ref, count_ref, tris_ref, prim_ref, shape_ref,
     rays = (ox, oy, oz, dx, dy, dz, mint, maxt)
 
     block_row = pl.program_id(0) % 8  # row within the 8-row SMEM block
+    count = count_ref[block_row, 0]
 
-    def tile_body(k, carry):
-        # compacted visibility: ids_ref holds the admitted tiles first, so
-        # the loop runs exactly count times with no in-loop branch at all
+    # admitted tiles arrive sorted near-to-far by their block-entry
+    # distance LOWER bound (tnear_ref, computed by the host-side interval
+    # slab test): once every ray's best t is below the next tile's entry
+    # bound, no later tile can improve any ray — the closest-hit sweep
+    # stops early (kd-tree early-termination analog, kdtree.h:2290-2295,
+    # restated for block traversal; ~2x fewer tiles visited on coherent
+    # closest-hit loads)
+    def w_cond(carry):
+        k = carry[0]
+        bt_ub = carry[1]
+        kc = jnp.minimum(k, n_tiles - 1)  # clamp: & evaluates both sides
+        return (k < count) & (bt_ub > tnear_ref[block_row, kc])
+
+    def w_body(carry):
+        k, _bt, c = carry[0], carry[1], carry[2:]
         j = ids_ref[block_row, k]
-        return _intersect_tile(j, rays, tris_ref, prim_ref, shape_ref, carry)
+        out = _intersect_tile(j, rays, tris_ref, prim_ref, shape_ref, c)
+        return (k + 1, jnp.max(out[0])) + out
 
-    init = (maxt, jnp.zeros((B, 1), jnp.float32),
+    init = (jnp.int32(0), jnp.max(maxt), maxt,
+            jnp.zeros((B, 1), jnp.float32),
             jnp.zeros((B, 1), jnp.float32),
             jnp.zeros((B, 1), jnp.int32), jnp.full((B, 1), -1, jnp.int32))
-    count = count_ref[block_row, 0]
-    best_t, best_u, best_v, best_prim, best_shape = jax.lax.fori_loop(
-        0, count, tile_body, init)
+    if early_exit:
+        (_k, _bt, best_t, best_u, best_v, best_prim,
+         best_shape) = jax.lax.while_loop(w_cond, w_body, init)
+    else:
+        def tile_body(k, carry):
+            j = ids_ref[block_row, k]
+            return _intersect_tile(j, rays, tris_ref, prim_ref, shape_ref,
+                                   carry)
+
+        (best_t, best_u, best_v, best_prim,
+         best_shape) = jax.lax.fori_loop(0, count, tile_body, init[2:])
 
     no_hit = best_t >= maxt
     t_ref[:, :] = jnp.where(no_hit, jnp.inf, best_t)
@@ -128,11 +152,13 @@ def _kernel(rays_ref, ids_ref, count_ref, tris_ref, prim_ref, shape_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _run(rays, ids, count, tris, prim, shape, interpret=False):
+def _run(rays, ids, count, tnear, tris, prim, shape, interpret=False):
     n = rays.shape[0]
     T = tris.shape[0]
     grid = (n // RAY_BLOCK,)
-    kernel = functools.partial(_kernel, n_tiles=T)
+    kernel = functools.partial(
+        _kernel, n_tiles=T,
+        early_exit=os.environ.get("ERT_TILE_EARLYEXIT", "1") != "0")
 
     t, uv, prim_o, shape_o = pl.pallas_call(
         kernel,
@@ -143,6 +169,8 @@ def _run(rays, ids, count, tris, prim, shape, interpret=False):
             pl.BlockSpec((8, T), lambda i: (i // 8, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((8, 8), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, T), lambda i: (i // 8, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((T, 9, TILE_K), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -168,7 +196,7 @@ def _run(rays, ids, count, tris, prim, shape, interpret=False):
             jax.ShapeDtypeStruct((n, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(rays, ids, count, tris, prim, shape)
+    )(rays, ids, count, tnear, tris, prim, shape)
     return t[:, 0], uv, prim_o[:, 0], shape_o[:, 0]
 
 
@@ -495,6 +523,7 @@ def intersect_bvh(tiles, ray, interpret=False):
         jnp.broadcast_to(ray.mint, (n,)),
         jnp.broadcast_to(ray.maxt, (n,))], axis=-1)   # (N, 8)
     root = tiles["nbox"][0, 0]
+    rays = _cap_maxt_to_root(rays, root[0:3], root[3:6])
     rays, unsort = _maybe_sorted(rays, root[0:3], root[3:6])
     if pad:
         filler = jnp.zeros((pad, 8), rays.dtype).at[:, 5].set(1.0)
@@ -515,7 +544,33 @@ def intersect_bvh(tiles, ray, interpret=False):
     return t[:n], uv[:n], prim_o[:n], shape_o[:n]
 
 
-def _block_tile_mask(rays, lo, hi):
+
+
+def _cap_maxt_to_root(rays, lo, hi):
+    """Clamp each ray's maxt to its exit distance from the root AABB
+    (x1.0001 + eps margin). Every triangle lives inside the root box, so
+    no hit can lie beyond the exit — the cap is conservative. It is the
+    enabler for the sweep's near-to-far early exit: an unbounded miss ray
+    (sky) otherwise pins the block's best-t upper bound at +inf and
+    disables the exit for its whole block; it also tightens the slab/
+    reach culls for bounce rays. Rays that miss the root entirely get
+    maxt = mint (nothing to test -> immediate all-cull)."""
+    o = rays[:, 0:3]
+    d = rays[:, 3:6]
+    mint = rays[:, 6]
+    maxt = rays[:, 7]
+    ad = jnp.abs(d)
+    sgn = jnp.where(d < 0, -1.0, 1.0)
+    inv = sgn / jnp.maximum(ad, 1e-30)
+    t0 = (lo[None, :] - o) * inv
+    t1 = (hi[None, :] - o) * inv
+    near = jnp.max(jnp.minimum(t0, t1), axis=1)
+    far = jnp.min(jnp.maximum(t0, t1), axis=1)
+    hit = (near <= far) & (far >= mint)
+    cap = jnp.where(hit, far * 1.0001 + 1e-4, mint)
+    return rays.at[:, 7].set(jnp.minimum(maxt, jnp.maximum(cap, mint)))
+
+def _block_tile_mask(rays, lo, hi, return_tnear=False):
     """Conservative per-(ray block, tile) visibility in plain XLA: interval
     arithmetic slab test of the block's ray bounds vs every tile AABB.
     False positives only cost a dense tile visit; false negatives cannot
@@ -574,6 +629,8 @@ def _block_tile_mask(rays, lo, hi):
     maxt_c = jnp.minimum(maxt_ub, 1e30)[:, None, None]
     reach = dist_lb <= maxt_c * speed_ub + 1e-6
     ok = ok & jnp.all(jnp.where(mixed[:, None, :], reach, True), axis=-1)
+    if return_tnear:
+        return ok.astype(jnp.int32), tnear_lb
     return ok.astype(jnp.int32)
 
 
@@ -603,16 +660,23 @@ def intersect_tiles(tiles, ray, interpret=False):
         ray.d[..., 0], ray.d[..., 1], ray.d[..., 2],
         jnp.broadcast_to(ray.mint, (n,)),
         jnp.broadcast_to(ray.maxt, (n,))], axis=-1)   # (N, 8)
-    rays, unsort = _maybe_sorted(rays, tiles["lo"].min(0), tiles["hi"].max(0))
+    root_lo = tiles["lo"].min(0)
+    root_hi = tiles["hi"].max(0)
+    rays = _cap_maxt_to_root(rays, root_lo, root_hi)
+    rays, unsort = _maybe_sorted(rays, root_lo, root_hi)
     if pad:
         filler = jnp.zeros((pad, 8), rays.dtype).at[:, 5].set(1.0)
         rays = jnp.concatenate([rays, filler], axis=0)
 
     tris, prim, shape = _device_layout(tiles)
-    mask = _block_tile_mask(rays, tiles["lo"], tiles["hi"])
-    # compact: admitted tile indices first (stable argsort keeps Morton
-    # order within the admitted set), plus the per-block admitted count
-    ids = jnp.argsort(1 - mask, axis=1, stable=True).astype(jnp.int32)
+    mask, tnear_lb = _block_tile_mask(rays, tiles["lo"], tiles["hi"],
+                                      return_tnear=True)
+    # compact admitted tiles first, ordered NEAR-TO-FAR by their entry
+    # lower bound (the kernel early-exits once no later tile can beat the
+    # block's worst best-t); non-admitted tiles key to +inf and land last
+    key = jnp.where(mask == 1, tnear_lb, jnp.float32(jnp.inf))
+    ids = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)
+    tnear_sorted = jnp.take_along_axis(key, ids, axis=1)
     count = jnp.sum(mask, axis=1, dtype=jnp.int32)[:, None]
     count = jnp.broadcast_to(count, (count.shape[0], 8))
     # pad the block dim to a multiple of 8 (SMEM block row constraint)
@@ -621,10 +685,14 @@ def intersect_tiles(tiles, ray, interpret=False):
     if nb_pad != nb:
         ids = jnp.concatenate(
             [ids, jnp.zeros((nb_pad - nb, ids.shape[1]), ids.dtype)], 0)
+        tnear_sorted = jnp.concatenate(
+            [tnear_sorted,
+             jnp.zeros((nb_pad - nb, tnear_sorted.shape[1]),
+                       tnear_sorted.dtype)], 0)
         count = jnp.concatenate(
             [count, jnp.zeros((nb_pad - nb, 8), count.dtype)], 0)
-    t, uv, prim_o, shape_o = _run(rays, ids, count, tris, prim, shape,
-                                  interpret=interpret)
+    t, uv, prim_o, shape_o = _run(rays, ids, count, tnear_sorted, tris,
+                                  prim, shape, interpret=interpret)
     if unsort is not None:
         return t[unsort], uv[unsort], prim_o[unsort], shape_o[unsort]
     return t[:n], uv[:n], prim_o[:n], shape_o[:n]
