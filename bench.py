@@ -128,20 +128,23 @@ def main():
     n_lanes = int(os.environ.get("BENCH_LANES", 32 * 1024))
 
     if scene_kind == "polarized":
-        # scan driver (stokes wrapper carries AOV channels); metric is
-        # sample throughput
-        fn = jax.jit(integrators.render_wavefront,
+        # stokes(volpath) rides the regenerating lane pool too (round 5:
+        # polarized_vol regen hooks — Mueller throughput/Stokes lane state,
+        # S1..S3 harvested as AOV channels); metric stays sample
+        # throughput for baseline comparability
+        assert integrators.regen_supported(scene.config)
+        fn = jax.jit(integrators.render_wavefront_regen,
                      static_argnames=("n_lanes", "spp"))
         cfgH, cfgW = scene.config.film_height, scene.config.film_width
         total = cfgH * cfgW * spp
-        for w in range(2):
-            film = fn(scene, jnp.uint32(0), total, jnp.uint32(1000 + w),
-                      spp)
+        n_lanes_p = min(n_lanes, total)
+        for w in range(3):
+            film, n_rays = fn(scene, n_lanes_p, jnp.uint32(1000 + w), spp)
         film.block_until_ready()
         iters = 8
         t0 = time.perf_counter()
         for i in range(iters):
-            film = fn(scene, jnp.uint32(0), total, jnp.uint32(i + 1), spp)
+            film, n_rays = fn(scene, n_lanes_p, jnp.uint32(i + 1), spp)
         film.block_until_ready()
         dt = time.perf_counter() - t0
         mrays_per_s = iters * total / dt / 1e6  # Msamples/s

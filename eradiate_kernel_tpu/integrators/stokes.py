@@ -18,8 +18,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..core import mueller as mu
 from . import polarized
+from .polarized_vol import _sensor_basis_rotation
 
 
 def aov_names(cfg):
@@ -30,27 +30,36 @@ def n_aov(cfg):
     return 3
 
 
-def _sensor_basis_rotation(scene, ray):
-    """Rotation from the ray's implicit Stokes basis to the sensor-aligned
-    basis (stokes.cpp:93-100)."""
-    tw = scene.sensor["to_world"]
-    up = tw.m[:3, 1]  # sensor up (0,1,0) in world
-    target = jnp.cross(ray.d, jnp.broadcast_to(up, ray.d.shape))
-    t_len = jnp.linalg.norm(target, axis=-1, keepdims=True)
-    current = mu.stokes_basis(-ray.d)
-    target = jnp.where(t_len > 1e-8, target / jnp.maximum(t_len, 1e-12),
-                       current)
-    return mu.rotate_stokes_basis(-ray.d, current, target)
+def _volumetric(cfg):
+    extra = dict(cfg.integrator.extra)
+    return bool(cfg.medium_kinds) or extra.get("child") == "volpath"
+
+
+# --- regen-driver hooks ------------------------------------------------------
+# stokes(volpath) rides the regenerating lane pool: polarized_vol carries
+# the Mueller throughput/Stokes lane state and premultiplies the sensor-
+# basis rotation at refill, so harvest just reads the carried vector.
+# Pure-surface stokes(path) keeps the scan driver (integrators.polarized
+# exposes no bounce hooks), selected automatically by regen_supported.
+
+def _regen_module(cfg):
+    from . import polarized_vol
+    return polarized_vol if _volumetric(cfg) else polarized
+
+
+def _harvest_aov(scene, vp, rw, aov_carry):
+    """S1..S3 channel means from the carried sensor-basis Stokes vector
+    (stokes.cpp:117 emits per-RGB components; the film AOV layer carries
+    scalars — same convention as the scan path's sample_aov)."""
+    s_mean = jnp.mean(vp.stokes, axis=-2)
+    return s_mean[..., 1:4]
 
 
 def sample_aov(scene, sampler, ray, ray_weight, active=None):
     # media present (or an explicitly volumetric child): Mueller volpath —
     # the analog of nesting `volpath` inside `stokes` under a polarized
     # variant; pure-surface scenes keep the (cheaper) polarized path tracer
-    extra = dict(scene.config.integrator.extra)
-    volumetric = bool(scene.config.medium_kinds) or \
-        extra.get("child") == "volpath"
-    if volumetric:
+    if _volumetric(scene.config):
         from . import polarized_vol
         stokes, valid, sampler = polarized_vol.sample_stokes(
             scene, sampler, ray, active)

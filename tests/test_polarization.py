@@ -435,3 +435,51 @@ def test_phase_mueller_physical_validity():
     ok = s_out[:, 0] > 1e-9
     dop = np.linalg.norm(s_out[ok, 1:], axis=-1) / s_out[ok, 0]
     assert (dop <= 1.0 + 1e-4).all(), dop.max()
+
+
+def test_stokes_regen_driver_equivalence():
+    """stokes(volpath) on the regenerating lane pool must reproduce the
+    scan driver's S0 image and S1..S3 AOVs (polarized_vol regen hooks:
+    sensor-basis rotation premultiplied at refill == post-rotation of the
+    scan path, by linearity of the Mueller chain)."""
+    import sys
+    from eradiate_kernel_tpu import integrators
+    from eradiate_kernel_tpu.scene import load_dict
+
+    d = {
+        "type": "scene",
+        "integrator": {"type": "stokes", "max_depth": 6},
+        "sensor": {"type": "perspective", "fov": 60.0,
+                   "to_world": {"type": "look_at",
+                                "origin": [0.5, 0.5, 3.0],
+                                "target": [0.5, 0.5, 0.0], "up": [0, 1, 0]},
+                   "film": {"width": 6, "height": 6,
+                            "rfilter": {"type": "box"}},
+                   "sampler": {"type": "independent", "sample_count": 8}},
+        "surface": {"type": "rectangle",
+                    "to_world": [{"type": "scale", "value": 20.0},
+                                 {"type": "translate",
+                                  "value": [0.5, 0.5, 0.0]}],
+                    "bsdf": {"type": "diffuse", "reflectance": 0.4}},
+        "atmo": {"type": "cube",
+                 "to_world": [{"type": "scale", "value": [20.0, 20.0, 0.5]},
+                              {"type": "translate",
+                               "value": [0.5, 0.5, 0.5]}],
+                 "bsdf": {"type": "null"},
+                 "interior": {"type": "homogeneous", "sigma_t": 0.6,
+                              "albedo": 0.9,
+                              "phase": {"type": "rayleigh"}}},
+        "sun": {"type": "directional", "direction": [1.0, 0.0, -0.2],
+                "irradiance": 5.0},
+    }
+    sc = load_dict(d)
+    assert integrators.regen_supported(sc.config)
+    img_a, aovs_a = integrators.render(sc, seed=3, return_aovs=True)
+    img_b, aovs_b = integrators.render(sc, seed=3, return_aovs=True,
+                                       regen=True)
+    conftest = sys.modules["conftest"]
+    conftest.assert_driver_equivalent(img_a, img_b, max_flips=1)
+    for k in ("s1", "s2", "s3"):
+        conftest.assert_driver_equivalent(
+            np.asarray(aovs_a[k])[..., None],
+            np.asarray(aovs_b[k])[..., None], max_flips=1)
