@@ -137,7 +137,11 @@ def main():
                      static_argnames=("n_lanes", "spp"))
         cfgH, cfgW = scene.config.film_height, scene.config.film_width
         total = cfgH * cfgW * spp
-        n_lanes_p = min(n_lanes, total)
+        # lane-pool sweep on v5e (2026-08-21): the Mueller lane state
+        # (throughput 48 + stokes 12 floats/lane at nc=3) is ~4x the
+        # scalar volpath's, so the optimum sits far below the scalar 32k:
+        # 32k 0.84, 16k 1.29, 8k 1.67, 4k 1.74 Msamples/s
+        n_lanes_p = min(int(os.environ.get("BENCH_LANES", 4096)), total)
         for w in range(3):
             film, n_rays = fn(scene, n_lanes_p, jnp.uint32(1000 + w), spp)
         film.block_until_ready()

@@ -483,3 +483,26 @@ def test_stokes_regen_driver_equivalence():
         conftest.assert_driver_equivalent(
             np.asarray(aovs_a[k])[..., None],
             np.asarray(aovs_b[k])[..., None], max_flips=1)
+
+
+def test_stokes_surface_regen_driver_equivalence():
+    """Pure-surface stokes(path) on the regenerating lane pool: the
+    restructured polarized._bounce (fresh-lane intersection at entry,
+    next-vertex intersection at exit) must reproduce the scan driver
+    sample-for-sample, including optical-element Mueller chains."""
+    import sys
+    from eradiate_kernel_tpu import integrators
+
+    scene = _bench_scene([{"type": "polarizer", "theta": 30.0},
+                          {"type": "retarder", "theta": 15.0,
+                           "delta": 90.0}], spp=32)
+    assert integrators.regen_supported(scene.config)
+    img_a, aovs_a = integrators.render(scene, seed=5, return_aovs=True)
+    img_b, aovs_b = integrators.render(scene, seed=5, return_aovs=True,
+                                       regen=True)
+    conftest = sys.modules["conftest"]
+    conftest.assert_driver_equivalent(img_a, img_b)
+    for k in ("s1", "s2", "s3"):
+        conftest.assert_driver_equivalent(
+            np.asarray(aovs_a[k])[..., None],
+            np.asarray(aovs_b[k])[..., None])
